@@ -1,0 +1,481 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Core relational operator inventory (SURVEY.md §2.1-§2.8) expressed over
+  * the driver's TPC-H-ish testdata. Each entry demonstrates one operator
+  * family from the reference, re-expressed Spark-first:
+  * scans stay declarative so Catalyst pushes filters/pruning into the
+  * parquet scan; small dimensions are broadcast; aggregations are single
+  * `groupBy.agg` passes (map-side partial aggregation for free).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ----- S: scans / projection pruning [SURVEY §2.1 S1-S7] -----
+    // Projection reaches the parquet scan (ReadSchema shows 2 columns).
+    Q("s_scan_project",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") {
+      (s, d) =>
+        t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+
+    // ----- P: filters / predicates / derived columns [§2.2] -----
+    // P5 predicate + A1 agg; filter is pushed down to the scan.
+    Q("p_filter_pushdown",
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 30 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 30 &&
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // P2 regex extract (reference geo_id parse, data_preparation.ipynb#cell4)
+    // + P3 try-cast coercion (pd.to_numeric(errors='coerce')).
+    Q("p_regex_extract",
+      """SELECT CAST(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS INT) AS k_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(value) + 1e-7, 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .withColumn("k_bucket",
+          (regexp_extract(col("props"), "\"k\": (\\d+)", 1).try_cast("int") % 10)
+            .cast("int"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), Fp.r(avg("value"), 4).as("avg_value"))
+        .orderBy("k_bucket")
+    },
+
+    // P4 zero-pad + case normalization (reference zfill(2)/lower, #cell4).
+    Q("p_pad_case",
+      """SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS nation_code,
+        |       lower(n_name) AS nation_lc, upper(n_name) AS nation_uc
+        |FROM nation ORDER BY nation_code""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .select(
+          lpad(col("n_nationkey").cast("string"), 3, "0").as("nation_code"),
+          lower(col("n_name")).as("nation_lc"),
+          upper(col("n_name")).as("nation_uc"))
+        .orderBy("nation_code")
+    },
+
+    // P8 dedup: distinct (reference drop_duplicates, #cell4).
+    Q("p_distinct",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") {
+      (s, d) => t(s, d, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")
+    },
+
+    // P7 null-key rejection (reference dropna(subset=..), load_facts.py:155).
+    Q("p_null_drop",
+      """SELECT CAST(count(*) AS BIGINT) AS n_valid
+        |FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem").na.drop(Seq("l_orderkey", "l_partkey"))
+          .agg(count(lit(1)).as("n_valid"))
+    },
+
+    // ----- J: joins [§2.3] -----
+    // J1 star join: fact → 4 dims; dims broadcast (no shuffle for the
+    // dim sides; the li⋈orders join shuffles on the order key only).
+    Q("j_star_join",
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(
+          Fp.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "o_year")
+    },
+
+    // J2 left outer join (reference fait_population ⟕ fait_evenements).
+    Q("j_left_join",
+      """SELECT c_custkey, c_name,
+        |       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+        |       round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+        |                  sum(o_totalprice) AS total_spent
+        |           FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val per = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_spent"))
+      t(s, d, "customer")
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("total_spent"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // J3 cross join scaffold (reference dashboard dim_geo × dim_temps,
+    // 005:235-236): every region × every order year.
+    Q("j_cross_join_scaffold",
+      """SELECT r_name, y.o_year
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS o_year
+        |            FROM orders) y
+        |ORDER BY r_name, o_year""".stripMargin) { (s, d) =>
+      val years = t(s, d, "orders")
+        .select(year(col("o_orderdate")).as("o_year")).distinct()
+      t(s, d, "region").select("r_name").crossJoin(years)
+        .orderBy("r_name", "o_year")
+    },
+
+    // J5 dimension-key broadcast lookup (reference get_dim_mapping hand-rolled
+    // hash join, load_facts.py:74-88 — in Spark this is just broadcast()).
+    Q("j_broadcast_lookup",
+      """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
+
+    // J7 semi join (reference RLS EXISTS predicate, 011:180-189).
+    Q("j_semi_join",
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"),
+          "left_semi")
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    },
+
+    // J8 anti join (reference NOT EXISTS new-record detection, 010:480-485).
+    Q("j_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // J9 orphan FK check (reference integrity tests, test_dwh.py:199-226):
+    // anti-join counts; all must be 0 on consistent data.
+    Q("j_orphan_check",
+      """SELECT 'lineitem_orders' AS fk, CAST(count(*) AS BIGINT) AS orphans
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_customer' AS fk, CAST(count(*) AS BIGINT) AS orphans
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      val a = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("lineitem_orders").as("fk"), col("orphans"))
+      val b = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("orders_customer").as("fk"), col("orphans"))
+      a.unionByName(b).orderBy("fk")
+    },
+
+    // ----- A: aggregations [§2.4] -----
+    // A1/A2 grouped sum + avg/min/max (reference datamart aggregates).
+    Q("a_grouped_stats",
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       round(avg(c_acctbal) + 1e-7, 4) AS avg_bal,
+        |       round(min(c_acctbal), 2) AS min_bal,
+        |       round(max(c_acctbal), 2) AS max_bal,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        t(s, d, "customer").groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            Fp.r(avg("c_acctbal"), 4).as("avg_bal"),
+            round(min("c_acctbal"), 2).as("min_bal"),
+            round(max("c_acctbal"), 2).as("max_bal"),
+            round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy("c_mktsegment")
+    },
+
+    // A3 guarded ratio (reference CASE WHEN SUM>0 / NULLIF, 005:29-34,248).
+    Q("a_guarded_ratio",
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       round(100 * sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+        |             / nullif(sum(l_quantity), 0) + 1e-7, 4) AS return_rate_pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(Fp.r(
+          lit(100) * sum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(0)) / nullif(sum(col("l_quantity")), lit(0)), 4)
+          .as("return_rate_pct"))
+        .orderBy("ship_year")
+    },
+
+    // A5 grouped conditional aggregation (reference per-status slices →
+    // one pass of sum(when), load_facts.py:484-508).
+    Q("a_conditional_agg",
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+        |       round(100.0 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |             / nullif(sum(CASE WHEN event_type IN ('purchase','view') THEN 1 ELSE 0 END), 0) + 1e-7, 4)
+        |         AS conversion_pct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+      val isV = when(col("event_type") === "view", 1L).otherwise(0L)
+      t(s, d, "events").groupBy("user_id")
+        .agg(sum(isP).as("n_purchases"), sum(isV).as("n_views"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("purchase_value"),
+          Fp.r(lit(100.0) * sum(isP) / nullif(sum(isP) + sum(isV), lit(0)), 4)
+            .as("conversion_pct"))
+        .orderBy("user_id")
+    },
+
+    // A6 pivot long→wide (reference FILOSOFI pivot, load_facts.py:361-384).
+    Q("a_pivot",
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("ship_year")
+    },
+
+    // A7 count-based ops views (reference log monitoring, 008:171-182):
+    // per-day, per-type event counts with error share.
+    Q("a_daily_counts",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(value) + 1e-7, 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Fp.r(avg("value"), 4).as("avg_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // A8 string aggregation (reference STRING_AGG, 011:282-288) —
+    // deterministic via sorted collect.
+    Q("a_string_agg",
+      """SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_list("n_name")), ", ").as("nations"))
+        .orderBy("r_name")
+    },
+
+    // Beyond-reference aggregates Spark gives for free (SURVEY §2.4 note):
+    // rollup + exact & approximate distinct counts.
+    Q("a_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_orders"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // ----- W/O: windows, sorts, top-k [§2.5-§2.6] -----
+    // W1 latest-version-per-key (reference load_dimensions.py:183-187).
+    Q("w_latest_per_key",
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    },
+
+    // W2 running counter per key (reference SCD version+1 pattern).
+    Q("w_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS INT) AS order_seq,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("order_seq"),
+          round(sum("o_totalprice")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // W3/O1/O3 top-N with multi-key sort (reference TOP(n) + sort_values).
+    Q("o_topn",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // ----- U: set operations [§2.7] -----
+    // U1 union-all of per-table counts (reference refresh verification).
+    Q("u_union_counts",
+      """SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n FROM customer
+        |UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |ORDER BY tbl""".stripMargin) { (s, d) =>
+      Seq("customer", "orders", "lineitem")
+        .map(n => t(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _)
+        .orderBy("tbl")
+    },
+
+    // U2 full outer merge (reference births∪deaths O(n²) loop → one
+    // full_outer join, load_facts.py:209-248).
+    Q("u_full_outer_merge",
+      """SELECT coalesce(p.user_id, v.user_id) AS user_id,
+        |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases,
+        |       CAST(coalesce(v.n, 0) AS BIGINT) AS n_errors
+        |FROM (SELECT user_id, count(*) AS n FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id) p
+        |FULL OUTER JOIN (SELECT user_id, count(*) AS n FROM events
+        |      WHERE event_type = 'error' GROUP BY user_id) v
+        |  ON p.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val v = ev.filter(col("event_type") === "error")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      p.as("p").join(v.as("v"), col("p.user_id") === col("v.user_id"), "full_outer")
+        .select(coalesce(col("p.user_id"), col("v.user_id")).as("user_id"),
+          coalesce(col("p.n"), lit(0L)).as("n_purchases"),
+          coalesce(col("v.n"), lit(0L)).as("n_errors"))
+        .orderBy("user_id")
+    },
+
+    // INTERSECT / EXCEPT (absent in the reference; built-in in Spark).
+    Q("u_intersect_except",
+      """SELECT 'both' AS side, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) x
+        |UNION ALL
+        |SELECT 'customer_only' AS side, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) y
+        |ORDER BY side, k""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("k"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.intersect(su).select(lit("both").as("side"), col("k"))
+        .unionByName(c.except(su).select(lit("customer_only").as("side"), col("k")))
+        .orderBy("side", "k")
+    },
+
+    // ----- F: scalar function families [§2.8] -----
+    Q("f_scalar_funcs",
+      """SELECT o_orderkey,
+        |       lpad(CAST(o_custkey AS VARCHAR), 6, '0') AS cust_code,
+        |       concat('ORD-', CAST(o_orderkey AS VARCHAR), '-',
+        |              substr(o_orderpriority, 1, 1)) AS order_label,
+        |       CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(month(o_orderdate) AS INT) AS o_month,
+        |       strftime(o_orderdate, '%Y-%m') AS month_bucket,
+        |       CASE WHEN o_totalprice > 300000 THEN 'BIG'
+        |            WHEN o_totalprice > 100000 THEN 'MED'
+        |            ELSE 'SMALL' END AS size_band,
+        |       round(o_totalprice / nullif(CAST(year(o_orderdate) AS INT) - 1990, 0) + 1e-7, 2)
+        |         AS price_per_era
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        lpad(col("o_custkey").cast("string"), 6, "0").as("cust_code"),
+        concat(lit("ORD-"), col("o_orderkey").cast("string"), lit("-"),
+          substring(col("o_orderpriority"), 1, 1)).as("order_label"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month_bucket"),
+        when(col("o_totalprice") > 300000, "BIG")
+          .when(col("o_totalprice") > 100000, "MED")
+          .otherwise("SMALL").as("size_band"),
+        Fp.r(col("o_totalprice") /
+          nullif(year(col("o_orderdate")) - lit(1990), lit(0)), 2)
+          .as("price_per_era"))
+        .orderBy("o_orderkey").limit(500)
+    },
+
+    // Array explode + word count (reference codesPostaux explode → bridge
+    // table, data_preparation.ipynb#cell9).
+    Q("f_explode_wordcount",
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)
+    },
+
+    // JSON extraction (reference json_normalize / nested JSON columns).
+    Q("f_json_extract",
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INT) / 25 AS k_quartile_raw,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select((get_json_object(col("props"), "$.k").cast("int") / 25)
+          .as("k_quartile_raw"))
+        .groupBy("k_quartile_raw").agg(count(lit(1)).as("n"))
+        .orderBy("k_quartile_raw")
+    },
+  )
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB against the same sf dir and compare with Verify.scala's parquet output
+(schema + row/values, columns sorted by name, rows sorted)."""
+import sys, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fail = 0
+names = sorted({p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith('.json')})
+for name in names:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    if name not in oracle:
+        print(f"ROWS-ONLY {name}: {len(got.fetchall())} rows")
+        continue
+    try:
+        exp = con.sql(oracle[name])
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fail += 1; continue
+    gcols = sorted(zip(got.columns, [str(t) for t in got.types]))
+    ecols = sorted(zip(exp.columns, [str(t) for t in exp.types]))
+    if [c for c,_ in gcols] != [c for c,_ in ecols]:
+        print(f"FAIL {name}: columns {gcols} vs {ecols}"); fail += 1; continue
+    if gcols != ecols:
+        print(f"WARN {name}: type drift {gcols} vs {ecols}")
+    gsel = ", ".join(f'"{c}"' for c,_ in gcols)
+    grows = con.sql(f"SELECT {gsel} FROM got ORDER BY ALL").fetchall()
+    erows = con.sql(f"SELECT {gsel} FROM exp ORDER BY ALL").fetchall()
+    if len(grows) != len(erows):
+        print(f"FAIL {name}: rowcount {len(grows)} vs {len(erows)}"); fail += 1; continue
+    bad = None
+    for i,(g,e) in enumerate(zip(grows, erows)):
+        for j,(gv,ev) in enumerate(zip(g,e)):
+            ok = gv == ev
+            if not ok and isinstance(gv,float) and isinstance(ev,float):
+                ok = (math.isnan(gv) and math.isnan(ev)) or gv == ev
+            if not ok:
+                bad = (i, gcols[j][0], gv, ev); break
+        if bad: break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+        fail += 1
+    else:
+        print(f"OK   {name}: {len(grows)} rows")
+print(f"\n{len(names)-fail}/{len(names)} pass")
+sys.exit(1 if fail else 0)
