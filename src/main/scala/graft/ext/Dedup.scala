@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB shape of the problem:
+  *
+  *  - exact: hash-groupBy on a content digest. One shuffle keyed by a
+  *    16-byte digest — uniformly distributed, no skew, and AQE coalesces
+  *    the post-shuffle partitions.
+  *  - near-dup: MinHash signatures computed per-row with higher-order
+  *    functions (no UDF, no shuffle), then LSH banding so the candidate
+  *    join is an equi-join on (band, bandValue) buckets instead of an
+  *    O(n²) cross join. Only candidate pairs pay the exact-Jaccard cost.
+  *  - SimHash: 64-bit per-row signature; near-dups differ in few bits.
+  *
+  * Portability note: hashes are built from md5 hex strings (identical in
+  * every engine) rather than engine-private hash functions, so results are
+  * verifiable against external oracles. MinHash "values" are 16-hex-char
+  * strings compared lexicographically — order-isomorphic to the 64-bit
+  * integer interpretation.
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Content digest for exact dedup (md5 of raw text). */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** Keep one row per distinct content hash (min of `idCol` wins —
+    * deterministic, unlike dropDuplicates' arbitrary winner). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df.groupBy(contentHash(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__h")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** n-word shingles over the lowercase token stream. Unigram minhash
+    * collapses on shared-vocabulary corpora (every doc uses the same words);
+    * shingles capture word ORDER so only near-identical text collides. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: min over the shingle set of md5("<seed>:" + s),
+    * truncated to 16 hex chars (lexicographic min ≡ 64-bit integer min).
+    * Pure per-row expression — no shuffle, no UDF. */
+  def minhash(set: Column, seed: Int): Column =
+    array_min(transform(set,
+      t => substring(md5(concat(lit(s"$seed:"), t).cast("binary")), 1, 16)))
+
+  /** k-wide signature as individual columns mh0..mh{k-1}. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val withSh = df.withColumn("__sh", shingles(col(textCol), shingleN))
+    (0 until k).foldLeft(withSh)((d, i) =>
+      d.withColumn(s"mh$i", minhash(col("__sh"), i))).drop("__sh")
+  }
+
+  /** LSH band value: digest of `rowsPerBand` adjacent signature columns.
+    * Docs agreeing on all hashes in any band become candidates. */
+  def bandValue(sig: Seq[Column]): Column =
+    md5(concat_ws("|", sig: _*).cast("binary"))
+
+  /** Candidate near-duplicate pairs (aId < bId) from banded minhash
+    * signatures, with exact shingle-set Jaccard computed per candidate
+    * pair. The heavy lifting is an equi-join on band value — shuffle
+    * partitioned by bucket, never all-pairs. Docs shorter than one shingle
+    * are excluded (they have no signature). */
+  def nearDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = withMinhashSignature(
+      df.filter(size(TextAnalysis.tokens(lower(col(textCol)))) >= shingleN),
+      textCol, k, shingleN)
+      .withColumn("__sh", array_distinct(shingles(col(textCol), shingleN)))
+      .select(col(idCol) +: col("__sh") +:
+        (0 until bands).map(b => bandValue(
+          (0 until rows).map(r => col(s"mh${b * rows + r}"))).as(s"band$b")): _*)
+    // long-format (id, bandIdx, bandVal) so one equi-join covers all bands
+    val long = sig.select(col(idCol), col("__sh"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = long.select(col(idCol).as("a_id"), col("__sh").as("a_sh"),
+      col("band_idx"), col("band_val"))
+    val b = long.select(col(idCol).as("b_id"), col("__sh").as("b_sh"),
+      col("band_idx"), col("band_val"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val union = size(col("a_sh")) + size(col("b_sh")) - inter
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / nullif(union, lit(0))).as("jaccard"))
+      .distinct()
+  }
+
+  /** Near-dup removal: drop the higher id of every candidate pair whose
+    * exact Jaccard clears the threshold. */
+  def nearDedup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 8, bands: Int = 2): DataFrame = {
+    val drop = nearDupPairs(df, textCol, idCol, k, bands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over the token set. Per-token 64-bit hash = first 16 hex
+    * chars of md5; bit b contributes +1/-1 to an accumulator; the sign
+    * pattern is the signature. Implemented with higher-order functions over
+    * a 64-slot accumulator array — still per-row, no shuffle. */
+  def simhash(text: Column): Column = {
+    val tok = array_distinct(TextAnalysis.tokens(lower(text)))
+    // Per token: 64 bits, MSB first, decoded nibble-by-nibble from the first
+    // 16 hex chars of md5 (single hex digits — no 64-bit precision issues).
+    def tokenBits(t: Column): Column =
+      flatten(transform(slice(split(md5(t.cast("binary")), ""), 1, 16), c => {
+        val nibble = conv(c, 16, 10).cast("int")
+        array(Seq(3, 2, 1, 0).map(k =>
+          shiftright(nibble, k).bitwiseAND(lit(1))): _*)
+      }))
+    // Accumulate +1/-1 votes per bit position across the token set.
+    val acc = aggregate(
+      tok,
+      array((0 until 64).map(_ => lit(0)): _*),
+      (a, t) => zip_with(a, tokenBits(t), (x, bit) => x + bit * 2 - 1))
+    // Sign pattern → 64-char bit string.
+    array_join(transform(acc, x => when(x > 0, "1").otherwise("0")), "")
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingDist(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), x => x))
+}

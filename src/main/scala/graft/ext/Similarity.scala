@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Scale design: brute-force top-k against a single query vector is a
+  * broadcast of the query + one map-side pass + a TakeOrdered — no shuffle
+  * of the corpus, scales to any corpus size. For query *sets*, the LSH
+  * (random hyperplane) path buckets both sides so the join is equi on
+  * (bucket) instead of a cross product; recall is tuned by signature bits
+  * and by probing neighboring buckets.
+  *
+  * All arithmetic is done in double (embeddings cast up from float) with
+  * higher-order functions — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k by cosine against one query vector (broadcast). */
+  def topKCosine(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus.select(col(idCol),
+      cosine(asDouble(col(embCol)), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded), shared with oracle SQL
+    * generation so external engines can reproduce the bucketing. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  /** Random-hyperplane LSH bucket id: one bit per plane = sign of the
+    * projection. Same-bucket vectors are cosine-similar candidates. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
+    concat_ws("", planes.map { p =>
+      val plane = array(p.map(v => lit(v.toDouble)): _*)
+      when(dot(asDouble(emb), plane) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** ANN top-k: restrict the exact cosine scan to the query's LSH bucket.
+    * At scale the corpus is written bucketed/partitioned by this column, so
+    * the candidate read is a partition-pruned scan, not a full pass. */
+  def annTopKCosine(corpus: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
+    val planes = hyperplanes(bits, query.size)
+    val qBucket = planes.map(p =>
+      if (p.zip(query).map { case (w, x) => w * x }.sum > 0) "1" else "0").mkString
+    val q = array(query.map(lit): _*)
+    corpus
+      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol), cosine(asDouble(col(embCol)), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate embeddings via LSH buckets: exact cosine only
+    * within buckets (equi-join), never across the full cross product. */
+  def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,
+      threshold: Double, bits: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val b = corpus.select(col(idCol), col(embCol),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("a_id"), col(embCol).as("a_emb"))
+    val r = b.select(col("bucket"), col(idCol).as("b_id"), col(embCol).as("b_emb"))
+    l.join(r, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(asDouble(col("a_emb")), asDouble(col("b_emb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (beyond the reference's surface,
+  * per the north star): dedup, similarity search, text analysis — each
+  * verified against a DuckDB oracle that reproduces the identical
+  * md5-based hashing, so values hash-match bit-for-bit.
+  */
+object ExtQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  /** DuckDB fragments shared across oracles (kept in sync with the Scala
+    * expressions in graft.ext — same md5 seeds, same shingling). */
+  private val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+  private val TOKS = "list_filter(string_split(text,' '), x -> x <> '')"
+  private def mhSql(src: String, seed: Int): String =
+    s"list_min(list_transform($src, t -> substr(md5('$seed:'||t),1,16)))"
+  private val SHINGLES =
+    "list_transform(range(len(ltoks)-2), i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text analysis ---------------------------------------------------
+    Q("x_text_features",
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, lang, $TOKS AS toks, $LTOKS AS ltoks
+         |  FROM documents),
+         |hits AS (
+         |  SELECT *,
+         |    len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ein','ist','zu','den','mit','von'], t))) AS h_de,
+         |    len(list_filter(ltoks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+         |    len(list_filter(ltoks, t -> list_contains(['el','la','de','y','un','una','es','que','por','en'], t))) AS h_es,
+         |    len(list_filter(ltoks, t -> list_contains(['le','la','de','et','un','une','est','que','pour','dans'], t))) AS h_fr
+         |  FROM tok),
+         |feat AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(list_sum(list_transform(toks, t -> greatest(1, CAST(ceil(length(t)/4.0) AS BIGINT)))) AS BIGINT) AS n_tokens_bpe_est,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks),0) AS ttr,
+         |    CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE) / nullif(length(text),0) AS pr,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / nullif(len(toks),0) AS mwl,
+         |    CAST(h_en AS DOUBLE) / nullif(len(toks),0) AS sr,
+         |    CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+         |         WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+         |         WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+         |         WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred,
+         |    md5(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fingerprint,
+         |    len(toks) AS nt
+         |  FROM hits)
+         |SELECT doc_id, lang, n_tokens, n_tokens_bpe_est,
+         |  round(ttr + 1e-7, 4) AS type_token_ratio,
+         |  round(pr + 1e-7, 4) AS punct_ratio,
+         |  round(mwl + 1e-7, 4) AS mean_word_len,
+         |  round(sr + 1e-7, 4) AS stopword_ratio,
+         |  lang_pred,
+         |  round(least(nt/50.0, 1.0)*0.3 + greatest(1.0 - pr*5, 0.0)*0.2
+         |        + coalesce(ttr, 0.0)*0.3 + least(coalesce(sr,0.0)*5, 1.0)*0.2 + 1e-7, 4)
+         |    AS quality,
+         |  fingerprint
+         |FROM feat ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = col("text")
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(t).as("n_tokens_bpe_est"),
+        Fp.r(TextAnalysis.typeTokenRatio(t), 4).as("type_token_ratio"),
+        Fp.r(TextAnalysis.punctRatio(t), 4).as("punct_ratio"),
+        Fp.r(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"),
+        Fp.r(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        Fp.r(TextAnalysis.qualityScore(t), 4).as("quality"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup -----------------------------------------------------------
+    // Exact: one winner (min id) per content digest + group size.
+    Q("x_dedup_exact",
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        docs(s, d).groupBy(Dedup.contentHash(col("text")).as("__h"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .drop("__h").orderBy("doc_id")
+    },
+
+    // MinHash signatures (8 hashes over 3-word shingles).
+    Q("x_dedup_minhash_sig",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3)
+         |SELECT doc_id,
+         |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.withMinhashSignature(
+        docs(s, d).filter(size(TextAnalysis.tokens(lower(col("text")))) >= 3),
+        "text", 8)
+        .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
+        .orderBy("doc_id")
+    },
+
+    // LSH-banded candidate pairs + exact shingle Jaccard.
+    Q("x_dedup_lsh_pairs",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(inter AS DOUBLE) / nullif(tot - inter, 0) + 1e-7, 4) AS jaccard
+         |FROM jac ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      Dedup.nearDupPairs(docs(s, d), "text", "doc_id")
+        .select(col("a_id"), col("b_id"), Fp.r(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash 64-bit signatures (bit-string form).
+    Q("x_dedup_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')) AS dtoks
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(dtoks) AS t FROM tok),
+        |bits AS (
+        |  SELECT doc_id, g.bit_idx,
+        |    CASE WHEN ((list_position(['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f'],
+        |                              substr(md5(t), (g.bit_idx // 4) + 1, 1)) - 1)
+        |               >> (3 - (g.bit_idx % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM tk, (SELECT unnest(range(64)) AS bit_idx) g),
+        |acc AS (SELECT doc_id, bit_idx, sum(vote) AS s FROM bits GROUP BY doc_id, bit_idx)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_idx) AS simhash
+        |FROM acc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- similarity search ----------------------------------------------
+    // Brute-force cosine top-k against the vec_id=0 query vector.
+    Q("x_sim_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(sum(e.v * q.v)
+        |             / nullif(sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v)), 0) + 1e-7, 4)
+        |         AS cosine
+        |FROM e JOIN q ON e.i = q.i
+        |GROUP BY e.vec_id ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val corpus = embs(s, d)
+        val q = corpus.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast("double")).as("q"))
+        val qv = array(q.first().getSeq[Double](0).map(lit): _*)
+        corpus.select(col("vec_id"),
+          Fp.r(Similarity.cosine(
+            transform(col("embedding"), _.cast("double")), qv), 4).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(20)
+    },
+  )
+}
