@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.scd.Scd
+
+/** SCD merge operators (SURVEY §2.9 M1-M4) demonstrated on testdata:
+  * `customer` plays the dimension; the update set is derived
+  * deterministically from the data itself (high-balance customers get
+  * segment 'PREMIUM'; nation-0 customers play brand-new keys), so the
+  * DuckDB oracle can rebuild the exact same merge.
+  */
+object ScdQueries {
+
+  private def customer(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "customer")
+
+  /** dim snapshot: every customer except nation 0, seeded v1 active. */
+  private val DIM_SQL =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey <> 0"""
+  /** update set: all customers; balance > 5000 proposes segment PREMIUM. */
+  private val UPD_SQL =
+    """SELECT c_custkey, c_name,
+      |       CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer""".stripMargin
+
+  private def dimDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    customer(s, d).filter(col("c_nationkey") =!= 0)
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  private def updDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    customer(s, d).select(col("c_custkey"), col("c_name"),
+      when(col("c_acctbal") > 5000, "PREMIUM").otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"))
+
+  val all: Seq[Q] = Seq(
+
+    // M1: SCD1 overwrite with audit flag.
+    Q("m_scd1_overwrite",
+      s"""WITH dim AS ($DIM_SQL), upd AS ($UPD_SQL)
+         |SELECT d.c_custkey, d.c_name,
+         |       CASE WHEN u.c_mktsegment IS NOT NULL
+         |                  AND d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         |            THEN u.c_mktsegment ELSE d.c_mktsegment END AS c_mktsegment,
+         |       CAST(CASE WHEN u.c_mktsegment IS NOT NULL
+         |                  AND d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         |            THEN 1 ELSE 0 END AS INT) AS changed
+         |FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+         |ORDER BY d.c_custkey""".stripMargin) { (s, d) =>
+      Scd.scd1(dimDf(s, d), updDf(s, d).drop("c_name"),
+        Seq("c_custkey"), Seq("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // M2+M4: batch SCD2 merge — one full-outer pass classifying rows into
+    // {unchanged, closed, new-version, brand-new}.
+    Q("m_scd2_merge",
+      s"""WITH dim AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         1 AS version, 1 AS est_actif,
+         |         DATE '2020-01-01' AS date_debut_validite,
+         |         CAST(NULL AS DATE) AS date_fin_validite
+         |  FROM customer WHERE c_nationkey <> 0),
+         |upd AS ($UPD_SQL),
+         |j AS (SELECT d.c_custkey AS d_key, u.c_custkey AS u_key,
+         |             d.c_name AS d_name, u.c_name AS u_name,
+         |             d.c_mktsegment AS d_seg, u.c_mktsegment AS u_seg,
+         |             d.version AS v, d.date_debut_validite AS start0
+         |      FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey)
+         |SELECT c_custkey, c_name, c_mktsegment,
+         |       CAST(version AS INT) AS version, CAST(est_actif AS INT) AS est_actif,
+         |       date_debut_validite, date_fin_validite FROM (
+         |  SELECT d_key AS c_custkey, d_name AS c_name, d_seg AS c_mktsegment,
+         |         v AS version, 1 AS est_actif, start0 AS date_debut_validite,
+         |         CAST(NULL AS DATE) AS date_fin_validite
+         |  FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+         |    AND d_seg IS NOT DISTINCT FROM u_seg AND d_name IS NOT DISTINCT FROM u_name
+         |  UNION ALL
+         |  SELECT d_key, d_name, d_seg, v, 0, start0, DATE '2024-06-01'
+         |  FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+         |    AND (d_seg IS DISTINCT FROM u_seg OR d_name IS DISTINCT FROM u_name)
+         |  UNION ALL
+         |  SELECT u_key, u_name, u_seg, v + 1, 1, DATE '2024-06-01', NULL
+         |  FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+         |    AND (d_seg IS DISTINCT FROM u_seg OR d_name IS DISTINCT FROM u_name)
+         |  UNION ALL
+         |  SELECT u_key, u_name, u_seg, 1, 1, DATE '2024-06-01', NULL
+         |  FROM j WHERE d_key IS NULL
+         |) x ORDER BY c_custkey, version, est_actif""".stripMargin) { (s, d) =>
+      Scd.scd2(Scd.seed(dimDf(s, d), "2020-01-01"), updDf(s, d),
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "2024-06-01")
+        .orderBy("c_custkey", "version", "est_actif")
+    },
+
+    // M3: SCD3 previous-value column.
+    Q("m_scd3_previous",
+      s"""WITH dim AS ($DIM_SQL), upd AS ($UPD_SQL)
+         |SELECT d.c_custkey, d.c_name,
+         |       CASE WHEN u.c_mktsegment IS NOT NULL
+         |                  AND d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         |            THEN u.c_mktsegment ELSE d.c_mktsegment END AS c_mktsegment,
+         |       CASE WHEN u.c_mktsegment IS NOT NULL
+         |                  AND d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         |            THEN d.c_mktsegment END AS ancien_c_mktsegment,
+         |       CASE WHEN u.c_mktsegment IS NOT NULL
+         |                  AND d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         |            THEN DATE '2024-06-01' END AS date_changement
+         |FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+         |ORDER BY d.c_custkey""".stripMargin) { (s, d) =>
+      Scd.scd3(dimDf(s, d), updDf(s, d).drop("c_name"),
+        Seq("c_custkey"), "c_mktsegment", "2024-06-01")
+        .orderBy("c_custkey")
+    },
+
+    // SCD2 point-in-time view over the merged dimension (W1-adjacent).
+    Q("m_scd2_current_view",
+      s"""WITH dim AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         1 AS version, 1 AS est_actif,
+         |         DATE '2020-01-01' AS date_debut_validite,
+         |         CAST(NULL AS DATE) AS date_fin_validite
+         |  FROM customer WHERE c_nationkey <> 0),
+         |upd AS ($UPD_SQL),
+         |j AS (SELECT d.c_custkey AS d_key, u.c_custkey AS u_key,
+         |             d.c_name AS d_name, u.c_name AS u_name,
+         |             d.c_mktsegment AS d_seg, u.c_mktsegment AS u_seg,
+         |             d.version AS v, d.date_debut_validite AS start0
+         |      FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey),
+         |merged AS (
+         |  SELECT d_key AS c_custkey, d_seg AS c_mktsegment, v AS version, 1 AS est_actif
+         |  FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+         |    AND d_seg IS NOT DISTINCT FROM u_seg AND d_name IS NOT DISTINCT FROM u_name
+         |  UNION ALL
+         |  SELECT u_key, u_seg, v + 1, 1
+         |  FROM j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+         |    AND (d_seg IS DISTINCT FROM u_seg OR d_name IS DISTINCT FROM u_name)
+         |  UNION ALL
+         |  SELECT u_key, u_seg, 1, 1 FROM j WHERE d_key IS NULL)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_active,
+         |       CAST(max(version) AS INT) AS max_version
+         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, d) =>
+        val merged = Scd.scd2(Scd.seed(dimDf(s, d), "2020-01-01"), updDf(s, d),
+          Seq("c_custkey"), Seq("c_name", "c_mktsegment"), "2024-06-01")
+        Scd.current(merged)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_active"), max("version").as("max_version"))
+          .orderBy("c_mktsegment")
+    },
+  )
+}

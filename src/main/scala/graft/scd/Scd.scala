@@ -1,0 +1,135 @@
+package graft.scd
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension operators — the reference's signature
+  * capability (reference `Terraform/sql/010_scd_dimensions.sql:30-521`,
+  * `analytics/etl/load_dimensions.py:88-270`), re-expressed as single-pass
+  * DataFrame merges instead of multi-statement UPDATE/INSERT procedures.
+  *
+  * The batch SCD2 merge is ONE full-outer join classifying every row as
+  * {history, unchanged, closed, new-version, brand-new} — where the
+  * reference needs three correlated statements plus a "closed within 5
+  * minutes" heuristic to link them (`010:442-449`), the join makes the
+  * changed-set explicit. Dimensions are small relative to facts, so at
+  * cluster scale this is a broadcast join followed by a rewrite of the
+  * dimension table (write-temp-then-swap; no ACID table format assumed).
+  *
+  * Conventions (mirroring the reference DDL): `version` INT starting at 1,
+  * `est_actif` INT 0/1, `date_debut_validite`/`date_fin_validite` DATE.
+  */
+object Scd {
+  val Meta = Seq("version", "est_actif", "date_debut_validite", "date_fin_validite")
+
+  private def bkCond(l: String, r: String, bk: Seq[String]): Column =
+    bk.map(k => col(s"$l.$k") === col(s"$r.$k")).reduce(_ && _)
+
+  private def changedCond(l: String, r: String, tracked: Seq[String]): Column =
+    tracked.map(c => !(col(s"$l.$c") <=> col(s"$r.$c"))).reduce(_ || _)
+
+  /** Seed a dimension snapshot with SCD2 metadata (version 1, active). */
+  def seed(attrs: DataFrame, startDate: String): DataFrame =
+    attrs.withColumn("version", lit(1))
+      .withColumn("est_actif", lit(1))
+      .withColumn("date_debut_validite", lit(startDate).cast("date"))
+      .withColumn("date_fin_validite", lit(null).cast("date"))
+
+  /** SCD Type 1: overwrite tracked attributes in place (no history).
+    * Null-safe change detection mirrors the reference's pd.notna guards
+    * (`load_dimensions.py:115`). Returns the rewritten dimension plus a
+    * `changed` 0/1 audit column (the reference logs old values). */
+  def scd1(dim: DataFrame, updates: DataFrame, bk: Seq[String],
+      tracked: Seq[String]): DataFrame = {
+    val d = dim.alias("d")
+    val u = updates.alias("u")
+    val joined = d.join(u, bkCond("d", "u", bk), "left")
+    val changed = changedCond("d", "u", tracked) &&
+      tracked.map(c => col(s"u.$c").isNotNull).reduce(_ || _)
+    val attrs = dim.columns.toSeq
+    joined.select(
+      attrs.map {
+        case c if tracked.contains(c) =>
+          when(changed, coalesce(col(s"u.$c"), col(s"d.$c")))
+            .otherwise(col(s"d.$c")).as(c)
+        case c => col(s"d.$c").as(c)
+      } :+ when(changed, 1).otherwise(0).as("changed"): _*)
+  }
+
+  /** Batch SCD Type 2 merge: close changed current rows, append the new
+    * versions, insert never-seen keys — one full-outer join pass.
+    * `dim` must carry the Meta columns (see `seed`); `updates` carries the
+    * attribute columns only. */
+  def scd2(dim: DataFrame, updates: DataFrame, bk: Seq[String],
+      tracked: Seq[String], effectiveDate: String): DataFrame = {
+    val attrs = dim.columns.filterNot(Meta.contains).toSeq
+    val eff = lit(effectiveDate).cast("date")
+    val hist = dim.filter(col("est_actif") === 0)
+    val cur = dim.filter(col("est_actif") === 1).alias("d")
+    val u = updates.alias("u")
+    val j = cur.join(u, bkCond("d", "u", bk), "full_outer")
+    val matched = bk.map(k => col(s"d.$k").isNotNull).reduce(_ && _) &&
+      bk.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
+    val changed = matched && changedCond("d", "u", tracked)
+    val dimOnly = bk.map(k => col(s"u.$k").isNull).reduce(_ && _)
+    val newOnly = bk.map(k => col(s"d.$k").isNull).reduce(_ && _)
+
+    // unchanged current rows + keys absent from the update set
+    val unchanged = j.filter((matched && !changedCond("d", "u", tracked)) || dimOnly)
+      .select(attrs.map(c => col(s"d.$c").as(c)) ++
+        Seq(col("d.version").as("version"), col("d.est_actif").as("est_actif"),
+          col("d.date_debut_validite").as("date_debut_validite"),
+          col("d.date_fin_validite").as("date_fin_validite")): _*)
+    val closed = j.filter(changed)
+      .select(attrs.map(c => col(s"d.$c").as(c)) ++
+        Seq(col("d.version").as("version"), lit(0).as("est_actif"),
+          col("d.date_debut_validite").as("date_debut_validite"),
+          eff.as("date_fin_validite")): _*)
+    val newVersion = j.filter(changed)
+      .select(attrs.map(c => col(s"u.$c").as(c)) ++
+        Seq((col("d.version") + 1).as("version"), lit(1).as("est_actif"),
+          eff.as("date_debut_validite"),
+          lit(null).cast("date").as("date_fin_validite")): _*)
+    val brandNew = j.filter(newOnly)
+      .select(attrs.map(c => col(s"u.$c").as(c)) ++
+        Seq(lit(1).as("version"), lit(1).as("est_actif"),
+          eff.as("date_debut_validite"),
+          lit(null).cast("date").as("date_fin_validite")): _*)
+    hist.select((attrs ++ Meta).map(col): _*)
+      .unionByName(unchanged).unionByName(closed)
+      .unionByName(newVersion).unionByName(brandNew)
+  }
+
+  /** SCD Type 3: keep the previous value in a companion column
+    * (`ancien_<col>`) and stamp the change date. Single tracked column,
+    * as in the reference (`dim_demographie.ancien_pcs_libelle`). */
+  def scd3(dim: DataFrame, updates: DataFrame, bk: Seq[String],
+      tracked: String, effectiveDate: String): DataFrame = {
+    val d = dim.alias("d")
+    val u = updates.alias("u")
+    val joined = d.join(u, bkCond("d", "u", bk), "left")
+    val changed = !(col(s"d.$tracked") <=> col(s"u.$tracked")) &&
+      col(s"u.$tracked").isNotNull
+    val attrs = dim.columns.toSeq
+    joined.select(
+      attrs.map {
+        case c if c == tracked =>
+          when(changed, col(s"u.$c")).otherwise(col(s"d.$c")).as(c)
+        case c => col(s"d.$c").as(c)
+      } ++ Seq(
+        when(changed, col(s"d.$tracked")).otherwise(lit(null).cast("string"))
+          .as(s"ancien_$tracked"),
+        when(changed, lit(effectiveDate).cast("date"))
+          .otherwise(lit(null).cast("date")).as("date_changement")): _*)
+  }
+
+  /** Current view of an SCD2 dimension. */
+  def current(dim: DataFrame): DataFrame = dim.filter(col("est_actif") === 1)
+
+  /** Point-in-time view of an SCD2 dimension. */
+  def asOf(dim: DataFrame, date: String): DataFrame = {
+    val dt = lit(date).cast("date")
+    dim.filter(col("date_debut_validite") <= dt &&
+      (col("date_fin_validite").isNull || col("date_fin_validite") > dt))
+  }
+}
