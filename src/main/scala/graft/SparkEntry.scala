@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All operator demonstrations, grouped by module. */
-  def allQs: Seq[Q] = Relational.all ++ ExtQueries.all ++ ScdQueries.all
+  def allQs: Seq[Q] =
+    Relational.all ++ ExtQueries.all ++ ScdQueries.all ++ MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

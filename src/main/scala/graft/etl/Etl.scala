@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ETL building blocks: surrogate keys, dimension-key lookup joins, the
+  * fact reshapes (pivot, conditional aggregation), FK validation, and
+  * idempotent loads — the Spark re-expression of the reference's
+  * `load_dimensions.py` / `load_facts.py` machinery.
+  */
+object Etl {
+
+  /** Deterministic surrogate key: dense row_number over an explicit stable
+    * order, offset past the current max key (reference `INT IDENTITY`).
+    * NOTE a global row_number is a single-partition sort of the KEYED rows
+    * only — dimensions are small, so this is safe; facts get BIGINT keys
+    * from `zipWithIndex`-free monotonic ids only when determinism is not
+    * required (tests need reproducible keys, so dims use this). */
+  def withSurrogateKey(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+      offset: Long = 0L): DataFrame =
+    df.withColumn(keyCol,
+      (row_number().over(Window.orderBy(orderBy: _*)) + offset).cast("int"))
+
+  /** Dimension-key lookup: the reference builds python dicts and `.map()`s
+    * them over fact columns (`load_facts.py:74-88`) — a hand-rolled
+    * broadcast hash join. In Spark it IS a broadcast join. */
+  def dimKeyJoin(fact: DataFrame, dim: DataFrame, businessKey: Seq[String],
+      surrogateKey: String): DataFrame =
+    fact.join(broadcast(dim.select((businessKey :+ surrogateKey).map(col): _*)),
+      businessKey, "left")
+
+  /** FK integrity validator: count of fact rows whose key has no match in
+    * the dimension (reference orphan tests, `test_dwh.py:199-226`).
+    * Spark has no FK constraints; ETL runs this post-load. */
+  def orphanCount(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String): Long =
+    fact.join(dim, fact(factKey) === dim(dimKey), "left_anti").count()
+
+  /** Null-key rejection before fact insert (reference dropna). */
+  def requireKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.na.drop(keys)
+
+  /** Long→wide pivot of indicator rows (reference FILOSOFI pivot,
+    * `load_facts.py:361-384`): one output row per group, indicators as
+    * columns. `values` must be the explicit indicator list — an implicit
+    * pivot triggers an extra distinct-scan job at scale. */
+  def pivotIndicators(df: DataFrame, groupCols: Seq[String],
+      indicatorCol: String, valueCol: String, values: Seq[String],
+      rename: Map[String, String] = Map.empty): DataFrame = {
+    val p = df.groupBy(groupCols.map(col): _*)
+      .pivot(indicatorCol, values)
+      .agg(first(col(valueCol)))
+    rename.foldLeft(p) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+  }
+
+  /** Idempotent load guard (reference skip-if-loaded,
+    * `load_facts.py:163-167`): append only when the target is absent or
+    * empty. Returns true when the write happened. */
+  def appendIfEmpty(spark: SparkSession, df: DataFrame, path: String): Boolean = {
+    val exists =
+      try spark.read.parquet(path).limit(1).count() > 0
+      catch { case _: Throwable => false }
+    if (!exists) { df.write.mode("overwrite").parquet(path); true }
+    else false
+  }
+
+  /** Computed persisted column (reference `solde_naturel AS (naissances -
+    * deces) PERSISTED`): materialize at write time. */
+  def withComputed(df: DataFrame, name: String, expr: Column): DataFrame =
+    df.withColumn(name, expr)
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Operational layer: ETL logging, monitoring views, snapshot backup with
+  * retention — the reference's `dwh.log_etl`/`log_erreurs`
+  * (`Terraform/sql/008_configure_logging.sql:13-68`) and BACPAC backup
+  * (`analytics/etl/backup_to_datalake.py:93-190`) re-expressed as
+  * append-only parquet tables and warehouse-directory snapshots.
+  */
+object EtlLog {
+  val schema: StructType = StructType(Seq(
+    StructField("etape", StringType),
+    StructField("table_cible", StringType),
+    StructField("statut", StringType), // SUCCES | ERREUR | IGNORE
+    StructField("lignes_traitees", LongType),
+    StructField("duree_secondes", DoubleType),
+    StructField("message", StringType),
+    StructField("date_execution", TimestampType)))
+
+  def entry(spark: SparkSession, etape: String, table: String, statut: String,
+      rows: Long, secs: Double, message: String = ""): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(etape, table, statut, rows, secs, message,
+        new java.sql.Timestamp(System.currentTimeMillis()))), schema)
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Monitoring view: per-day per-etape counts, error share, avg duration
+    * (reference `008:171-182`). */
+  def monitoring(log: DataFrame): DataFrame =
+    log.groupBy(to_date(col("date_execution")).as("jour"), col("etape"))
+      .agg(count(lit(1)).as("n_executions"),
+        sum(when(col("statut") === "ERREUR", 1).otherwise(0)).as("n_erreurs"),
+        avg("duree_secondes").as("duree_moyenne_s"),
+        sum("lignes_traitees").as("lignes_totales"))
+
+  /** Timed stage runner: executes the stage, appends a log row, re-throws
+    * failures after logging (the reference's try/except + report). */
+  def timed[T](spark: SparkSession, logPath: String, etape: String,
+      table: String)(body: => (T, Long)): T = {
+    val t0 = System.nanoTime()
+    try {
+      val (out, rows) = body
+      append(entry(spark, etape, table, "SUCCES", rows,
+        (System.nanoTime() - t0) / 1e9), logPath)
+      out
+    } catch {
+      case e: Throwable =>
+        append(entry(spark, etape, table, "ERREUR", 0L,
+          (System.nanoTime() - t0) / 1e9, String.valueOf(e.getMessage)), logPath)
+        throw e
+    }
+  }
+}
+
+/** Snapshot backup + retention sweep: copy the warehouse directory to a
+  * timestamped snapshot, delete snapshots older than the retention window
+  * (reference BACPAC export + 30-day cleanup). */
+object Backup {
+  def snapshot(warehouseDir: String, backupRoot: String,
+      stamp: String): String = {
+    val dest = Paths.get(backupRoot, s"snapshot_$stamp")
+    val src = Paths.get(warehouseDir)
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dest.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+    dest.toString
+  }
+
+  /** Remove snapshots whose lexicographic stamp is older than `cutoffStamp`
+    * (stamps are yyyyMMdd_HHmmss so string order = time order). */
+  def sweep(backupRoot: String, cutoffStamp: String): Seq[String] = {
+    val root = Paths.get(backupRoot)
+    if (!Files.exists(root)) return Nil
+    val victims = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snapshot_"))
+      .filter(p => p.getFileName.toString.stripPrefix("snapshot_") < cutoffStamp)
+      .toSeq
+    victims.foreach { v =>
+      Files.walk(v).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    victims.map(_.toString)
+  }
+}
+
+/** Serving layer: allow-listed limit-N table reads (reference FastAPI
+  * `GET /tables/{name}?limit=N`, `analytics/api/app/routers/tables.py`). */
+object TableApi {
+  final case class Config(allowedTables: Set[String], maxLimit: Int = 1000)
+
+  def read(spark: SparkSession, cfg: Config, table: String, limit: Int): DataFrame = {
+    require(cfg.allowedTables.contains(table), s"table not allowed: $table")
+    require(limit >= 1 && limit <= cfg.maxLimit, s"limit out of range: $limit")
+    spark.table(table).limit(limit)
+  }
+
+  def readJson(spark: SparkSession, cfg: Config, table: String,
+      limit: Int): Seq[String] =
+    read(spark, cfg, table, limit).toJSON.collect().toSeq
+}

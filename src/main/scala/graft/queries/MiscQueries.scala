@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.ext.{Multimodal, Similarity}
+import graft.security.Rls
+import graft.streaming.Streams
+
+/** RLS, streaming-equivalent analytics, multimodal metadata, and ANN —
+  * the remaining verified operator families.
+  */
+object MiscQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Deterministic ±1 hyperplanes shared between Spark and oracle SQL. */
+  private def planesSql(planes: Seq[Seq[Int]]): Seq[String] =
+    planes.map { p =>
+      val terms = p.zipWithIndex.map { case (w, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * $w.0"
+      }.mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END"
+    }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- RLS (reference SECURITY POLICY semantics, 011:165-214) ----------
+    // Three users: dept-scoped, wildcard zone (NULL), unregistered.
+    Q("sec_rls_visibility",
+      """WITH zones(login, departement_code) AS (
+        |  VALUES ('scoped_user', 0), ('wildcard_user', NULL)),
+        |geo AS (SELECT n_nationkey, n_name, n_regionkey AS departement_code FROM nation),
+        |vis AS (
+        |  SELECT 'scoped_user' AS login, g.n_nationkey FROM geo g
+        |  WHERE EXISTS (SELECT 1 FROM zones z WHERE z.login = 'scoped_user'
+        |                AND z.departement_code = g.departement_code)
+        |  UNION ALL SELECT 'wildcard_user', n_nationkey FROM geo
+        |  UNION ALL SELECT 'ghost_user', n_nationkey FROM geo)
+        |SELECT login, CAST(count(*) AS BIGINT) AS n_visible,
+        |       CAST(min(n_nationkey) AS INT) AS min_key,
+        |       CAST(max(n_nationkey) AS INT) AS max_key
+        |FROM vis GROUP BY login ORDER BY login""".stripMargin) { (s, d) =>
+      val geo = t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").as("departement_code"))
+      import scala.jdk.CollectionConverters._
+      val zones = s.createDataFrame(
+        Seq(org.apache.spark.sql.Row("scoped_user", Integer.valueOf(0)),
+          org.apache.spark.sql.Row("wildcard_user", null)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("login",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("departement_code",
+            org.apache.spark.sql.types.IntegerType))))
+      val users = Seq("scoped_user", "wildcard_user", "ghost_user")
+      users.map { u =>
+        Rls.filterForUser(geo, zones, u)
+          .agg(count(lit(1)).as("n_visible"),
+            min("n_nationkey").as("min_key"), max("n_nationkey").as("max_key"))
+          .select(lit(u).as("login"), col("n_visible"), col("min_key"),
+            col("max_key"))
+      }.reduce(_ unionByName _).orderBy("login")
+    },
+
+    // ---- streaming-equivalent analytics (batch parity of Streams ops) ----
+    Q("st_tumbling_window",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Streams.windowedEventCounts(t(s, d, "events"), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm")
+          .as("window_start"),
+          col("event_type"), col("n"), round(col("total_value"), 2)
+            .as("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Gap-based sessionization via lag windows (batch counterpart of the
+    // flatMapGroupsWithState sessionizer).
+    Q("st_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id,
+        |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM g)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("new_session",
+          when(col("ts").cast("double") - lag(col("ts"), 1).over(w)
+            .cast("double") > 1800 || lag(col("ts"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(cum))
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- multimodal: opaque binary + native metadata ---------------------
+    Q("x_mm_binary_meta",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       md5(text) AS digest,
+        |       lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.withByteMetadata(
+        t(s, d, "documents").withColumn("bin", col("text").cast("binary")), "bin")
+        .select(col("doc_id"), col("n_bytes"), col("digest"),
+          lower(col("magic_hex")).as("magic_hex"))
+        .orderBy("doc_id")
+    },
+
+    // ---- ANN: random-hyperplane LSH bucket + exact cosine in-bucket ------
+    Q("x_sim_ann_lsh", {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketExpr = planesSql(planes).mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, embedding FROM b WHERE bucket = (SELECT bucket FROM qb)),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM cand),
+         |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       round(sum(e.v * q.v)
+         |             / nullif(sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v)), 0) + 1e-7, 4)
+         |         AS cosine
+         |FROM e JOIN q ON e.i = q.i
+         |GROUP BY e.vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val corpus = t(s, d, "embeddings")
+      val planes = Similarity.hyperplanes(4, 64)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      val qBucket = planes.map(p =>
+        if (p.zip(qv).map { case (w, x) => x * w }.sum > 0) "1" else "0").mkString
+      val q = array(qv.map(lit): _*)
+      corpus
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+        .filter(col("bucket") === qBucket)
+        .select(col("vec_id"),
+          Fp.r(Similarity.cosine(
+            transform(col("embedding"), _.cast("double")), q), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    },
+
+    // Embedding near-dup pairs inside LSH buckets (threshold on raw cosine).
+    Q("x_emb_neardup", {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketExpr = planesSql(planes).mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |cand AS (SELECT a.vec_id AS a_id, a.embedding AS a_emb,
+         |                b.vec_id AS b_id, b.embedding AS b_emb
+         |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |fl AS (SELECT a_id, b_id,
+         |              CAST(unnest(a_emb) AS DOUBLE) AS av,
+         |              CAST(unnest(b_emb) AS DOUBLE) AS bv
+         |       FROM cand),
+         |cs AS (SELECT a_id, b_id,
+         |              sum(av * bv) / nullif(sqrt(sum(av * av)) * sqrt(sum(bv * bv)), 0) AS c
+         |       FROM fl GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, round(c + 1e-7, 4) AS cosine
+         |FROM cs WHERE c >= 0.4 ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      Similarity.nearDupEmbeddings(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.4, bits = 4, dim = 64)
+        .select(col("a_id"), col("b_id"), Fp.r(col("cosine"), 4).as("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+  )
+}

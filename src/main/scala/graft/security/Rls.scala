@@ -1,0 +1,83 @@
+package graft.security
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level security — the reference's SECURITY POLICY on
+  * `dim_geographie` (reference `Terraform/sql/011_security_rls.sql:
+  * 165-214`) re-expressed as an explicit per-user view factory.
+  *
+  * Semantics preserved exactly:
+  *  - a user with zone rows limited to departments sees only those rows;
+  *  - a zone row with NULL department grants the whole region;
+  *  - a login with NO zone rows gets full access (the reference's
+  *    "not registered → full access" NOT EXISTS branch, `011:174-178`).
+  *
+  * Spark has no session-user concept at the storage layer, so the user is
+  * an explicit parameter and the filter is injected when the view is
+  * built; the filter is a broadcast semi-join (zones are tiny), which
+  * Catalyst pushes below whatever query runs on top of the view.
+  */
+object Rls {
+
+  /** zones: (login, departement_code nullable). */
+  def filterForUser(geo: DataFrame, zones: DataFrame, login: String,
+      deptCol: String = "departement_code"): DataFrame = {
+    val userZones = zones.filter(col("login") === login)
+      .select(col(deptCol).as("__rls_dept"))
+    val n = userZones.count()
+    if (n == 0) geo // not registered → full access
+    else {
+      val wildcard = userZones.filter(col("__rls_dept").isNull).count() > 0
+      if (wildcard) geo
+      else geo.join(broadcast(userZones), col(deptCol) === col("__rls_dept"),
+        "left_semi")
+    }
+  }
+
+  /** Session-catalog view factory: registers `<view>_for_<login>` with the
+    * RLS filter baked in — the engine-side equivalent of the SQL Server
+    * policy firing transparently for each user. */
+  def createUserView(spark: SparkSession, viewName: String, geo: DataFrame,
+      zones: DataFrame, login: String): String = {
+    val safe = login.replaceAll("[^A-Za-z0-9_]", "_")
+    val name = s"${viewName}_for_$safe"
+    filterForUser(geo, zones, login).createOrReplaceTempView(name)
+    name
+  }
+}
+
+/** Deterministic generators for the security hierarchy (reference
+  * `load_security.py:184-350`): agencies from communes with ≥10k
+  * population, sized GRANDE/MOYENNE/PETITE; one regional director, one
+  * per-department director, one director per agency, and a round-robin
+  * collaborator assignment. Logins are accent-folded `prenom.nom`.
+  */
+object SecurityGenerators {
+  import java.text.Normalizer
+
+  /** Accent-folded lowercase login (reference NFKD normalize). */
+  def foldLogin(prenom: String, nom: String): String = {
+    def fold(s: String) = Normalizer.normalize(s, Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}", "").toLowerCase.replaceAll("[^a-z0-9]", "")
+    s"${fold(prenom)}.${fold(nom)}"
+  }
+
+  val foldLoginUdf = udf((p: String, n: String) => foldLogin(p, n))
+
+  /** Agency size class by commune population (reference thresholds). */
+  def agencyClass(population: Int): (String, Int) =
+    if (population >= 50000) ("GRANDE", 6)
+    else if (population >= 15000) ("MOYENNE", 5)
+    else ("PETITE", 3)
+
+  /** Agencies from a commune table: population ≥ 10k, deterministic order. */
+  def agencies(communes: DataFrame): DataFrame = {
+    val cls = udf((p: Int) => agencyClass(p)._1)
+    val collabs = udf((p: Int) => agencyClass(p)._2)
+    communes.filter(col("population") >= 10000)
+      .orderBy(col("departement_code").asc, col("population").desc)
+      .withColumn("classe", cls(col("population")))
+      .withColumn("nb_collaborateurs", collabs(col("population")))
+  }
+}

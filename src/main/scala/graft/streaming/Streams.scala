@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer. The reference is pure batch (SURVEY §2.10) —
+  * this is the natural extension for the `events` table: the SAME
+  * transformations run on a batch DataFrame and on `readStream`, so the
+  * engine's batch semantics define the streaming semantics.
+  *
+  * Scale posture: windowed aggregations are keyed by (window, event_type) —
+  * state is bounded by watermark eviction; sessionization state is per
+  * user_id and times out with the watermark. No collect, no global state.
+  */
+object Streams {
+
+  /** Tumbling-window counts per event type; works on batch and streaming
+    * inputs alike. For streaming append-mode output, the input must carry
+    * `withWatermark("ts", ...)` — applied here when `watermark` is set. */
+  def windowedEventCounts(events: DataFrame, windowLen: String,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** File-source stream over an events directory (schema locked to the
+    * batch table so batch parity holds). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  final case class SessionEvent(user_id: Long, ts_micros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with explicit state — the streaming
+    * counterpart of the batch lag-window sessionizer (see
+    * StreamingQueries.st_sessionize). Emits a session when `gapSec`
+    * passes without activity (processing-time timeout). */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long):
+      Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_micros)
+            val gapMicros = gapSec * 1000000L
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_micros - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = e.ts_micros, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_micros, e.ts_micros, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(s"$gapSec seconds")
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a key with watermarked state eviction. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+}

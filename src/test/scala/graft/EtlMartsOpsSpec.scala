@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Etl
+import graft.marts.Datamarts
+import graft.ops.{Backup, EtlLog, TableApi}
+
+/** ETL building blocks, datamart views, ops layer. */
+class EtlMartsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogate keys are deterministic and offset past existing max") {
+    val dim = Seq("b", "a", "c").toDF("code")
+    val keyed = Etl.withSurrogateKey(dim, "id", Seq(col("code")), offset = 10)
+    val m = keyed.as[(String, Int)].collect().toMap
+    assert(m == Map("a" -> 11, "b" -> 12, "c" -> 13))
+  }
+
+  test("dimKeyJoin maps business keys to surrogate keys (broadcast)") {
+    val fact = Seq((2021, "59", 100.0), (2021, "99", 5.0))
+      .toDF("annee", "dept", "pop")
+    val dim = Seq(("59", 1), ("02", 2)).toDF("dept", "geo_id")
+    val out = Etl.dimKeyJoin(fact, dim, Seq("dept"), "geo_id").cache()
+    assert(out.filter($"dept" === "59").first().getAs[Int]("geo_id") == 1)
+    assert(out.filter($"dept" === "99").first().getAs[Any]("geo_id") == null)
+    assert(Etl.requireKeys(out, Seq("geo_id")).count() == 1)
+  }
+
+  test("orphanCount flags unmatched fact keys") {
+    val fact = Seq(1, 2, 9).toDF("k")
+    val dim = Seq(1, 2, 3).toDF("id")
+    assert(Etl.orphanCount(fact, dim, "k", "id") == 1)
+  }
+
+  test("pivotIndicators goes long→wide with renames (FILOSOFI shape)") {
+    val long = Seq(
+      (2021, "59", "MED_SL", 22000.0), (2021, "59", "PR_MD60", 18.5),
+      (2021, "02", "MED_SL", 20500.0))
+      .toDF("annee", "dept", "indicator_code", "indicator_value")
+    val wide = Etl.pivotIndicators(long, Seq("annee", "dept"),
+      "indicator_code", "indicator_value", Seq("MED_SL", "PR_MD60"),
+      Map("MED_SL" -> "revenu_median", "PR_MD60" -> "taux_pauvrete")).cache()
+    assert(wide.columns.toSet == Set("annee", "dept", "revenu_median", "taux_pauvrete"))
+    assert(wide.filter($"dept" === "59").first().getAs[Double]("revenu_median") == 22000.0)
+    assert(wide.filter($"dept" === "02").first().getAs[Any]("taux_pauvrete") == null)
+  }
+
+  test("appendIfEmpty is idempotent (skip-if-loaded)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idem").toString + "/t"
+    val df = Seq(1, 2).toDF("x")
+    assert(Etl.appendIfEmpty(spark, df, dir))
+    assert(!Etl.appendIfEmpty(spark, df, dir)) // second load skipped
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("demographie datamart computes guarded rates") {
+    val temps = Seq((1, 2021)).toDF("temps_id", "annee")
+    val geo = Seq((1, "59", "Nord", "DEPARTEMENT"), (2, "00", "Zero", "DEPARTEMENT"))
+      .toDF("geo_id", "departement_code", "departement_nom", "niveau_geo")
+    val pop = Seq((1, 1, 1000.0), (1, 2, 0.0)).toDF("temps_id", "geo_id", "population")
+    val evt = Seq((1, 1, 12.0, 9.0)).toDF("temps_id", "geo_id", "naissances", "deces")
+    val dm = Datamarts.demographieDepartement(pop, evt, temps, geo).cache()
+    val nord = dm.filter($"departement_code" === "59").first()
+    assert(math.abs(nord.getAs[Double]("taux_natalite") - 12.0) < 1e-9)
+    assert(nord.getAs[Double]("solde_naturel") == 3.0)
+    // zero population → NULL rate, not division error (reference CASE WHEN)
+    assert(dm.filter($"departement_code" === "00").first()
+      .getAs[Any]("taux_natalite") == null)
+  }
+
+  test("dashboard scaffold has a cell for every (dept, year)") {
+    val temps = Seq((1, 2020), (2, 2021)).toDF("temps_id", "annee")
+    val geo = Seq((1, "59", "Nord", "DEPARTEMENT"), (2, "02", "Aisne", "DEPARTEMENT"))
+      .toDF("geo_id", "departement_code", "departement_nom", "niveau_geo")
+    val dm = Seq((2021, "59", 5.0)).toDF("annee", "departement_code", "metric")
+    val board = Datamarts.tableauBord(geo, temps, Seq("m" -> dm)).cache()
+    assert(board.count() == 4) // 2 depts × 2 years, facts or not
+    assert(board.filter($"annee" === 2020 && $"departement_code" === "59")
+      .first().getAs[Any]("metric") == null)
+  }
+
+  test("EtlLog.timed records success and failure rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log").toString + "/log"
+    val out = EtlLog.timed(spark, dir, "facts", "fait_population") {
+      (42, 1578L)
+    }
+    assert(out == 42)
+    intercept[RuntimeException] {
+      EtlLog.timed[Int](spark, dir, "facts", "fait_boom") {
+        throw new RuntimeException("boom")
+      }
+    }
+    val log = spark.read.parquet(dir).cache()
+    assert(log.filter($"statut" === "SUCCES").count() == 1)
+    assert(log.filter($"statut" === "ERREUR" && $"message" === "boom").count() == 1)
+    val mon = EtlLog.monitoring(log)
+    assert(mon.agg(sum("n_erreurs")).first().getLong(0) == 1)
+  }
+
+  test("backup snapshot + retention sweep") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh")
+    java.nio.file.Files.writeString(wh.resolve("t.parquet"), "x")
+    val root = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    Backup.snapshot(wh.toString, root, "20240101_000000")
+    Backup.snapshot(wh.toString, root, "20240601_000000")
+    val swept = Backup.sweep(root, "20240301_000000")
+    assert(swept.size == 1 && swept.head.contains("20240101"))
+    assert(new java.io.File(root).list().toSeq == Seq("snapshot_20240601_000000"))
+  }
+
+  test("table API enforces allow-list and limit bounds") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("allowed_t")
+    val cfg = TableApi.Config(Set("allowed_t"))
+    assert(TableApi.read(spark, cfg, "allowed_t", 10).count() == 1)
+    intercept[IllegalArgumentException](TableApi.read(spark, cfg, "secret_t", 10))
+    intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 0))
+    intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
+  }
+}

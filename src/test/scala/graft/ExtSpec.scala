@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operators: dedup, text analysis, similarity, multimodal. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles today"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id winner per content hash") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("minhash LSH surfaces the near-dup pair, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id")
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)) && ids.contains((1L, 4L)))
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
+    val j12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(j12 > 0.5 && j12 < 1.0)
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 == 1.0)
+  }
+
+  test("nearDedup drops the higher id of confirmed near-dups") {
+    val kept = Dedup.nearDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: identical texts agree, near-dups differ in few bits") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh(1L).length == 64 && sh(1L).matches("[01]{64}"))
+    val hd12 = sh(1L).zip(sh(2L)).count { case (a, b) => a != b }
+    val hd13 = sh(1L).zip(sh(3L)).count { case (a, b) => a != b }
+    assert(hd12 < hd13)
+  }
+
+  test("text features: counts, language id, quality bounds, fingerprint") {
+    val f = TextAnalysis.withFeatures(docs, "text").cache()
+    val r1 = f.filter($"doc_id" === 1).first()
+    assert(r1.getAs[Int]("n_tokens") == 13)
+    assert(r1.getAs[String]("lang_pred") == "en")
+    val q = r1.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    // fingerprint is word-order insensitive
+    val shuffled = Seq((9L, "dog lazy the over jumps fox brown quick the near bank river the"))
+      .toDF("doc_id", "text")
+    val fp1 = f.filter($"doc_id" === 1).first().getAs[String]("fingerprint")
+    val fp9 = TextAnalysis.withFeatures(shuffled, "text").first()
+      .getAs[String]("fingerprint")
+    assert(fp1 == fp9)
+  }
+
+  test("cosine similarity: self = 1, orthogonal = 0, topK ordered") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.topKCosine(embs, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0), 3).as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(math.abs(top(0)._2 - 1.0) < 1e-12)
+    assert(math.abs(top(2)._2) < 1e-12)
+  }
+
+  test("LSH bucketing: near vectors share buckets; ANN finds the query") {
+    // q uses distinct powers of two so no ±1 plane projects it to exactly 0:
+    // scaled copies land in the same bucket, negated copies in the complement.
+    val q = Seq(8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.0625)
+    val embs = (0 until 50).map { i =>
+      val scale = (if (i % 2 == 0) 1.0 else -1.0) * (1.0 + 0.001 * i)
+      (i.toLong, q.map(x => (x * scale).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.annTopKCosine(embs, "embedding", "vec_id", q, 5, bits = 4)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_._1 % 2 == 0)) // only positively-scaled copies share the bucket
+    assert(top.forall(t => math.abs(t._2 - 1.0) < 1e-6))
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("multimodal: metadata + batched feature extraction over binary") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    val meta = Multimodal.withByteMetadata(media, "content")
+    assert(meta.filter($"n_bytes" <= 0).count() == 0)
+    assert(meta.select("digest").distinct().count() == 10)
+    val feats = Multimodal.extractFeatures(media, "media_id", "content").cache()
+    assert(feats.count() == 10)
+    val f0 = feats.filter($"media_id" === 0).first()
+    assert(f0.n_bytes == 64)
+    assert(f0.byte_entropy > 0.0)
+    assert(math.abs(f0.feature.map(_.toDouble).sum - 1.0) < 1e-5)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+/** Driver-contract smoke: every declared query runs at sf0.001; entry()
+  * returns rows; every query has either an oracle or is explicitly
+  * rows-only. */
+class QueriesSpec extends SparkSpec {
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all declared queries execute at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sf001).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("query names are unique across modules") {
+    val names = SparkEntry.allQs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+}

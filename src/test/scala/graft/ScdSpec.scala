@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scd.Scd
+
+/** SCD semantics (reference 010_scd_dimensions.sql behaviors + the
+  * test_dwh.py invariants: est_actif ∈ {0,1}, version ≥ 1, one active row
+  * per business key). */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim = Scd.seed(
+    Seq(("59", "Nord", "HDF"), ("02", "Aisne", "HDF"))
+      .toDF("code", "nom", "region"), "2020-01-01")
+
+  test("scd2 classifies unchanged / changed / brand-new in one pass") {
+    val updates = Seq(
+      ("59", "Nord-Renamed", "HDF"), // changed
+      ("02", "Aisne", "HDF"),        // unchanged
+      ("60", "Oise", "HDF"))         // brand new
+      .toDF("code", "nom", "region")
+    val out = Scd.scd2(dim, updates, Seq("code"), Seq("nom", "region"),
+      "2024-06-01").cache()
+
+    assert(out.count() == 4) // 02 kept, 59 closed + 59 v2, 60 new
+    val closed = out.filter($"code" === "59" && $"est_actif" === 0).first()
+    assert(closed.getAs[Int]("version") == 1)
+    assert(closed.getAs[java.sql.Date]("date_fin_validite").toString == "2024-06-01")
+    val nv = out.filter($"code" === "59" && $"est_actif" === 1).first()
+    assert(nv.getAs[Int]("version") == 2 && nv.getAs[String]("nom") == "Nord-Renamed")
+    val brandNew = out.filter($"code" === "60").first()
+    assert(brandNew.getAs[Int]("version") == 1 && brandNew.getAs[Int]("est_actif") == 1)
+    // invariants
+    assert(out.filter(!$"est_actif".isin(0, 1)).count() == 0)
+    assert(out.filter($"version" < 1).count() == 0)
+    assert(Scd.current(out).groupBy("code").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("scd2 second merge increments version again and keeps history") {
+    val u1 = Seq(("59", "NordV2", "HDF")).toDF("code", "nom", "region")
+    val v2 = Scd.scd2(dim, u1, Seq("code"), Seq("nom", "region"), "2024-06-01")
+    val u2 = Seq(("59", "NordV3", "HDF")).toDF("code", "nom", "region")
+    val v3 = Scd.scd2(v2, u2, Seq("code"), Seq("nom", "region"), "2024-07-01").cache()
+    assert(v3.filter($"code" === "59").count() == 3) // v1, v2 closed, v3 active
+    assert(v3.filter($"code" === "59" && $"est_actif" === 1)
+      .first().getAs[Int]("version") == 3)
+    // as-of returns the version valid at a date
+    assert(Scd.asOf(v3, "2024-06-15").filter($"code" === "59")
+      .first().getAs[String]("nom") == "NordV2")
+  }
+
+  test("scd1 overwrites in place with audit flag, null-safe") {
+    val updates = Seq(("59", "Nord-New"), ("02", "Aisne"))
+      .toDF("code", "nom")
+    val out = Scd.scd1(dim.drop(Scd.Meta: _*), updates, Seq("code"), Seq("nom"))
+      .cache()
+    assert(out.filter($"code" === "59").first().getAs[String]("nom") == "Nord-New")
+    assert(out.filter($"code" === "59").first().getAs[Int]("changed") == 1)
+    assert(out.filter($"code" === "02").first().getAs[Int]("changed") == 0)
+  }
+
+  test("scd3 keeps previous value in companion column") {
+    val updates = Seq(("59", "Nord-New")).toDF("code", "nom")
+    val out = Scd.scd3(dim.drop(Scd.Meta: _*), updates, Seq("code"), "nom",
+      "2024-06-01").cache()
+    val r = out.filter($"code" === "59").first()
+    assert(r.getAs[String]("nom") == "Nord-New")
+    assert(r.getAs[String]("ancien_nom") == "Nord")
+    val u = out.filter($"code" === "02").first()
+    assert(u.getAs[String]("nom") == "Aisne" && u.getAs[String]("ancien_nom") == null)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+
+/** Structured Streaming: batch/stream parity of the windowed aggregation,
+  * and the stateful sessionizer. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts: streaming file source matches batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    graft.core.Tables.load(spark, sf001, "events")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = Streams.windowedEventCounts(spark.read.parquet(dir), "1 hour")
+      .select("window_start", "event_type", "n").cache()
+
+    val stream = Streams.windowedEventCounts(
+      Streams.readEventStream(spark, dir), "1 hour", watermark = Some("2 hours"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out").select("window_start", "event_type", "n")
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("stateful sessionizer closes sessions at the gap threshold") {
+    val micros = (s: Long) => s * 1000000L
+    val events = Seq(
+      Streams.SessionEvent(1L, micros(0), 1.0),
+      Streams.SessionEvent(1L, micros(60), 2.0),    // same session (gap 60s)
+      Streams.SessionEvent(1L, micros(5000), 3.0),  // new session (gap > 1800s)
+      Streams.SessionEvent(2L, micros(10), 5.0)).toDS()
+    val out = Streams.sessionize(events, gapSec = 1800L).collect()
+    // batch mode emits sessions closed by a later event; the final open
+    // session per user stays in (discarded) state
+    assert(out.length == 1)
+    assert(out.head.user_id == 1L && out.head.n_events == 2 &&
+      out.head.total_value == 3.0)
+  }
+
+  test("streaming dedup drops same-key duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "b"))
+      .toDF("event_id", "ts", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = Streams.streamingDedup(streamed, Seq("event_id"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}
