@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning all apply identically).
   */
 object Tables {
+
+  /** Spread a DataFrame across the session's parallelism before CPU-heavy
+    * per-row compute. Small local files arrive as ONE partition (splits
+    * are byte-based, `spark.sql.files.maxPartitionBytes`), which serializes
+    * expensive expressions; at warehouse scale inputs already have many
+    * splits and this becomes a no-op-sized round-robin shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

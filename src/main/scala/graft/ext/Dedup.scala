@@ -80,28 +80,47 @@ object Dedup {
       k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sig = withMinhashSignature(
-      df.filter(size(TextAnalysis.tokens(lower(col(textCol)))) >= shingleN),
-      textCol, k, shingleN)
-      .withColumn("__sh", array_distinct(shingles(col(textCol), shingleN)))
-      .select(col(idCol) +: col("__sh") +:
-        (0 until bands).map(b => bandValue(
-          (0 until rows).map(r => col(s"mh${b * rows + r}"))).as(s"band$b")): _*)
+    // The distinct-shingle table (id, shingle) is THE working set: persist
+    // it once (at warehouse scale: materialize to a table) and everything
+    // else — signatures, sizes, candidate pairs, exact Jaccard — derives
+    // from it via codegen'd joins/aggregations. No per-row interpreted
+    // array transforms in the hot path, and the band shuffle carries only
+    // (id, 16-char band digest) rows.
+    val exploded = graft.core.Tables.spread(df)
+      .filter(size(TextAnalysis.tokens(lower(col(textCol)))) >= shingleN)
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN)))
+        .as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one aggregation pass: 8 minhashes + the set size (map-side combined)
+    val mhAggs = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("__s")).cast("binary")), 1, 16))
+        .as(s"mh$i")) :+ count(lit(1)).as("__n")
+    val sig = exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
     // long-format (id, bandIdx, bandVal) so one equi-join covers all bands
-    val long = sig.select(col(idCol), col("__sh"),
-      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+    val long = sig.select(col(idCol),
+      posexplode(array((0 until bands).map(b => bandValue(
+        (0 until rows).map(r => col(s"mh${b * rows + r}")))): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = long.select(col(idCol).as("a_id"), col("__sh").as("a_sh"),
-      col("band_idx"), col("band_val"))
-    val b = long.select(col(idCol).as("b_id"), col("__sh").as("b_sh"),
-      col("band_idx"), col("band_val"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val union = size(col("a_sh")) + size(col("b_sh")) - inter
-    a.join(b, Seq("band_idx", "band_val"))
+    val cand = long.select(col(idCol).as("a_id"), col("band_idx"), col("band_val"))
+      .join(long.select(col(idCol).as("b_id"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // Exact Jaccard for the (few) candidates from the exploded table:
+    // |A∩B| = matches of b-side shingles against a-side shingles per pair.
+    val inter = cand
+      .join(exploded.select(col(idCol).as("a_id"), col("__s")), "a_id")
+      .join(exploded.select(col(idCol).as("b_id"), col("__s")), Seq("b_id", "__s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+    val sizes = sig.select(col(idCol), col("__n"))
+    cand
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "a_id", "__n" -> "__na")), "a_id")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "b_id", "__n" -> "__nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (inter.cast("double") / nullif(union, lit(0))).as("jaccard"))
-      .distinct()
+        (coalesce(col("__inter"), lit(0L)).cast("double") /
+          nullif(col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L)),
+            lit(0L))).as("jaccard"))
   }
 
   /** Near-dup removal: drop the higher id of every candidate pair whose

@@ -33,7 +33,7 @@ object Similarity {
   def topKCosine(corpus: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    corpus.select(col(idCol),
+    graft.core.Tables.spread(corpus).select(col(idCol),
       cosine(asDouble(col(embCol)), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -63,7 +63,7 @@ object Similarity {
     val qBucket = planes.map(p =>
       if (p.zip(query).map { case (w, x) => w * x }.sum > 0) "1" else "0").mkString
     val q = array(query.map(lit): _*)
-    corpus
+    graft.core.Tables.spread(corpus)
       .withColumn("bucket", lshBucket(col(embCol), planes))
       .filter(col("bucket") === qBucket)
       .select(col(idCol), cosine(asDouble(col(embCol)), q).as("cosine"))
@@ -76,7 +76,7 @@ object Similarity {
   def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,
       threshold: Double, bits: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(bits, dim)
-    val b = corpus.select(col(idCol), col(embCol),
+    val b = graft.core.Tables.spread(corpus).select(col(idCol), col(embCol),
       lshBucket(col(embCol), planes).as("bucket"))
     val l = b.select(col("bucket"), col(idCol).as("a_id"), col(embCol).as("a_emb"))
     val r = b.select(col("bucket"), col(idCol).as("b_id"), col(embCol).as("b_emb"))

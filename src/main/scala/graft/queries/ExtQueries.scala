@@ -13,6 +13,9 @@ object ExtQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
+  // CPU-heavy per-row text ops parallelize the single-file local scan:
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.spread(docs(s, d))
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
 
@@ -67,7 +70,7 @@ object ExtQueries {
          |  fingerprint
          |FROM feat ORDER BY doc_id""".stripMargin) { (s, d) =>
       val t = col("text")
-      docs(s, d).select(col("doc_id"), col("lang"),
+      docsSpread(s, d).select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         TextAnalysis.bpeTokenEstimate(t).as("n_tokens_bpe_est"),
         Fp.r(TextAnalysis.typeTokenRatio(t), 4).as("type_token_ratio"),
@@ -100,7 +103,7 @@ object ExtQueries {
          |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
          |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.withMinhashSignature(
-        docs(s, d).filter(size(TextAnalysis.tokens(lower(col("text")))) >= 3),
+        docsSpread(s, d).filter(size(TextAnalysis.tokens(lower(col("text")))) >= 3),
         "text", 8)
         .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
         .orderBy("doc_id")
@@ -154,7 +157,7 @@ object ExtQueries {
         |SELECT doc_id,
         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_idx) AS simhash
         |FROM acc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      docs(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      docsSpread(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
     },
 
