@@ -466,6 +466,54 @@ object Relational {
         .orderBy(col("n").desc, col("word")).limit(20)
     },
 
+    // Date arithmetic family (reference DATEDIFF/DATEADD/FORMAT usage).
+    Q("f_date_funcs",
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+        |       CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS min_delay,
+        |       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_delay
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(delay > 60, 1).otherwise(0)).as("n_slow"),
+          min(delay).as("min_delay"), max(delay).as("max_delay"))
+        .orderBy("o_year")
+    },
+
+    // lag/lead ordered analytics (delta vs previous order per customer).
+    Q("w_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       round(o_totalprice - lag(o_totalprice) OVER w + 1e-7, 2) AS delta_prev,
+        |       round(lead(o_totalprice) OVER w - o_totalprice + 1e-7, 2) AS delta_next
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        Fp.r(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+          .as("delta_prev"),
+        Fp.r(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice"), 2)
+          .as("delta_next"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Custom Catalyst expression in the verified set: accent_fold vs
+    // DuckDB's strip_accents on the same synthesized accented strings.
+    Q("f_accent_fold",
+      """SELECT n_name, strip_accents(n_name || '-éÜç') AS folded
+        |FROM nation ORDER BY n_name""".stripMargin) { (s, d) =>
+      graft.functions.AccentFold.register(s)
+      t(s, d, "nation").select(col("n_name"),
+        graft.functions.AccentFold.accentFold(
+          concat(col("n_name"), lit("-éÜç"))).as("folded"))
+        .orderBy("n_name")
+    },
+
     // JSON extraction (reference json_normalize / nested JSON columns).
     Q("f_json_extract",
       """SELECT CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INT) / 25 AS k_quartile_raw,
