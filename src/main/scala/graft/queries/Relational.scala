@@ -324,6 +324,23 @@ object Relational {
         .orderBy("returnflag", "linestatus")
     },
 
+    // Exact percentiles (beyond-reference: deciles arrive precomputed in
+    // FILOSOFI; Spark computes them natively — SURVEY §2.4 note).
+    Q("a_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5) + 1e-7, 4) AS median_qty,
+        |       round(quantile_cont(l_quantity, 0.9) + 1e-7, 4) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5) + 1e-7, 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(
+            Fp.r(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            Fp.r(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+            Fp.r(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+          .orderBy("l_returnflag")
+    },
+
     // ----- W/O: windows, sorts, top-k [§2.5-§2.6] -----
     // W1 latest-version-per-key (reference load_dimensions.py:183-187).
     Q("w_latest_per_key",
