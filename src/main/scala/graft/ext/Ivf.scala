@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the clustered
+  * alternative to random-hyperplane LSH (`Similarity`): partition the
+  * corpus into k cells around trained centroids, search only the closest
+  * `nprobe` cells.
+  *
+  * Scale shape: centroids are tiny (k × dim doubles) and live on the
+  * driver / in literals — assignment is a per-row codegen'd expression, so
+  * cell assignment is a map-only pass. At warehouse scale the corpus is
+  * written partitioned by `cell`, so a query reads `nprobe` partitions,
+  * not the corpus. Training is Lloyd's algorithm where each iteration is
+  * one distributed aggregation (posexplode → avg per (cell, dim)) — the
+  * driver only ever holds k × dim numbers.
+  *
+  * Deterministic: initial centroids are the first k vectors by id.
+  */
+object Ivf {
+
+  private def sqDistToCentroid(emb: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, array(c.map(lit): _*), (x, w) => {
+        val dd = x.cast("double") - w; dd * dd
+      }),
+      lit(0.0), _ + _)
+
+  /** Index (0-based) of the nearest centroid: argmin over the literal
+    * centroid distance array (ties break to the lowest index —
+    * deterministic), fully inside codegen. */
+  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => sqDistToCentroid(emb, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means on the embedding column; returns k centroids. */
+  def train(corpus: DataFrame, embCol: String, idCol: String, k: Int,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    var centroids: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.select(col(idCol),
+        posexplode(col(embCol)).as(Seq("pos", "v")),
+        nearestCell(col(embCol), centroids).as("cell"))
+      val means = assigned.groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("pos"),
+          r.getAs[Double]("m")))
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(ms) =>
+            val arr = new Array[Double](dim)
+            ms.foreach { case (_, p, m) => arr(p) = m }
+            arr.toSeq
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Cell assignment column for writing the corpus partitioned by cell. */
+  def withCell(corpus: DataFrame, embCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.withColumn("cell", nearestCell(col(embCol), centroids))
+
+  /** ANN search: exact cosine within the `nprobe` cells nearest the query. */
+  def annTopK(corpus: DataFrame, embCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    val q = array(query.map(lit): _*)
+    withCell(corpus, embCol, centroids)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      .select(col(idCol),
+        Similarity.cosine(transform(col(embCol), _.cast("double")), q)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -154,6 +154,20 @@ object MiscQueries {
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     },
 
+    // IVF ANN (rows-only: k-means training is not SQL-expressible in the
+    // oracle; results are deterministic — seeded init, fixed iterations).
+    Q.rowsOnly("x_sim_ivf_ann") { (s, d) =>
+      val corpus = t(s, d, "embeddings")
+      val centroids = graft.ext.Ivf.train(corpus, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      graft.ext.Ivf.annTopK(corpus, "embedding", "vec_id", centroids, qv,
+        k = 10, nprobe = 2)
+        .select(col("vec_id"), Fp.r(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    },
+
     // Embedding near-dup pairs inside LSH buckets (threshold on raw cosine).
     Q("x_emb_neardup", {
       val planes = Similarity.hyperplanes(4, 64)

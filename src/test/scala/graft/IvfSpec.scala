@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Ivf, Similarity}
+
+/** IVF ANN: training convergence, deterministic assignment, recall vs
+  * brute force on the real embeddings testdata. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus =
+    graft.core.Tables.load(spark, sf001, "embeddings").cache()
+
+  test("training produces k centroids and stable assignments") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
+    assert(cs.size == 8 && cs.forall(_.size == 64))
+    val cells = Ivf.withCell(corpus, "embedding", cs)
+    val counts = cells.groupBy("cell").count().collect()
+    assert(counts.map(_.getLong(1)).sum == corpus.count())
+    // deterministic: same training twice → same assignment
+    val cs2 = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
+    assert(cs == cs2)
+  }
+
+  test("nprobe=k degenerates to exact brute-force top-k") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 4, iters = 2)
+    val q = corpus.filter($"vec_id" === 7).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.topKCosine(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivfAll = Ivf.annTopK(corpus, "embedding", "vec_id", cs, q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivfAll == exact)
+  }
+
+  test("nprobe=1 finds the query's own cell (self in results)") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .first().getSeq[Float](0).map(_.toDouble)
+    val got = Ivf.annTopK(corpus, "embedding", "vec_id", cs, q, 5, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(3L)) // the query vector itself, cosine 1
+  }
+}
