@@ -86,10 +86,21 @@ object Dedup {
     // from it via codegen'd joins/aggregations. No per-row interpreted
     // array transforms in the hot path, and the band shuffle carries only
     // (id, 16-char band digest) rows.
+    // Shingles are built from exploded tokens + lead() windows instead of
+    // per-row array lambdas: posexplode and window-lead are engine-native
+    // (the interpreted `transform(sequence(...))` lambda measured ~10x
+    // slower), and the token rows are exactly the shape the signature
+    // aggregation wants next.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
     val exploded = graft.core.Tables.spread(df)
-      .filter(size(TextAnalysis.tokens(lower(col(textCol)))) >= shingleN)
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleN)))
-        .as("__s"))
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("__pos", "__t")))
+      .select(col(idCol), concat_ws(" ",
+        (0 until shingleN).map(j => lead(col("__t"), j).over(w)): _*).as("__s"),
+        lead(col("__t"), shingleN - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full")) // drop ragged tail windows (and <n-token docs)
+      .select(col(idCol), col("__s")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one aggregation pass: 8 minhashes + the set size (map-side combined)
     val mhAggs = (0 until k).map(i =>

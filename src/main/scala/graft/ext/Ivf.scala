@@ -43,9 +43,14 @@ object Ivf {
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     (1 to iters).foreach { _ =>
-      val assigned = corpus.select(col(idCol),
-        posexplode(col(embCol)).as(Seq("pos", "v")),
+      // cell assignment on the compact rows, THEN explode via join — if the
+      // nearestCell expression sat next to posexplode in one projection it
+      // would be re-evaluated per exploded element (64x the work).
+      val cells = corpus.select(col(idCol),
         nearestCell(col(embCol), centroids).as("cell"))
+      val assigned = corpus
+        .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .join(cells, idCol)
       val means = assigned.groupBy("cell", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
         .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("pos"),

@@ -47,6 +47,30 @@ object Rls {
   }
 }
 
+/** Access-audit views (reference J10: multi-way metadata joins with
+  * STRING_AGG CTEs, `011:281-333`). */
+object AccessAudit {
+  import org.apache.spark.sql.functions._
+
+  /** Per-employee audit row: agency info + comma-joined zone list
+    * ('REGION_ENTIERE' for NULL zones), left-joined so employees without
+    * zones still appear. */
+  def employeeAccess(employes: DataFrame, agences: DataFrame,
+      zones: DataFrame): DataFrame = {
+    val zonesAgg = zones.groupBy("login")
+      .agg(array_join(sort_array(collect_list(
+        coalesce(col("departement_code"), lit("REGION_ENTIERE")))), ", ")
+        .as("zones_autorisees"),
+        count(lit(1)).as("nb_zones"))
+    employes
+      .join(agences.select(col("agence_id"), col("nom").as("agence_nom"),
+        col("classe").as("agence_classe")), Seq("agence_id"), "left")
+      .join(zonesAgg, Seq("login"), "left")
+      .withColumn("zones_autorisees",
+        coalesce(col("zones_autorisees"), lit("NON_ENREGISTRE")))
+  }
+}
+
 /** Deterministic generators for the security hierarchy (reference
   * `load_security.py:184-350`): agencies from communes with ≥10k
   * population, sized GRANDE/MOYENNE/PETITE; one regional director, one

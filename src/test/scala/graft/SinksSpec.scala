@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.security.AccessAudit
+import graft.sources.Sources
+
+/** Sink round-trips (S7-S11), catalog table write (S8), and the J10
+  * access-audit multi-way join. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "name", "v")
+
+  test("parquet / json / csv sinks round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+    Sources.writeParquet(sample, s"$root/p")
+    Sources.writeJson(sample, s"$root/j")
+    Sources.writeCsv(sample, s"$root/c")
+    assert(spark.read.parquet(s"$root/p").count() == 2)
+    val j = spark.read.json(s"$root/j")
+    assert(j.filter($"id" === 2).first().getAs[Double]("v") == 2.5)
+    val c = Sources.csv(spark, s"$root/c")
+    assert(c.columns.toSeq == Seq("id", "name", "v") && c.count() == 2)
+  }
+
+  test("relational batch sink: saveAsTable + catalog read-back (S8)") {
+    sample.write.mode("overwrite").saveAsTable("stg_sample")
+    try {
+      assert(spark.table("stg_sample").count() == 2)
+      // append mode (the reference's if_exists='append' path)
+      sample.write.mode("append").saveAsTable("stg_sample")
+      assert(spark.table("stg_sample").count() == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS stg_sample")
+  }
+
+  test("access-audit view joins employes, agences and aggregated zones (J10)") {
+    val employes = Seq(
+      ("jean.dupont", 1, "DIRECTEUR_AGENCE"),
+      ("sophie.martin", 1, "DIRECTEUR_REGIONAL"),
+      ("no.zones", 2, "COLLABORATEUR"))
+      .toDF("login", "agence_id", "role")
+    val agences = Seq((1, "Lille", "GRANDE"), (2, "Laon", "PETITE"))
+      .toDF("agence_id", "nom", "classe")
+    val zones = Seq(
+      ("jean.dupont", Some("59")), ("jean.dupont", Some("62")),
+      ("sophie.martin", None: Option[String]))
+      .toDF("login", "departement_code")
+    val audit = AccessAudit.employeeAccess(employes, agences, zones).cache()
+    val jd = audit.filter($"login" === "jean.dupont").first()
+    assert(jd.getAs[String]("zones_autorisees") == "59, 62")
+    assert(jd.getAs[String]("agence_nom") == "Lille")
+    assert(audit.filter($"login" === "sophie.martin").first()
+      .getAs[String]("zones_autorisees") == "REGION_ENTIERE")
+    assert(audit.filter($"login" === "no.zones").first()
+      .getAs[String]("zones_autorisees") == "NON_ENREGISTRE")
+  }
+}

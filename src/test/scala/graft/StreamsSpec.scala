@@ -29,6 +29,29 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("append mode with watermark emits finalized windows only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    // two batches of events an hour apart; watermark 10min
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), "click", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val stream = Streams.windowedEventCounts(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      "1 hour", watermark = Some("10 minutes"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("wm_out")
+    // the 00:00 window is finalized (watermark passed 01:10 via the 02:30
+    // event); the 02:00 window is still open → not emitted in append mode
+    assert(out.count() == 1)
+    val r = out.first()
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Double]("total_value") == 3.0)
+  }
+
   test("stateful sessionizer closes sessions at the gap threshold") {
     val micros = (s: Long) => s * 1000000L
     val events = Seq(
