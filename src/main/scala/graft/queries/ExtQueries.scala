@@ -140,6 +140,18 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // Bottom-k (KMV) sketch per group via the custom TypedImperativeAggregate
+    // — bounded-memory alternative to sort(collect_list())[0:k].
+    Q("x_dedup_bottomk_sketch",
+      """SELECT source, (list_sort(list(md5(text))))[1:4] AS sketch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      graft.functions.BottomK.register(s)
+      docs(s, d).groupBy("source")
+        .agg(graft.functions.BottomK.bottomK(md5(col("text").cast("binary")), 4)
+          .as("sketch"))
+        .orderBy("source")
+    },
+
     // SimHash 64-bit signatures (bit-string form).
     Q("x_dedup_simhash",
       """WITH tok AS (
