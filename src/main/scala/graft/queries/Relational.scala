@@ -324,6 +324,39 @@ object Relational {
         .orderBy("returnflag", "linestatus")
     },
 
+    // CUBE over two dimensions (beyond-reference, SURVEY §2.4 note).
+    Q("a_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Deterministic hash-based sampling — the stable sampling pattern for
+    // 100 TB pipelines (same subset every run, any engine; rand()-based
+    // sampling is neither). Keeps ~1/8 of rows by md5 prefix.
+    Q("p_hash_sample",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    },
+
     // Exact percentiles (beyond-reference: deciles arrive precomputed in
     // FILOSOFI; Spark computes them natively — SURVEY §2.4 note).
     Q("a_percentiles",
