@@ -76,14 +76,24 @@ object Similarity {
   def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,
       threshold: Double, bits: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(bits, dim)
-    val b = graft.core.Tables.spread(corpus).select(col(idCol), col(embCol),
+    // Norms are computed ONCE per vector before the pair join (computing
+    // cosine() per pair would re-derive both norms for every candidate —
+    // 3x the array folds); the join output is re-spread because AQE
+    // coalesces the small bucket shuffle into few partitions, serializing
+    // the per-pair dot products.
+    val b = graft.core.Tables.spread(corpus).select(col(idCol),
+      asDouble(col(embCol)).as("__e"),
       lshBucket(col(embCol), planes).as("bucket"))
-    val l = b.select(col("bucket"), col(idCol).as("a_id"), col(embCol).as("a_emb"))
-    val r = b.select(col("bucket"), col(idCol).as("b_id"), col(embCol).as("b_emb"))
-    l.join(r, "bucket")
-      .filter(col("a_id") < col("b_id"))
+      .withColumn("__norm", norm(col("__e")))
+    val l = b.select(col("bucket"), col(idCol).as("a_id"),
+      col("__e").as("a_emb"), col("__norm").as("a_norm"))
+    val r = b.select(col("bucket"), col(idCol).as("b_id"),
+      col("__e").as("b_emb"), col("__norm").as("b_norm"))
+    val pairs = l.join(r, "bucket").filter(col("a_id") < col("b_id"))
+    graft.core.Tables.spread(pairs)
       .select(col("a_id"), col("b_id"),
-        cosine(asDouble(col("a_emb")), asDouble(col("b_emb"))).as("cosine"))
+        (dot(col("a_emb"), col("b_emb")) /
+          nullif(col("a_norm") * col("b_norm"), lit(0.0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
