@@ -31,9 +31,15 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timed(n)).toMap
-    spark.sharedState.cacheManager.clearCache()
-    val results = names.map(n => n -> math.min(pass1(n), timed(n)))
+    val pass1 = names.map(n => n -> timed(n))
+    // second pass only within a time budget — host stalls must not be able
+    // to double an already-long run
+    val results =
+      if (pass1.map(_._2).sum < 120.0) {
+        spark.sharedState.cacheManager.clearCache()
+        val p1 = pass1.toMap
+        names.map(n => n -> math.min(p1(n), timed(n)))
+      } else pass1
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
