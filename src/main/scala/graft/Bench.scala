@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass at sf0.001 first populates codegen caches, parquet
   * footers and JIT so the timed pass measures steady-state query cost,
   * not JVM startup. Queries run in sorted name order (deterministic).
+  *
+  * Robustness: (a) a query that throws is listed in an "errors" array in
+  * the JSON (its elapsed time still recorded) so a crash is never
+  * mistaken for a fast success; (b) the host shows random multi-second
+  * page-fault stalls that land on arbitrary queries — if the first pass
+  * is fast we re-run everything best-of-2, otherwise only the outliers
+  * (>max(2s, 5x median)) are retried min-of-3 within a fixed budget, so
+  * one stalled query cannot inflate the reported total 20x.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,33 +25,47 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     // warmup (not timed): same plans at the smallest scale factor
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
-    // best-of-2: the host shows multi-second stalls that land on random
-    // queries; the minimum of two timed passes reports steady-state cost
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try { SparkEntry.queries(name)(spark, sfDir).count(); errors -= name }
+      catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timed(n))
-    // second pass only within a time budget — host stalls must not be able
-    // to double an already-long run
-    val results =
-      if (pass1.map(_._2).sum < 120.0) {
-        spark.sharedState.cacheManager.clearCache()
-        val p1 = pass1.toMap
-        names.map(n => n -> math.min(p1(n), timed(n)))
-      } else pass1
+    val results = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> timed(n)): _*)
+    if (results.values.sum < 120.0) {
+      // fast run: full best-of-2 pass
+      spark.sharedState.cacheManager.clearCache()
+      names.foreach { n => results(n) = math.min(results(n), timed(n)) }
+    } else {
+      // slow run: assume host stalls; retry only outliers, bounded budget
+      var budget = 240.0
+      for (_ <- 1 to 2) {
+        val sorted = results.values.toSeq.sorted
+        val med = sorted(sorted.size / 2)
+        val thresh = math.max(2.0, 5 * med)
+        names.filter(n => results(n) > thresh).foreach { n =>
+          if (budget > 0) {
+            spark.sharedState.cacheManager.clearCache()
+            val t = timed(n)
+            budget -= t
+            if (t < results(n)) results(n) = t
+          }
+        }
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,9 +78,16 @@ object Etl {
     * across `salts` reducers. AQE's skew-join handles sort-merge skew
     * automatically; salting is for the cases AQE can't split (e.g. a
     * single massive key in a shuffled hash join or aggregation).
-    * Deterministic: salt derives from a hash of the whole row, not rand(). */
+    * Deterministic: salt derives from a hash of the whole row, not rand().
+    * Join types where the small side may emit unmatched rows (right/full
+    * outer) are rejected: the small side is replicated `salts` times, so
+    * each unmatched row would appear `salts` times in the output. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
+        "small-side rows (replicated per salt); use inner/left/semi/anti")
     val l = large.withColumn("__salt",
       pmod(hash(large.columns.map(col): _*), lit(salts)))
     val s = small.withColumn("__salt",

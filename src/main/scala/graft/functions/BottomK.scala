@@ -38,9 +38,11 @@ case class BottomKStrings(
   override def prettyName: String = "bottom_k"
 
   // max-heap: the head is the LARGEST kept value, evicted when a smaller
-  // candidate arrives and the buffer is full
+  // candidate arrives and the buffer is full. ONE ordering everywhere
+  // (UTF8String's own byte-order compareTo): heap, eviction and eval must
+  // agree or mixed supplementary-plane/U+E000-U+FFFF input sorts wrong.
   override def createAggregationBuffer(): mutable.PriorityQueue[UTF8String] =
-    mutable.PriorityQueue.empty[UTF8String](Ordering.by(_.toString))
+    mutable.PriorityQueue.empty[UTF8String](BottomKStrings.ByteOrder)
 
   override def update(buf: mutable.PriorityQueue[UTF8String],
       input: InternalRow): mutable.PriorityQueue[UTF8String] = {
@@ -61,7 +63,8 @@ case class BottomKStrings(
   }
 
   override def eval(buf: mutable.PriorityQueue[UTF8String]): Any =
-    new GenericArrayData(buf.toArray.sortBy(_.toString).map(x => x: Any))
+    new GenericArrayData(
+      buf.toArray.sorted(BottomKStrings.ByteOrder).map(x => x: Any))
 
   override def serialize(buf: mutable.PriorityQueue[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -88,6 +91,13 @@ case class BottomKStrings(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): BottomKStrings = copy(child = c.head)
+}
+
+object BottomKStrings {
+  /** The one ordering used by heap, eviction and eval: UTF8String's own
+    * byte-wise compareTo (binary collation, matches eviction at `add`). */
+  val ByteOrder: Ordering[UTF8String] =
+    Ordering.comparatorToOrdering[UTF8String]((a, b) => a.compareTo(b))
 }
 
 object BottomK {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
 /** Catalyst rule that injects the RLS predicate into every reference to a
   * protected table — the engine-level analogue of SQL Server's
@@ -32,6 +33,7 @@ object RlsState {
 
 case class RlsInjectionRule(spark: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] {
+  import RlsInjectionRule.InjectedTag
 
   private def allowedFor(user: String): Option[Set[String]] =
     // registered user → their set (None inside = wildcard);
@@ -56,18 +58,27 @@ case class RlsInjectionRule(spark: org.apache.spark.sql.SparkSession)
                   .map { attr =>
                     val cond = In(attr,
                       allowed.toSeq.sorted.map(v => Literal(v)): Seq[Expression])
-                    a.copy(child = Filter(cond, child))
+                    val f = Filter(cond, child)
+                    f.setTagValue(InjectedTag, true)
+                    a.copy(child = f)
                   }.getOrElse(a)
             }
         }
     }
 
+  // Only a filter WE injected counts (explicit TreeNodeTag; tags are
+  // copied across analyzer transforms): a protected view legitimately
+  // defined with its own IN(dept) predicate must still get RLS applied.
   private def alreadyFiltered(p: LogicalPlan): Boolean = p match {
-    case Filter(In(attr, _), _)
-        if attr.references.toSeq.exists(
-          _.name.equalsIgnoreCase(RlsState.deptCol)) => true
+    case f: Filter => f.getTagValue(InjectedTag).isDefined
     case _ => false
   }
+}
+
+object RlsInjectionRule {
+  /** Marks a Filter node as RLS-injected so the fixed-point analyzer does
+    * not stack a second copy. */
+  val InjectedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.rls.injected")
 }
 
 /** `SparkSessionExtensions` entry point:

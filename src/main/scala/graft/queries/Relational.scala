@@ -117,22 +117,26 @@ object Relational {
     },
 
     // J2 left outer join (reference fait_population ⟕ fait_evenements).
+    // Summed doubles go through the moneySum decimal convention (order-
+    // independent, exact) so the DuckDB hash compare can't half-boundary
+    // flake at larger scale factors.
     Q("j_left_join",
       """SELECT c_custkey, c_name,
         |       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
-        |       round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+        |       coalesce(o.total_spent, 0.0) AS total_spent
         |FROM customer
         |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
-        |                  sum(o_totalprice) AS total_spent
+        |                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spent
         |           FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val per = t(s, d, "orders").groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_spent"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fp.moneySum(col("o_totalprice")).as("total_spent"))
       t(s, d, "customer")
         .join(per, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-          round(coalesce(col("total_spent"), lit(0.0)), 2).as("total_spent"))
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
         .orderBy("c_custkey")
     },
 
@@ -215,7 +219,7 @@ object Relational {
         |       round(avg(c_acctbal) + 1e-7, 4) AS avg_bal,
         |       round(min(c_acctbal), 2) AS min_bal,
         |       round(max(c_acctbal), 2) AS max_bal,
-        |       round(sum(c_acctbal), 2) AS sum_bal
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
       (s, d) =>
         t(s, d, "customer").groupBy("c_mktsegment")
@@ -223,7 +227,7 @@ object Relational {
             Fp.r(avg("c_acctbal"), 4).as("avg_bal"),
             round(min("c_acctbal"), 2).as("min_bal"),
             round(max("c_acctbal"), 2).as("max_bal"),
-            round(sum("c_acctbal"), 2).as("sum_bal"))
+            Fp.moneySum(col("c_acctbal")).as("sum_bal"))
           .orderBy("c_mktsegment")
     },
 
