@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All operator demonstrations, grouped by module. */
   def allQs: Seq[Q] =
-    Relational.all ++ ExtQueries.all ++ ScdQueries.all ++ MiscQueries.all
+    Relational.all ++ ExtQueries.all ++ ScdQueries.all ++ MiscQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,86 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks (SURVEY §2.3 "not present:
+  * range/as-of") but any event-warehouse needs at scale.
+  *
+  * Both avoid the naive theta-join (`l.key = r.key AND r.ts <= l.ts`),
+  * which Spark can only execute as a broadcast-nested-loop or a per-key
+  * cross product — O(|L|·|R|) per key, hopeless at 100 TB:
+  *
+  *   - [[asofJoin]] is ONE shuffle: union both sides, then a single
+  *     partitionBy(key).orderBy(ts) window carries the latest right-side
+  *     payload forward onto each left row (`last(_, ignoreNulls)`).
+  *     Cost O((|L|+|R|) log) via the shuffle sort, skew-safe under AQE.
+  *   - [[bandedRangeJoin]] turns a bounded-interval predicate into an
+  *     equi-join on (key, time-bucket): the right side is replicated to
+  *     the (at most 2) buckets it can match, joined hash-for-hash, then
+  *     the exact predicate filters residuals. Replication factor is
+  *     constant (2), independent of data volume.
+  */
+object AsOf {
+
+  /** For each left row: the single right row with the greatest
+    * `(ts, tiebreak)` such that `right.ts <= left.ts` and keys match
+    * (left join semantics — unmatched left rows keep null payloads).
+    *
+    * @param payload right-side columns to carry onto the left rows
+    * @param tiebreak right-side column ordering rows with equal `ts`
+    *                 (pass a unique id for deterministic output)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // each side's columns travel as ONE struct through the union, so all
+    // payload fields provably come from the SAME right row and no join-back
+    // (with its second scan + shuffle) is needed afterwards
+    val rstruct = struct(
+      (Seq(ts, tiebreak) ++ payload).distinct.map(right(_)): _*)
+    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      rstruct.as("__r"),
+      lit(null).cast(left.select(struct(leftCols.map(col): _*))
+        .schema.head.dataType).as("__l"))
+    val l = left.select(col(key), col(ts), lit(1).as("__side"),
+      lit(null).cast(r.schema("__r").dataType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // at equal ts, right (__side=0) sorts before left so `<=` matches;
+    // among equal right ts the greatest tiebreak lands nearest the left row
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc, col(s"__r.$tiebreak").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last("__r", ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
+
+  /** Equi-banded bounded range join: rows `(l, r)` with matching `key` and
+    * `r.ts` in the half-open interval `(l.ts, l.ts + width]`.
+    * Returns the joined frame (inner); aggregate downstream as needed.
+    *
+    * @param width interval length as a Spark SQL interval expression
+    *              column, e.g. `expr("INTERVAL 1 HOUR")`
+    * @param bucketSeconds band size in seconds; MUST be >= the interval
+    *                      width in seconds so each right row lands in at
+    *                      most two candidate bands
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, width: Column, bucketSeconds: Long): DataFrame = {
+    def bucket(c: Column): Column =
+      floor(unix_timestamp(c) / lit(bucketSeconds))
+    val l = left.withColumn("__band", bucket(col(ts)))
+    // a right row in band b can only match left rows in bands {b-1, b}
+    val r = right.columns.foldLeft(right)((df, c) =>
+        df.withColumnRenamed(c, s"r_$c"))
+      .withColumn("__band",
+        explode(array(bucket(col(s"r_$ts")) - 1, bucket(col(s"r_$ts")))))
+    l.join(r,
+      l(key) === r(s"r_$key") && l("__band") === r("__band") &&
+        r(s"r_$ts") > l(ts) && r(s"r_$ts") <= l(ts) + width)
+      .drop("__band")
+  }
+}

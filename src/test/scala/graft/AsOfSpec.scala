@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.etl.AsOf
+
+/** Temporal joins: as-of (latest right row at-or-before each left row) and
+  * banded range join (bounded-interval matches via equi-band join). */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: clicks at 10:00 (id 100, v 1.0), 10:30 (id 101, v 2.0),
+  //         10:30 (id 102, v 3.0 — tie on ts, higher id wins)
+  // user 2: no clicks at all
+  private def clicks = Seq(
+    (100L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+    (101L, 1L, ts("2024-01-01 10:30:00"), 2.0),
+    (102L, 1L, ts("2024-01-01 10:30:00"), 3.0))
+    .toDF("click_id", "user_id", "ts", "click_value")
+
+  private def purchases = Seq(
+    (200L, 1L, ts("2024-01-01 09:59:00")), // before any click → null
+    (201L, 1L, ts("2024-01-01 10:00:00")), // exactly at → inclusive match
+    (202L, 1L, ts("2024-01-01 11:00:00")), // after tie → highest id wins
+    (203L, 2L, ts("2024-01-01 12:00:00"))) // keyless user → null
+    .toDF("event_id", "user_id", "ts")
+
+  test("asofJoin picks the latest right row at-or-before, ties by id") {
+    val got = AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        payload = Seq("click_id", "click_value"), tiebreak = "click_id")
+      .select("event_id", "click_id", "click_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(got(200L) == (None, None))
+    assert(got(201L) == (Some(100L), Some(1.0)))
+    assert(got(202L) == (Some(102L), Some(3.0)))
+    assert(got(203L) == (None, None))
+  }
+
+  test("asofJoin preserves duplicate left rows") {
+    val dupLeft = purchases.union(purchases)
+    val n = AsOf.asofJoin(dupLeft, clicks, "user_id", "ts",
+      Seq("click_id"), "click_id").count()
+    assert(n == 8)
+  }
+
+  test("bandedRangeJoin matches the exact (ts, ts+width] interval only") {
+    val joined = AsOf.bandedRangeJoin(
+      purchases, clicks.withColumnRenamed("click_id", "event_id2"),
+      "user_id", "ts", expr("INTERVAL 1 HOUR"), bucketSeconds = 3600L)
+    val pairs = joined.select($"event_id", $"r_event_id2")
+      .as[(Long, Long)].collect().toSet
+    // 200 @09:59 → clicks 10:00,10:30,10:30 all within (09:59,10:59]
+    // 201 @10:00 → strict lower bound excludes 10:00; 10:30 pair matches
+    // 202 @11:00, 203 user 2 → nothing
+    assert(pairs == Set((200L, 100L), (200L, 101L), (200L, 102L),
+      (201L, 101L), (201L, 102L)))
+  }
+
+  test("bandedRangeJoin crosses band boundaries (b-1 replication)") {
+    // left at 10:59, right at 11:30: different hour buckets, still in range
+    val l = Seq((1L, 9L, ts("2024-01-01 10:59:00"))).toDF("id", "k", "ts")
+    val r = Seq((2L, 9L, ts("2024-01-01 11:30:00"), 5.0))
+      .toDF("rid", "k", "ts", "v")
+    val got = AsOf.bandedRangeJoin(l, r, "k", "ts",
+      expr("INTERVAL 1 HOUR"), 3600L).count()
+    assert(got == 1)
+  }
+
+  test("approx_count_distinct tracks exact distinct within its rsd") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val got = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    assert(math.abs(got._1 - got._2).toDouble / got._1 < 0.1)
+  }
+}
