@@ -78,6 +78,51 @@ object Multimodal {
       })
   }
 
+  /** RESIZE STUB — deterministic fake for an image/audio resample:
+    * stride-subsample the payload down to ~targetBytes. A real deployment
+    * swaps this function for a codec call; the per-partition batching in
+    * [[resized]] is the production contract. */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val stride = bytes.length.toDouble / targetBytes
+      Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+    }
+
+  /** Batched resize over a binary column (same mapPartitions shape as
+    * [[extractFeatures]]: payloads never leave executor space). */
+  def resized(df: DataFrame, idCol: String, binCol: String,
+      targetBytes: Int): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, resizeStub(if (bytes == null) Array.empty[Byte] else bytes,
+          targetBytes))
+      })
+  }
+
+  /** Evenly sample up to `k` distinct fixed-size frames (chunks) from a
+    * payload column — the video frame-sampling shape. Works on BinaryType
+    * (frames of `frameSize` bytes) and StringType (frames of `frameSize`
+    * chars): Spark's `length`/`substring` handle both. One row per
+    * sampled frame: all original columns + (frame_idx, frame).
+    *
+    * Pure Column expressions (sequence → transform → explode → substring),
+    * so the whole thing stays distributed and codegen-adjacent — no UDF,
+    * no driver round-trip, no payload copy beyond the sampled frames. */
+  def frameSample(df: DataFrame, payloadCol: String,
+      frameSize: Int, k: Int): DataFrame =
+    df.withColumn("__nf", expr(
+        s"greatest((length($payloadCol) + ${frameSize - 1}) div $frameSize," +
+          " CAST(1 AS BIGINT))"))
+      .withColumn("frame_idx", explode(array_distinct(
+        expr(s"transform(sequence(0, ${k - 1}), j -> (j * __nf) div $k)"))))
+      .withColumn("frame", expr(
+        s"substring($payloadCol, CAST(frame_idx * $frameSize + 1 AS INT), $frameSize)"))
+      .drop("__nf")
+
   /** Deterministic synthetic media table for tests/demos: bytes derived
     * from the id so every engine can reproduce them. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

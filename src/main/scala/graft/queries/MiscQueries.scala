@@ -119,6 +119,26 @@ object MiscQueries {
         .orderBy("doc_id")
     },
 
+    // ---- multimodal frame sampling (video-frame shape over the text
+    // payload: evenly-spaced fixed-size chunks, explode + substring) ------
+    Q("x_mm_frame_sample",
+      """WITH g AS (SELECT doc_id, text,
+        |             greatest((length(text) + 31) // 32, 1) AS nf
+        |           FROM documents)
+        |SELECT doc_id, CAST(fidx AS INT) AS frame_idx,
+        |       md5(substr(text, CAST(fidx * 32 + 1 AS INT), 32)) AS frame_digest
+        |FROM (SELECT doc_id, text,
+        |        unnest(list_distinct(list_transform(range(4),
+        |          j -> (j * nf) // 4))) AS fidx
+        |      FROM g)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.frameSample(t(s, d, "documents"), "text",
+          frameSize = 32, k = 4)
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          md5(col("frame").cast("binary")).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- ANN: random-hyperplane LSH bucket + exact cosine in-bucket ------
     Q("x_sim_ann_lsh", {
       val planes = Similarity.hyperplanes(4, 64)

@@ -105,4 +105,42 @@ class ExtSpec extends SparkSpec {
     assert(f0.byte_entropy > 0.0)
     assert(math.abs(f0.feature.map(_.toDouble).sum - 1.0) < 1e-5)
   }
+
+  test("multimodal: resize subsamples deterministically to target size") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    val out = Multimodal.resized(media, "media_id", "content", 16)
+      .collect().toMap
+    assert(out.size == 6)
+    assert(out.values.forall(_.length == 16))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resized(media, "media_id", "content", 16)
+      .collect().toMap
+    assert(out.keys.forall(k => out(k).sameElements(again(k))))
+    // short payloads pass through untouched
+    val tiny = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    assert(Multimodal.resized(tiny, "media_id", "content", 16)
+      .first()._2.sameElements(Array[Byte](1, 2, 3)))
+  }
+
+  test("multimodal: frameSample emits evenly-spaced distinct frames") {
+    // 64..127-byte payloads, 16-byte frames → 4-8 frames, sample 4
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val frames = Multimodal.frameSample(media, "content", 16, 4)
+      .select($"media_id", $"frame_idx", $"frame")
+      .as[(Long, Long, Array[Byte])].collect()
+    assert(frames.groupBy(_._1).forall(_._2.length == 4)) // nf>=k → k distinct
+    // frame content matches a direct slice of the payload
+    val m0 = Multimodal.syntheticMedia(spark, 5)
+      .filter($"media_id" === 0).select("content").first().getAs[Array[Byte]](0)
+    frames.filter(_._1 == 0L).foreach { case (_, idx, frame) =>
+      assert(frame.sameElements(
+        m0.slice(idx.toInt * 16, math.min(idx.toInt * 16 + 16, m0.length))))
+    }
+    // payload shorter than one frame still yields exactly one frame
+    val tiny = Seq((9L, Array[Byte](5, 6))).toDF("media_id", "content")
+    val tf = Multimodal.frameSample(tiny, "content", 16, 4)
+      .select($"frame_idx", $"frame").as[(Long, Array[Byte])].collect()
+    assert(tf.length == 1 && tf.head._1 == 0L &&
+      tf.head._2.sameElements(Array[Byte](5, 6)))
+  }
 }
