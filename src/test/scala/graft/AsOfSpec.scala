@@ -69,6 +69,57 @@ class AsOfSpec extends SparkSpec {
     assert(got == 1)
   }
 
+  test("asofJoin agrees with the brute-force definition on random data") {
+    // seeded RNG: deterministic, but dense key/ts collisions stress the
+    // tie-break path (ts drawn from just 20 values per key)
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300) { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        ts(f"2024-01-01 10:${rnd.nextInt(20)}%02d:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = Seq.tabulate(300) { i =>
+      (1000L + i, rnd.nextInt(8).toLong,
+        ts(f"2024-01-01 10:${rnd.nextInt(20)}%02d:00"), rnd.nextDouble())
+    }.toDF("click_id", "user_id", "ts", "v")
+
+    val got = AsOf.asofJoin(left, right, "user_id", "ts",
+        Seq("click_id", "v"), "click_id")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val ls = left.as[(Long, Long, Timestamp)].collect()
+    val rs = right.as[(Long, Long, Timestamp, Double)].collect()
+    ls.foreach { case (id, k, t) =>
+      val want = rs.filter(r => r._2 == k && !r._3.after(t))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+      assert(got(id) == want, s"event $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("bandedRangeJoin agrees with the naive theta join on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(200) { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        ts(f"2024-01-01 ${10 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = Seq.tabulate(200) { i =>
+      (1000L + i, rnd.nextInt(5).toLong,
+        ts(f"2024-01-01 ${10 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("rid", "user_id", "ts")
+
+    val got = AsOf.bandedRangeJoin(left, right, "user_id", "ts",
+        expr("INTERVAL 1 HOUR"), 3600L)
+      .select($"event_id", $"r_rid").as[(Long, Long)].collect().toSet
+
+    val want = (for {
+      (lid, lk, lt) <- left.as[(Long, Long, Timestamp)].collect()
+      (rid, rk, rt) <- right.as[(Long, Long, Timestamp)].collect()
+      if lk == rk && rt.after(lt) &&
+        rt.getTime <= lt.getTime + 3600L * 1000
+    } yield (lid, rid)).toSet
+    assert(got == want)
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
     val got = ev.agg(
