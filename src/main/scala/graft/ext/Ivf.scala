@@ -20,20 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def sqDistToCentroid(emb: Column, c: Seq[Double]): Column =
-    aggregate(
-      zip_with(emb, array(c.map(lit): _*), (x, w) => {
-        val dd = x.cast("double") - w; dd * dd
-      }),
-      lit(0.0), _ + _)
-
-  /** Index (0-based) of the nearest centroid: argmin over the literal
-    * centroid distance array (ties break to the lowest index —
-    * deterministic), fully inside codegen. */
-  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c => sqDistToCentroid(emb, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Index (0-based) of the nearest centroid (ties break to the lowest
+    * index — deterministic). `graft.functions.NearestCentroid` is a
+    * native expression with `doGenCode` — a k×dim primitive loop per row —
+    * where the HOF formulation (aggregate ∘ zip_with per centroid) would
+    * interpret its lambdas per element. */
+  def nearestCell(spark: org.apache.spark.sql.SparkSession, emb: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    graft.functions.VectorOps.nearestCentroid(spark, emb, centroids)
 
   /** Lloyd's k-means on the embedding column; returns k centroids. */
   def train(corpus: DataFrame, embCol: String, idCol: String, k: Int,
@@ -47,7 +41,7 @@ object Ivf {
       // nearestCell expression sat next to posexplode in one projection it
       // would be re-evaluated per exploded element (64x the work).
       val cells = corpus.select(col(idCol),
-        nearestCell(col(embCol), centroids).as("cell"))
+        nearestCell(corpus.sparkSession, col(embCol), centroids).as("cell"))
       val assigned = corpus
         .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
         .join(cells, idCol)
@@ -72,7 +66,8 @@ object Ivf {
   /** Cell assignment column for writing the corpus partitioned by cell. */
   def withCell(corpus: DataFrame, embCol: String,
       centroids: Seq[Seq[Double]]): DataFrame =
-    corpus.withColumn("cell", nearestCell(col(embCol), centroids))
+    corpus.withColumn("cell",
+      nearestCell(corpus.sparkSession, col(embCol), centroids))
 
   /** ANN search: exact cosine within the `nprobe` cells nearest the query. */
   def annTopK(corpus: DataFrame, embCol: String, idCol: String,
@@ -83,11 +78,11 @@ object Ivf {
       (d, i)
     }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
     val q = array(query.map(lit): _*)
+    graft.functions.VectorOps.register(corpus.sparkSession)
     withCell(corpus, embCol, centroids)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
       .select(col(idCol),
-        Similarity.cosine(transform(col(embCol), _.cast("double")), q)
-          .as("cosine"))
+        Similarity.cosineCodegen(col(embCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   * (bucket) instead of a cross product; recall is tuned by signature bits
   * and by probing neighboring buckets.
   *
-  * All arithmetic is done in double (embeddings cast up from float) with
-  * higher-order functions — codegen'd, no UDF.
+  * All arithmetic is done in double (embeddings cast up from float).
+  * Vector math runs through `graft.functions.VecDot`, a native Catalyst
+  * expression with `doGenCode` (a primitive loop per row) — the
+  * higher-order-function formulation (`aggregate(zip_with(...))`)
+  * interprets its lambda per element and never enters codegen. The HOF
+  * variants are kept for sessions without the registry entry.
   */
 object Similarity {
+  import graft.functions.VectorOps
 
-  /** Dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns (HOF fallback — see
+    * [[VectorOps.vecDot]] for the codegen path used by the operators). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
@@ -27,14 +33,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Codegen cosine (requires VectorOps.register on the session; handles
+    * float/double element mixes without a transform-cast pass). */
+  def cosineCodegen(a: Column, b: Column): Column =
+    VectorOps.vecDot(a, b) /
+      nullif(VectorOps.vecNorm(a) * VectorOps.vecNorm(b), lit(0.0))
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Exact top-k by cosine against one query vector (broadcast). */
   def topKCosine(corpus: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
+    VectorOps.register(corpus.sparkSession)
     val q = array(query.map(lit): _*)
     graft.core.Tables.spread(corpus).select(col(idCol),
-      cosine(asDouble(col(embCol)), q).as("cosine"))
+      cosineCodegen(col(embCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -47,11 +60,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: one bit per plane = sign of the
-    * projection. Same-bucket vectors are cosine-similar candidates. */
+    * projection. Same-bucket vectors are cosine-similar candidates.
+    * Projections run through the codegen `vec_dot` — callers must
+    * `VectorOps.register(spark)` first (every DataFrame-taking entry
+    * point in this object does). */
   def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
     concat_ws("", planes.map { p =>
       val plane = array(p.map(v => lit(v.toDouble)): _*)
-      when(dot(asDouble(emb), plane) > 0, "1").otherwise("0")
+      when(VectorOps.vecDot(emb, plane) > 0, "1").otherwise("0")
     }: _*)
 
   /** ANN top-k: restrict the exact cosine scan to the query's LSH bucket.
@@ -59,6 +75,7 @@ object Similarity {
     * the candidate read is a partition-pruned scan, not a full pass. */
   def annTopKCosine(corpus: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
+    VectorOps.register(corpus.sparkSession)
     val planes = hyperplanes(bits, query.size)
     val qBucket = planes.map(p =>
       if (p.zip(query).map { case (w, x) => w * x }.sum > 0) "1" else "0").mkString
@@ -66,7 +83,7 @@ object Similarity {
     graft.core.Tables.spread(corpus)
       .withColumn("bucket", lshBucket(col(embCol), planes))
       .filter(col("bucket") === qBucket)
-      .select(col(idCol), cosine(asDouble(col(embCol)), q).as("cosine"))
+      .select(col(idCol), cosineCodegen(col(embCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -75,16 +92,17 @@ object Similarity {
     * within buckets (equi-join), never across the full cross product. */
   def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,
       threshold: Double, bits: Int, dim: Int): DataFrame = {
+    VectorOps.register(corpus.sparkSession)
     val planes = hyperplanes(bits, dim)
     // Norms are computed ONCE per vector before the pair join (computing
     // cosine() per pair would re-derive both norms for every candidate —
-    // 3x the array folds); the join output is re-spread because AQE
+    // 3x the array passes); the join output is re-spread because AQE
     // coalesces the small bucket shuffle into few partitions, serializing
     // the per-pair dot products.
     val b = graft.core.Tables.spread(corpus).select(col(idCol),
       asDouble(col(embCol)).as("__e"),
       lshBucket(col(embCol), planes).as("bucket"))
-      .withColumn("__norm", norm(col("__e")))
+      .withColumn("__norm", VectorOps.vecNorm(col("__e")))
     val l = b.select(col("bucket"), col(idCol).as("a_id"),
       col("__e").as("a_emb"), col("__norm").as("a_norm"))
     val r = b.select(col("bucket"), col(idCol).as("b_id"),
@@ -92,7 +110,7 @@ object Similarity {
     val pairs = l.join(r, "bucket").filter(col("a_id") < col("b_id"))
     graft.core.Tables.spread(pairs)
       .select(col("a_id"), col("b_id"),
-        (dot(col("a_emb"), col("b_emb")) /
+        (VectorOps.vecDot(col("a_emb"), col("b_emb")) /
           nullif(col("a_norm") * col("b_norm"), lit(0.0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

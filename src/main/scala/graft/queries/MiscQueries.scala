@@ -177,7 +177,10 @@ object MiscQueries {
     // IVF ANN (rows-only: k-means training is not SQL-expressible in the
     // oracle; results are deterministic — seeded init, fixed iterations).
     Q.rowsOnly("x_sim_ivf_ann") { (s, d) =>
-      val corpus = t(s, d, "embeddings")
+      // train + search scan the corpus ~7 times; one persist serves all
+      // (at warehouse scale the trained index is written partitioned by
+      // cell instead — see Ivf scaladoc)
+      val corpus = t(s, d, "embeddings").persist()
       val centroids = graft.ext.Ivf.train(corpus, "embedding", "vec_id",
         k = 8, iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
