@@ -14,6 +14,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json goes FIRST: if the dump dies mid-way (host OOM /
+    // timeout) the driver can still compare every query that finished
+    writeOracles(outDir)
     // 4 concurrent dump jobs (SparkSession is thread-safe; jobs queue
     // FIFO) overlap per-query scheduling/commit gaps — roughly halves the
     // wall time of 59 serial single-partition writes
@@ -33,6 +36,10 @@ object Verify {
       scala.concurrent.Future.sequence(jobs),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    spark.stop()
+  }
+
+  private def writeOracles(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +55,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
