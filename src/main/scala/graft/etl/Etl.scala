@@ -100,4 +100,16 @@ object Etl {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
       mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCol).parquet(path)
+
+  /** Bucketed catalog-table write: rows hash-partitioned into `buckets`
+    * files by `key` and sorted within each. Two tables bucketed the same
+    * way join WITHOUT any exchange — the repeated fact⋈fact joins of the
+    * datamart layer pay their shuffle once at write time instead of per
+    * query, the decisive layout win at 100 TB (`ScaleSpec` asserts the
+    * exchange-free plan). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

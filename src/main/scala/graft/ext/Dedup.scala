@@ -144,6 +144,62 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over candidate pairs (the missing step between
+    * pairwise near-dup detection and dedup groups: A~B and B~C must land
+    * in ONE cluster even though (A,C) never surfaced as a pair). Returns
+    * (id, cluster_id) with cluster_id = the smallest member id.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors — one equi-join + one
+    * aggregation per round, all distributed, converging in O(component
+    * diameter) rounds. Near-dup clusters are shallow (dups of dups of one
+    * original), so a handful of rounds closes them; the round count is
+    * checked with a single count() action per round (one scalar to the
+    * driver, never the data). At larger diameters the classic large-star/
+    * small-star contraction halves round count — same join shape.
+    */
+  def clusterPairs(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist(MEMORY_AND_DISK)
+    // materialize NOW: the propagation rounds reference `edges` several
+    // times in one job, and an unmaterialized cache would re-run the
+    // (expensive) upstream pair pipeline once per reference
+    edges.count()
+    // one propagation round; carries the pre-round label as `prev` so the
+    // convergence check is a filter on the SAME materialization, not a
+    // second join-and-count pass
+    def round(l: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(l.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      l.select("id", "label").join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          col("label").as("prev"))
+    }
+    val init = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"), col("id").as("prev"))
+    // two rounds fused into the first materialized lineage: near-dup
+    // clusters are shallow, so the typical run converges here and pays
+    // exactly ONE driver action (the count) before the caller's job
+    var labels = round(round(init)).persist(MEMORY_AND_DISK)
+    var changed = labels.filter(col("label") =!= col("prev")).count()
+    var iter = 2
+    while (changed > 0 && iter < maxIter) {
+      val next = round(labels).persist(MEMORY_AND_DISK)
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the token set. Per-token 64-bit hash = first 16 hex

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.etl.TimeSeries
+
+/** Ordered-analytics widening (SURVEY §2.5 note: the reference
+  * approximates windows procedurally; these are the window shapes a
+  * year-grain territorial warehouse needs as first-class operators):
+  * moving frames, dense-series gap fill with forward fill, and
+  * wide↔long reshaping (the inverse of A6's pivot).
+  */
+object SeriesQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.load(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // Moving-frame window aggregates: 3-row trailing average + per-key
+    // first value. One shuffle (partition by key), sort within partition.
+    Q("w_moving_avg",
+      """SELECT o_custkey, o_orderkey,
+        |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-7, 2) AS mavg3,
+        |       round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey), 2) AS first_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          Fp.r(avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 2)
+            .as("mavg3"),
+          round(first("o_totalprice").over(w), 2).as("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Dense-series gap fill: every (customer, year) cell in the span,
+    // counts zero-filled, last seen yearly total carried forward.
+    Q("w_gap_fill",
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS y,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS tot
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT o_custkey, min(y) AS y0, max(y) AS y1 FROM per GROUP BY 1),
+        |grid AS (SELECT o_custkey, CAST(unnest(generate_series(y0, y1)) AS INT) AS y
+        |         FROM bounds),
+        |j AS (SELECT g.o_custkey, g.y, p.n, p.tot FROM grid g
+        |      LEFT JOIN per p ON g.o_custkey = p.o_custkey AND g.y = p.y)
+        |SELECT o_custkey, y, coalesce(n, 0) AS n_orders,
+        |       last_value(tot IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY y)
+        |         AS last_tot
+        |FROM j ORDER BY o_custkey, y""".stripMargin) { (s, d) =>
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"), Fp.moneySum(col("o_totalprice")).as("tot"))
+      TimeSeries.gapFill(per, "o_custkey", "y")
+        .select(col("o_custkey"), col("y"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          TimeSeries.ffill(col("tot"), "o_custkey", "y").as("last_tot"))
+        .orderBy("o_custkey", "y")
+    },
+
+    // Wide→long unpivot (inverse of A6's pivot; Spark `Dataset.unpivot`).
+    Q("a_unpivot",
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |         CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(Fp.moneySum(col("l_quantity")).as("sum_qty"),
+          Fp.moneySum(col("l_extendedprice")).as("sum_price"),
+          Fp.moneySum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+  )
+}

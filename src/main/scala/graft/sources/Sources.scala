@@ -67,11 +67,15 @@ object Sources {
         explode(col("c.codesPostaux")).as("code_postal"))
       .distinct()
 
-  /** S7/S9/S11 sinks: parquet/json/csv writers with mode control. */
+  /** S7/S9/S11 sinks: parquet/json/csv/orc writers with mode control. */
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -87,4 +87,24 @@ object Streams {
       watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  /** Stream-static enrichment: each micro-batch joins the (small) static
+    * dimension as a broadcast hash join — the streaming analogue of J5's
+    * broadcast dim-key lookup. No state, no watermark needed: the static
+    * side is re-planned per batch, so a dimension refresh is picked up
+    * without restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
+  /** Watermarked stream-stream interval join: right events within
+    * `withinSec` seconds AFTER the left event, per key. The time bound +
+    * watermark let Spark evict join state — without them stream-stream
+    * join state grows forever. Output carries `l`/`r` aliases; callers
+    * project. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, withinSec: Long): DataFrame =
+    left.withWatermark("ts", watermark).alias("l")
+      .join(right.withWatermark("ts", watermark).alias("r"),
+        expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
+          s"r.ts <= l.ts + interval $withinSec seconds"))
 }

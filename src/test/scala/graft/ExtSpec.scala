@@ -38,6 +38,18 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("clusterPairs closes transitive chains into one component") {
+    // chain 1-2-3-4-5 (diameter 4 — exercises the convergence loop past
+    // the fused warm rounds) plus a separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got.size == 7)
+  }
+
   test("simhash: identical texts agree, near-dups differ in few bits") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, String)].collect().toMap

@@ -42,6 +42,58 @@ class ScaleSpec extends SparkSpec {
     assert(buckets > 1)
   }
 
+  test("bloom prefilter prunes non-matching rows and preserves join results") {
+    val lineitem = graft.core.Tables.load(spark, sf001, "lineitem")
+    val hv = graft.core.Tables.load(spark, sf001, "orders")
+      .filter($"o_totalprice" > 300000).select("o_orderkey")
+    val pruned = graft.functions.BloomOps.prefilter(
+      lineitem, "l_orderkey", hv, "o_orderkey", expectedItems = 10000L)
+    // no false negatives: the exact join result is identical
+    val plain = lineitem.join(hv, $"l_orderkey" === $"o_orderkey").count()
+    val viaBloom = pruned.join(hv, $"l_orderkey" === $"o_orderkey").count()
+    assert(viaBloom == plain && plain > 0)
+    // and the prefilter actually pruned (few false positives on a selective
+    // build side)
+    assert(pruned.count() < lineitem.count() / 2)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = graft.core.Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.core.Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_mktsegment")
+    Etl.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    Etl.writeBucketed(customer, "b_customer", "c_custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() ==
+        orders.join(customer, $"o_custkey" === $"c_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("HLL sketch estimates land within 5% of exact distinct counts") {
+    val orders = graft.core.Tables.load(spark, sf001, "orders")
+    val exact = orders.select("o_custkey").distinct().count().toDouble
+    val est = orders.agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")))
+      .first().getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    // mergeability: union of per-year sketches ≈ the same estimate
+    val merged = orders.groupBy(year($"o_orderdate").as("y"))
+      .agg(hll_sketch_agg($"o_custkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .first().getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact < 0.05, s"merged=$merged exact=$exact")
+  }
+
   test("spread raises single-file scans to session parallelism") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     assume(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)

@@ -21,6 +21,12 @@ class SinksSpec extends SparkSpec {
     assert(j.filter($"id" === 2).first().getAs[Double]("v") == 2.5)
     val c = Sources.csv(spark, s"$root/c")
     assert(c.columns.toSeq == Seq("id", "name", "v") && c.count() == 2)
+    Sources.writeOrc(sample, s"$root/o")
+    val o = Sources.orc(spark, s"$root/o")
+    // files read back nullable; compare names + types
+    assert(o.schema.map(f => (f.name, f.dataType)) ==
+      sample.schema.map(f => (f.name, f.dataType)))
+    assert(o.count() == 2)
   }
 
   test("relational batch sink: saveAsTable + catalog read-back (S8)") {

@@ -82,4 +82,43 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(spark.table("dedup_out").count() == 2)
   }
+
+  test("stream-static enrichment matches the batch broadcast join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    graft.core.Tables.load(spark, sf001, "events")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq(("view", "browsing"), ("purchase", "buying"),
+      ("click", "browsing")).toDF("event_type", "activity")
+    val batchN = spark.read.parquet(dir).join(dim, "event_type").count()
+    val q = Streams.enrich(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      dim, "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("enrich_out").count() == batchN && batchN > 0)
+    assert(spark.table("enrich_out").columns.contains("activity"))
+  }
+
+  test("stream-stream interval join pairs events within the time bound") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ldir = java.nio.file.Files.createTempDirectory("graft-ssl").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-ssr").toString
+    Seq((1L, t("2024-01-01 00:00:00")), (2L, t("2024-01-01 01:00:00")))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(ldir)
+    Seq((1L, t("2024-01-01 00:05:00")),  // within 10 min of user 1's view
+      (1L, t("2024-01-01 00:30:00")),    // outside the bound
+      (2L, t("2024-01-01 01:01:00")))    // within for user 2
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(rdir)
+    def s(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Streams.intervalJoin(s(ldir), s(rdir), "user_id", "2 hours", 600L)
+      .select(col("l.user_id").as("user_id"), col("r.ts").as("r_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").select("user_id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
 }
