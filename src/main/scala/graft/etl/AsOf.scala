@@ -23,16 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** For each left row: the single right row with the greatest
-    * `(ts, tiebreak)` such that `right.ts <= left.ts` and keys match
-    * (left join semantics — unmatched left rows keep null payloads).
+  /** For each left row: the single right row nearest in time on the
+    * requested side — `backward` (default) takes the greatest
+    * `(ts, tiebreak)` with `right.ts <= left.ts`, `forward` the smallest
+    * with `right.ts >= left.ts` — keys matching, left join semantics
+    * (unmatched left rows keep null payloads).
     *
     * @param payload right-side columns to carry onto the left rows
     * @param tiebreak right-side column ordering rows with equal `ts`
     *                 (pass a unique id for deterministic output)
+    * @param direction "backward" | "forward"
+    * @param tolerance max |left.ts - right.ts| as an interval column
+    *                  (e.g. `expr("INTERVAL 1 HOUR")`); matches farther
+    *                  away yield null payloads, as in pandas merge_asof
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payload: Seq[String], tiebreak: String): DataFrame = {
+      payload: Seq[String], tiebreak: String,
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoin: unknown direction '$direction'")
     val leftCols = left.columns.toSeq
     // each side's columns travel as ONE struct through the union, so all
     // payload fields provably come from the SAME right row and no join-back
@@ -46,16 +56,26 @@ object AsOf {
     val l = left.select(col(key), col(ts), lit(1).as("__side"),
       lit(null).cast(r.schema("__r").dataType).as("__r"),
       struct(leftCols.map(col): _*).as("__l"))
-    // at equal ts, right (__side=0) sorts before left so `<=` matches;
-    // among equal right ts the greatest tiebreak lands nearest the left row
+    // at equal ts, right (__side=0) sorts before left so ties match; for
+    // `forward` the time axis is walked in reverse, turning the same
+    // carry-last-right-forward window into carry-next-right-backward.
+    // Among equal right ts the greatest tiebreak lands nearest the left row.
+    val tsOrd = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__side").asc, col(s"__r.$tiebreak").asc)
+      .orderBy(tsOrd, col("__side").asc, col(s"__r.$tiebreak").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(tol) if direction == "backward" =>
+        col(s"__m.$ts") >= col(ts) - tol
+      case Some(tol) => col(s"__m.$ts") <= col(ts) + tol
+    }
     l.unionByName(r)
       .withColumn("__m", last("__r", ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        payload.map(p => col(s"__m.$p").as(p)): _*)
+        payload.map(p =>
+          when(withinTol, col(s"__m.$p")).otherwise(lit(null)).as(p)): _*)
   }
 
   /** Equi-banded bounded range join: rows `(l, r)` with matching `key` and

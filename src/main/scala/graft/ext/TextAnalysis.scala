@@ -88,6 +88,35 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ")
       .cast("binary"))
 
+  /** Corpus TF-IDF: the top-k highest-scoring terms per document
+    * (tf x ln(N/df), lower-cased whitespace terms). Three aggregations
+    * over the exploded token table — term frequencies, document
+    * frequencies, corpus size (a broadcast scalar) — all map-side
+    * combined; no driver-side vocabulary. Scores are rounded to 4
+    * decimals BEFORE ranking so the top-k cut is reproducible across
+    * engines (ln differs in the last ulp between libms), with the
+    * term as tiebreak.
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Tables.spread(df)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      // +1e-7 before rounding: the engines' ln agree to far better than
+      // 1e-7, so both land on the same side of any half boundary
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("__n") / col("df")) + lit(1e-7), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** All features in one pass. */
   def withFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -83,6 +83,26 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus TF-IDF, top-3 terms per doc. Scores round to 4 decimals
+    // BEFORE ranking in both engines so the cut is reproducible.
+    Q("x_text_tfidf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($LTOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, round(tf * ln(n.n / df) + 1e-7, 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin) { (s, d) =>
+      TextAnalysis.tfidf(docs(s, d), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    },
+
     // ---- dedup -----------------------------------------------------------
     // Exact: one winner (min id) per content digest + group size.
     Q("x_dedup_exact",

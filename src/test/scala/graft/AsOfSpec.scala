@@ -96,6 +96,44 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("forward asofJoin agrees with the brute-force definition") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(300) { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        ts(f"2024-01-01 10:${rnd.nextInt(20)}%02d:00"))
+    }.toDF("event_id", "user_id", "ts")
+    val right = Seq.tabulate(300) { i =>
+      (1000L + i, rnd.nextInt(8).toLong,
+        ts(f"2024-01-01 10:${rnd.nextInt(20)}%02d:00"), rnd.nextDouble())
+    }.toDF("click_id", "user_id", "ts", "v")
+
+    val got = AsOf.asofJoin(left, right, "user_id", "ts",
+        Seq("click_id", "v"), "click_id", direction = "forward")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val ls = left.as[(Long, Long, Timestamp)].collect()
+    val rs = right.as[(Long, Long, Timestamp, Double)].collect()
+    ls.foreach { case (id, k, t) =>
+      // smallest ts >= left ts; at equal nearest ts the GREATEST tiebreak
+      // wins (same convention as backward)
+      val want = rs.filter(r => r._2 == k && !r._3.before(t))
+        .sortBy(r => (r._3.getTime, -r._1)).headOption.map(_._1)
+      assert(got(id) == want, s"event $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("asofJoin tolerance nulls matches farther than the bound") {
+    val got = AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("click_id"), "click_id",
+        tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(201L) == Some(100L)) // 10:00 click, 0 min away
+    assert(got(202L) == None)       // nearest click 30 min back > 10 min
+    assert(got(200L) == None && got(203L) == None)
+  }
+
   test("bandedRangeJoin agrees with the naive theta join on random data") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(200) { i =>
