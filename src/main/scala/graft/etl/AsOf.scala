@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** For each left row: the single right row nearest in time on the
-    * requested side — `backward` (default) takes the greatest
-    * `(ts, tiebreak)` with `right.ts <= left.ts`, `forward` the smallest
-    * with `right.ts >= left.ts` — keys matching, left join semantics
-    * (unmatched left rows keep null payloads).
+    * requested side — `backward` (default) takes the greatest `ts` with
+    * `right.ts <= left.ts`, `forward` the smallest `ts` with
+    * `right.ts >= left.ts` — keys matching, left join semantics
+    * (unmatched left rows keep null payloads). Among right rows with
+    * equal `ts`, the GREATEST `tiebreak` wins in both directions (it
+    * sorts nearest the left row in the window). Right rows with a null
+    * `ts` never match (merge_asof semantics); left rows with a null `ts`
+    * get null payloads.
     *
     * @param payload right-side columns to carry onto the left rows
     * @param tiebreak right-side column ordering rows with equal `ts`
@@ -47,9 +51,13 @@ object AsOf {
     // each side's columns travel as ONE struct through the union, so all
     // payload fields provably come from the SAME right row and no join-back
     // (with its second scan + shuffle) is needed afterwards
+    // null-ts right rows would sort first (asc nulls-first) and be carried
+    // as the "latest" match for left rows with no true predecessor —
+    // brute-force asof (r.ts <= l.ts) excludes them, so drop them here too
+    val rightNonNull = right.filter(col(ts).isNotNull)
     val rstruct = struct(
-      (Seq(ts, tiebreak) ++ payload).distinct.map(right(_)): _*)
-    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      (Seq(ts, tiebreak) ++ payload).distinct.map(rightNonNull(_)): _*)
+    val r = rightNonNull.select(col(key), col(ts), lit(0).as("__side"),
       rstruct.as("__r"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*))
         .schema.head.dataType).as("__l"))
@@ -70,12 +78,14 @@ object AsOf {
         col(s"__m.$ts") >= col(ts) - tol
       case Some(tol) => col(s"__m.$ts") <= col(ts) + tol
     }
+    // left rows with a null ts have no defined "nearest" row: null payloads
+    val matched = col(ts).isNotNull && withinTol
     l.unionByName(r)
       .withColumn("__m", last("__r", ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         payload.map(p =>
-          when(withinTol, col(s"__m.$p")).otherwise(lit(null)).as(p)): _*)
+          when(matched, col(s"__m.$p")).otherwise(lit(null)).as(p)): _*)
   }
 
   /** Equi-banded bounded range join: rows `(l, r)` with matching `key` and
@@ -86,10 +96,27 @@ object AsOf {
     *              column, e.g. `expr("INTERVAL 1 HOUR")`
     * @param bucketSeconds band size in seconds; MUST be >= the interval
     *                      width in seconds so each right row lands in at
-    *                      most two candidate bands
+    *                      most two candidate bands. Enforced when `width`
+    *                      is a literal interval (the common case); a
+    *                      non-literal width that exceeds the band size
+    *                      SILENTLY DROPS matches beyond the b-1 band —
+    *                      callers passing computed widths must size
+    *                      `bucketSeconds` to the maximum possible width
     */
   def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
       ts: String, width: Column, bucketSeconds: Long): DataFrame = {
+    // probe the width on one row (epoch + width, as epoch seconds); a
+    // width that isn't row-independent fails the probe and skips the guard
+    val widthSeconds: Option[Double] = scala.util.Try {
+      left.sparkSession.range(1)
+        .select((to_timestamp(lit("1970-01-01 00:00:00")) + width)
+          .cast("double"))
+        .first().getDouble(0)
+    }.toOption
+    widthSeconds.foreach(ws => require(bucketSeconds >= ws,
+      s"bandedRangeJoin: bucketSeconds=$bucketSeconds is smaller than the " +
+        s"interval width (${ws}s) — rows beyond the adjacent band would be " +
+        "silently dropped; pass bucketSeconds >= the width in seconds"))
     def bucket(c: Column): Column =
       floor(unix_timestamp(c) / lit(bucketSeconds))
     val l = left.withColumn("__band", bucket(col(ts)))

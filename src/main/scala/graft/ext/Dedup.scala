@@ -57,12 +57,18 @@ object Dedup {
     array_min(transform(set,
       t => substring(md5(concat(lit(s"$seed:"), t).cast("binary")), 1, 16)))
 
-  /** k-wide signature as individual columns mh0..mh{k-1}. */
+  /** k-wide signature as individual columns mh0..mh{k-1}, via the fused
+    * per-row [[graft.functions.MinHashSig]] codegen expression (one string
+    * pass + k·|shingles| md5 calls — no interpreted lambdas, no shuffle).
+    * Docs with fewer than `shingleN` tokens are dropped (no signature). */
   def withMinhashSignature(df: DataFrame, textCol: String, k: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    val withSh = df.withColumn("__sh", shingles(col(textCol), shingleN))
-    (0 until k).foldLeft(withSh)((d, i) =>
-      d.withColumn(s"mh$i", minhash(col("__sh"), i))).drop("__sh")
+    graft.functions.MinHashSig.register(df.sparkSession, shingleN, k)
+    val sig = graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
+    df.withColumn("__m", sig)
+      .filter(col("__m").isNotNull)
+      .withColumns((0 until k).map(i => s"mh$i" -> col("__m.sig")(i)).toMap)
+      .drop("__m")
   }
 
   /** LSH band value: digest of `rowsPerBand` adjacent signature columns.
@@ -72,66 +78,52 @@ object Dedup {
 
   /** Candidate near-duplicate pairs (aId < bId) from banded minhash
     * signatures, with exact shingle-set Jaccard computed per candidate
-    * pair. The heavy lifting is an equi-join on band value — shuffle
-    * partitioned by bucket, never all-pairs. Docs shorter than one shingle
-    * are excluded (they have no signature). */
+    * pair. Docs shorter than one shingle are excluded (no signature).
+    *
+    * Shape at scale: signatures + distinct-shingle sets come from ONE
+    * fused per-row codegen pass ([[graft.functions.MinHashSig]] — no
+    * shuffle, no interpreted lambdas); the only wide operations are the
+    * band equi-join (shuffle carries (id, 16-byte band digest) rows, never
+    * all-pairs) and the two id-joins that fetch shingle sets for the few
+    * surviving candidates. Exact Jaccard is a per-pair array intersection
+    * on those candidates only. The signature table is persisted because
+    * band join + both Jaccard fetches read it; at warehouse scale it is
+    * written to a table once and reused across dedup runs. */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 2, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // The distinct-shingle table (id, shingle) is THE working set: persist
-    // it once (at warehouse scale: materialize to a table) and everything
-    // else — signatures, sizes, candidate pairs, exact Jaccard — derives
-    // from it via codegen'd joins/aggregations. No per-row interpreted
-    // array transforms in the hot path, and the band shuffle carries only
-    // (id, 16-char band digest) rows.
-    // Shingles are built from exploded tokens + lead() windows instead of
-    // per-row array lambdas: posexplode and window-lead are engine-native
-    // (the interpreted `transform(sequence(...))` lambda measured ~10x
-    // slower), and the token rows are exactly the shape the signature
-    // aggregation wants next.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("__pos")
-    val exploded = graft.core.Tables.spread(df)
+    graft.functions.MinHashSig.register(df.sparkSession, shingleN, k)
+    val sig = graft.core.Tables.spread(df)
       .select(col(idCol),
-        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("__pos", "__t")))
-      .select(col(idCol), concat_ws(" ",
-        (0 until shingleN).map(j => lead(col("__t"), j).over(w)): _*).as("__s"),
-        lead(col("__t"), shingleN - 1).over(w).isNotNull.as("__full"))
-      .filter(col("__full")) // drop ragged tail windows (and <n-token docs)
-      .select(col(idCol), col("__s")).distinct()
+        graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col(idCol), col("__m.sig").as("__sig"),
+        col("__m.dsh").as("__dsh"), col("__m.n_shingles").as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one aggregation pass: 8 minhashes + the set size (map-side combined)
-    val mhAggs = (0 until k).map(i =>
-      min(substring(md5(concat(lit(s"$i:"), col("__s")).cast("binary")), 1, 16))
-        .as(s"mh$i")) :+ count(lit(1)).as("__n")
-    val sig = exploded.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
     // long-format (id, bandIdx, bandVal) so one equi-join covers all bands
     val long = sig.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandValue(
-        (0 until rows).map(r => col(s"mh${b * rows + r}")))): _*))
+        (0 until rows).map(r => col("__sig")(b * rows + r)))): _*))
         .as(Seq("band_idx", "band_val")))
     val cand = long.select(col(idCol).as("a_id"), col("band_idx"), col("band_val"))
       .join(long.select(col(idCol).as("b_id"), col("band_idx"), col("band_val")),
         Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // Exact Jaccard for the (few) candidates from the exploded table:
-    // |A∩B| = matches of b-side shingles against a-side shingles per pair.
-    val inter = cand
-      .join(exploded.select(col(idCol).as("a_id"), col("__s")), "a_id")
-      .join(exploded.select(col(idCol).as("b_id"), col("__s")), Seq("b_id", "__s"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
-    val sizes = sig.select(col(idCol), col("__n"))
+    // exact Jaccard per candidate: |A∩B| via native array_intersect on the
+    // two fetched distinct-shingle sets
     cand
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "a_id", "__n" -> "__na")), "a_id")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "b_id", "__n" -> "__nb")), "b_id")
+      .join(sig.select(col(idCol).as("a_id"), col("__dsh").as("__da"),
+        col("__n").as("__na")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("__dsh").as("__db"),
+        col("__n").as("__nb")), "b_id")
+      .withColumn("__inter", size(array_intersect(col("__da"), col("__db"))).cast("long"))
       .select(col("a_id"), col("b_id"),
-        (coalesce(col("__inter"), lit(0L)).cast("double") /
-          nullif(col("__na") + col("__nb") - coalesce(col("__inter"), lit(0L)),
-            lit(0L))).as("jaccard"))
+        (col("__inter").cast("double") /
+          nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
+          .as("jaccard"))
   }
 
   /** Near-dup removal: drop the higher id of every candidate pair whose
@@ -157,12 +149,24 @@ object Dedup {
     * checked with a single count() action per round (one scalar to the
     * driver, never the data). At larger diameters the classic large-star/
     * small-star contraction halves round count — same join shape.
+    *
+    * Runs to the fix point; `maxIter` is a safety rail against adversarial
+    * diameters and THROWS when exceeded rather than silently returning
+    * split clusters (correctness is the operator's whole point). The
+    * returned frame is locally checkpointed so callers get converged
+    * labels without holding the iteration's cached lineage — its storage
+    * is reclaimed by the context cleaner once the result is dropped.
     */
   def clusterPairs(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 10): DataFrame = {
+      bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE pass over `pairs` (explode, not
+    // union-of-self: the input is typically an expensive un-cached pipeline
+    // — LSH candidate generation — and a self-union evaluates it twice)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().persist(MEMORY_AND_DISK)
     // materialize NOW: the propagation rounds reference `edges` several
     // times in one job, and an unmaterialized cache would re-run the
@@ -196,8 +200,17 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterPairs: min-label propagation did not converge in $maxIter " +
+          "rounds (component diameter exceeds the safety rail); raise " +
+          "maxIter or switch to large-star/small-star contraction")
+    // hand back converged labels without the iteration's cached lineage
+    val out = labels.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    out
   }
 
   // ---- SimHash -----------------------------------------------------------

@@ -39,8 +39,6 @@ object Similarity {
     VectorOps.vecDot(a, b) /
       nullif(VectorOps.vecNorm(a) * VectorOps.vecNorm(b), lit(0.0))
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
   /** Exact top-k by cosine against one query vector (broadcast). */
   def topKCosine(corpus: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
@@ -98,9 +96,11 @@ object Similarity {
     // cosine() per pair would re-derive both norms for every candidate —
     // 3x the array passes); the join output is re-spread because AQE
     // coalesces the small bucket shuffle into few partitions, serializing
-    // the per-pair dot products.
+    // the per-pair dot products. Float arrays stay float end-to-end:
+    // vec_dot widens per element in its codegen loop, and the pair join
+    // shuffles half the bytes a transform-cast to double would carry.
     val b = graft.core.Tables.spread(corpus).select(col(idCol),
-      asDouble(col(embCol)).as("__e"),
+      col(embCol).as("__e"),
       lshBucket(col(embCol), planes).as("bucket"))
       .withColumn("__norm", VectorOps.vecNorm(col("__e")))
     val l = b.select(col("bucket"), col(idCol).as("a_id"),

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -75,6 +76,20 @@ case class VecDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // vec_dot is registered session-wide as SQL: without this check, an
+  // array<int>/array<string> argument would read element slots through
+  // getFloat/getDouble and silently return garbage instead of failing
+  // analysis.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOpsImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloatArr(left), isFloatArr(right))
@@ -106,6 +121,12 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
+  }
 
   override def nullSafeEval(v: Any): Any =
     VectorOpsImpl.nearestCentroid(v.asInstanceOf[ArrayData], matrix,

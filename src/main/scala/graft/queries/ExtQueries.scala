@@ -69,17 +69,35 @@ object ExtQueries {
          |    AS quality,
          |  fingerprint
          |FROM feat ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t = col("text")
-      docsSpread(s, d).select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.bpeTokenEstimate(t).as("n_tokens_bpe_est"),
-        Fp.r(TextAnalysis.typeTokenRatio(t), 4).as("type_token_ratio"),
-        Fp.r(TextAnalysis.punctRatio(t), 4).as("punct_ratio"),
-        Fp.r(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"),
-        Fp.r(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"),
-        TextAnalysis.langId(t).as("lang_pred"),
-        Fp.r(TextAnalysis.qualityScore(t), 4).as("quality"),
-        TextAnalysis.fingerprint(t).as("fingerprint"))
+      // all features from ONE fused per-row pass (graft.functions.TextStats);
+      // the arithmetic below mirrors the oracle's CASE/ratio shapes exactly
+      graft.functions.TextStats.register(s)
+      val st = docsSpread(s, d)
+        .withColumn("__st", graft.functions.TextStats.textStats(col("text")))
+      val nt = col("__st.n_tokens")
+      val ttr = col("__st.n_distinct").cast("double") / nullif(nt, lit(0))
+      val pr = col("__st.n_punct").cast("double") / nullif(col("__st.n_chars"), lit(0))
+      val sr = col("__st.h_en").cast("double") / nullif(nt, lit(0))
+      val hs = Seq("de", "en", "es", "fr").map(l => col(s"__st.h_$l"))
+      val g = greatest(hs: _*)
+      val langPred = when(g === 0, "und")
+        .when(hs(0) === g, "de").when(hs(1) === g, "en")
+        .when(hs(2) === g, "es").otherwise("fr")
+      val quality = least(nt / lit(50.0), lit(1.0)) * 0.3 +
+        greatest(lit(1.0) - pr * 5, lit(0.0)) * 0.2 +
+        coalesce(ttr, lit(0.0)) * 0.3 +
+        least(coalesce(sr, lit(0.0)) * 5, lit(1.0)) * 0.2
+      st.select(col("doc_id"), col("lang"),
+        nt.as("n_tokens"),
+        col("__st.bpe_est").as("n_tokens_bpe_est"),
+        Fp.r(ttr, 4).as("type_token_ratio"),
+        Fp.r(pr, 4).as("punct_ratio"),
+        Fp.r(col("__st.sum_len").cast("double") / nullif(nt, lit(0)), 4)
+          .as("mean_word_len"),
+        Fp.r(sr, 4).as("stopword_ratio"),
+        langPred.as("lang_pred"),
+        Fp.r(quality, 4).as("quality"),
+        col("__st.fingerprint").as("fingerprint"))
         .orderBy("doc_id")
     },
 
@@ -122,9 +140,8 @@ object ExtQueries {
          |SELECT doc_id,
          |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
          |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Dedup.withMinhashSignature(
-        docsSpread(s, d).filter(size(TextAnalysis.tokens(lower(col("text")))) >= 3),
-        "text", 8)
+      // the <3-token filter is built into the signature expression (null)
+      Dedup.withMinhashSignature(docsSpread(s, d), "text", 8)
         .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
         .orderBy("doc_id")
     },
@@ -163,12 +180,15 @@ object ExtQueries {
     // Bottom-k (KMV) sketch per group via the custom TypedImperativeAggregate
     // — bounded-memory alternative to sort(collect_list())[0:k].
     Q("x_dedup_bottomk_sketch",
-      """SELECT source, (list_sort(list(md5(text))))[1:4] AS sketch
+      """SELECT source, array_to_string((list_sort(list(md5(text))))[1:4], ',') AS sketch
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       graft.functions.BottomK.register(s)
+      // joined to one string: the driver's pandas-side compare can't sort
+      // rows on a raw array column (unhashable ndarray)
       docs(s, d).groupBy("source")
-        .agg(graft.functions.BottomK.bottomK(md5(col("text").cast("binary")), 4)
-          .as("sketch"))
+        .agg(array_join(
+          graft.functions.BottomK.bottomK(md5(col("text").cast("binary")), 4),
+          ",").as("sketch"))
         .orderBy("source")
     },
 
@@ -189,7 +209,9 @@ object ExtQueries {
         |SELECT doc_id,
         |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_idx) AS simhash
         |FROM acc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      docsSpread(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      graft.functions.SimHash64.register(s)
+      docsSpread(s, d).select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -208,13 +230,15 @@ object ExtQueries {
         |FROM e JOIN q ON e.i = q.i
         |GROUP BY e.vec_id ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin) {
       (s, d) =>
+        // codegen vec_dot directly on the float arrays — the HOF cosine over
+        // transform-cast arrays interprets every element
+        graft.functions.VectorOps.register(s)
         val corpus = embs(s, d)
-        val q = corpus.filter(col("vec_id") === 0)
-          .select(transform(col("embedding"), _.cast("double")).as("q"))
-        val qv = array(q.first().getSeq[Double](0).map(lit): _*)
-        corpus.select(col("vec_id"),
-          Fp.r(Similarity.cosine(
-            transform(col("embedding"), _.cast("double")), qv), 4).as("cosine"))
+        val qv = corpus.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+        val q = array(qv.map(lit): _*)
+        Tables.spread(corpus).select(col("vec_id"),
+          Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id")).limit(20)
     },
   )

@@ -165,12 +165,12 @@ object MiscQueries {
       val qBucket = planes.map(p =>
         if (p.zip(qv).map { case (w, x) => x * w }.sum > 0) "1" else "0").mkString
       val q = array(qv.map(lit): _*)
+      graft.functions.VectorOps.register(s)
       corpus
         .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
         .filter(col("bucket") === qBucket)
         .select(col("vec_id"),
-          Fp.r(Similarity.cosine(
-            transform(col("embedding"), _.cast("double")), q), 4).as("cosine"))
+          Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     },
 

@@ -41,10 +41,50 @@ object ScaleQueries {
 
     // Near-dup clusters: LSH candidate pairs → connected components →
     // dedup groups (A~B, B~C land in one cluster even though (A,C) never
-    // surfaced as a pair). Rows-only: min-label propagation to a fixed
-    // point is iterative and not single-statement SQL; determinism comes
-    // from md5-derived signatures and min-id labels.
-    Q.rowsOnly("x_dedup_clusters") { (s, d) =>
+    // surfaced as a pair). Spark runs min-label propagation to the fix
+    // point; the oracle reproduces it as a recursive-CTE transitive
+    // closure over the same md5-derived candidate pairs (cluster_id = the
+    // smallest reachable member id — identical by construction).
+    Q("x_dedup_clusters", {
+      val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+      val SHINGLES = "list_transform(range(len(ltoks)-2), " +
+        "i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+      def mh(src: String, seed: Int) =
+        s"list_min(list_transform($src, t -> substr(md5('$seed:'||t),1,16)))"
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mh("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM jac
+         |  WHERE CAST(inter AS DOUBLE) / nullif(tot - inter, 0) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(max(id) AS BIGINT) AS max_doc
+         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    }) { (s, d) =>
       val pairs = Dedup.nearDupPairs(
         t(s, d, "documents"), "text", "doc_id").filter(col("jaccard") >= 0.8)
       Dedup.clusterPairs(pairs)
