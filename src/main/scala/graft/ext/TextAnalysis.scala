@@ -100,9 +100,14 @@ object TextAnalysis {
   def tfidf(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.core.Tables.spread(df)
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // per-doc term counts come out of the fused TermFreqs row pass
+    // already aggregated: no (doc, token-occurrence) shuffle at all —
+    // the first wide operation is the (much smaller) df aggregation
+    graft.functions.TermFreqs.register(df.sparkSession)
+    val tf = graft.core.Tables.spread(df)
+      .select(col(idCol),
+        explode(graft.functions.TermFreqs.termFreqs(col(textCol))))
+      .select(col(idCol), col("key").as("term"), col("value").cast("long").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val scored = tf.join(dfreq, "term")

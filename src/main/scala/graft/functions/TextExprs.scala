@@ -231,6 +231,36 @@ object TextExprsImpl {
       new GenericArrayData(dsh.toArray())))
   }
 
+  /** Per-document term frequencies over the lowercase token stream, as a
+    * map<term, count> — the map-side half of TF-IDF fused into the row
+    * pass, so the engine shuffles one pre-aggregated (doc, term, tf) row
+    * per DISTINCT term instead of one row per token occurrence. */
+  def termFreqs(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val low = s.toLowerCase
+    val b = low.getBytes
+    val (spans, nTok) = tokenSpans(b)
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var t = 0
+    while (t < nTok) {
+      val tok = UTF8String.fromBytes(b, spans(2 * t), spans(2 * t + 1) - spans(2 * t))
+      val c = counts.get(tok)
+      counts.put(tok, if (c == null) 1 else c + 1)
+      t += 1
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue.intValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** 64-bit SimHash over the distinct lowercase token set, as a 64-char bit
     * string: bit b of md5(token)'s first 8 bytes votes +1/-1; sign wins. */
   def simhash(s: UTF8String): UTF8String = {
@@ -335,6 +365,30 @@ object MinHashSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       s"minhash_sig_${shingleN}_$k",
       exprs => MinHashSig(exprs.head, shingleN, k), "built-in")
+}
+
+/** Per-row term-frequency map (see [[TextExprsImpl.termFreqs]]). */
+case class TermFreqs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+  override def prettyName: String = "term_freqs"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    TextExprsImpl.termFreqs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprsImpl.termFreqs($c)")
+  override protected def withNewChildInternal(c: Expression): TermFreqs = copy(c)
+}
+
+object TermFreqs {
+  def termFreqs(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("term_freqs", c)
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "term_freqs", exprs => TermFreqs(exprs.head), "built-in")
 }
 
 /** Per-row 64-bit SimHash bit string (see [[TextExprsImpl.simhash]]). */

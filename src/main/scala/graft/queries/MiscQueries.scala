@@ -191,6 +191,54 @@ object MiscQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     },
 
+    // k-NN join: top-3 cosine neighbors for EVERY vector, candidates
+    // restricted to the vector's LSH bucket (the all-pairs kNN shape at
+    // scale: bucket equi-join + per-key top-k, never a cross product).
+    // Cosines round to 4 decimals BEFORE ranking so the cut is
+    // reproducible across engines.
+    Q("x_sim_knn_join", {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketExpr = planesSql(planes).mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |pr AS (SELECT a.vec_id AS vec_id, bb.vec_id AS nbr_id,
+         |              a.embedding AS a_emb, bb.embedding AS b_emb
+         |       FROM b a JOIN b bb
+         |         ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+         |fl AS (SELECT vec_id, nbr_id,
+         |              CAST(unnest(a_emb) AS DOUBLE) AS av,
+         |              CAST(unnest(b_emb) AS DOUBLE) AS bv
+         |       FROM pr),
+         |cs AS (SELECT vec_id, nbr_id,
+         |              round(sum(av * bv) / nullif(sqrt(sum(av * av)) * sqrt(sum(bv * bv)), 0) + 1e-7, 4) AS cosine
+         |       FROM fl GROUP BY vec_id, nbr_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cosine DESC, nbr_id) AS rn FROM cs)
+         |SELECT vec_id, nbr_id, cosine, CAST(rn AS INT) AS rank
+         |FROM rk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
+    }) { (s, d) =>
+      graft.functions.VectorOps.register(s)
+      import graft.functions.VectorOps
+      val planes = Similarity.hyperplanes(4, 64)
+      // norms once per vector before the pair join (not per pair)
+      val b = Tables.spread(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+        .withColumn("__norm", VectorOps.vecNorm(col("embedding")))
+      val l = b.select(col("bucket"), col("vec_id"),
+        col("embedding").as("__a"), col("__norm").as("__an"))
+      val r = b.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("embedding").as("__b"), col("__norm").as("__bn"))
+      val cs = l.join(r, "bucket").filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          Fp.r(VectorOps.vecDot(col("__a"), col("__b")) /
+            nullif(col("__an") * col("__bn"), lit(0.0)), 4).as("cosine"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("nbr_id"))
+      cs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("vec_id", "rank")
+    },
+
     // Embedding near-dup pairs inside LSH buckets (threshold on raw cosine).
     Q("x_emb_neardup", {
       val planes = Similarity.hyperplanes(4, 64)

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
+import graft.etl.Skew
 import graft.ext.Dedup
 import graft.functions.BloomOps
 
@@ -91,6 +93,47 @@ object ScaleQueries {
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
         .orderBy("cluster_id")
+    },
+
+    // Salted two-phase aggregation: l_returnflag has 3 values over the
+    // whole fact table — the extreme-skew groupBy shape. Phase 1 splits
+    // each key across 16 salts, phase 2 merges partials; the oracle is the
+    // PLAIN aggregation because salting is semantics-preserving (that
+    // equivalence is the property under test). Decimal money sums make the
+    // two-phase total exactly order-independent.
+    Q("a_salted_agg",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Skew.saltedAgg(t(s, d, "lineitem"), Seq("l_returnflag"),
+        det = col("l_orderkey"), salts = 16,
+        aggs = Seq(count(lit(1)).as("__n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("__rev")),
+        merges = Seq(sum("__n").as("n"),
+          round(sum("__rev"), 2).cast("double").as("revenue")))
+        .orderBy("l_returnflag")
+    },
+
+    // Salted replicate-join: the big side salts deterministically, the
+    // 3-row dim replicates to every salt, the join runs on (key, salt) —
+    // a heavy key fans across 8 tasks instead of one straggler. Oracle is
+    // the plain join (identical output by construction).
+    Q("j_salted_join",
+      """WITH dim(flag, label) AS (VALUES ('A','accepted'),('N','neutral'),('R','returned'))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM lineitem JOIN dim ON l_returnflag = flag
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dim = Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
+        .toDF("flag", "label")
+      Skew.saltedJoin(t(s, d, "lineitem"), dim, "l_returnflag", "flag",
+        det = col("l_orderkey"), salts = 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 4))), 2)
+            .cast("double").as("qty"))
+        .orderBy("label")
     },
 
     // Mergeable distinct-count sketches (HLL): per-year customer sketches

@@ -110,6 +110,19 @@ class TextExprsSpec extends SparkSpec {
       assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}"))
   }
 
+  test("TermFreqs agrees with explode-then-count") {
+    graft.functions.TermFreqs.register(spark)
+    val got = corpus.select($"doc_id",
+      explode(graft.functions.TermFreqs.termFreqs($"text")))
+      .select($"doc_id", $"key", $"value")
+      .as[(Long, String, Int)].collect().toSet
+    val exp = corpus.select($"doc_id",
+      explode(TextAnalysis.tokens(lower($"text"))).as("key"))
+      .groupBy($"doc_id", $"key").agg(count(lit(1)).cast("int").as("value"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == exp)
+  }
+
   test("null text yields null outputs, not a crash") {
     TextStats.register(spark); SimHash64.register(spark)
     MinHashSig.register(spark, 3, 8)
