@@ -87,10 +87,25 @@ object RlsInjectionRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RlsInjectionRule(session))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("accent_fold"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          "graft.functions.AccentFold", "accent_fold"),
-        (exprs: Seq[Expression]) => graft.functions.AccentFold(exprs.head)))
+    def fn(name: String, clazz: String,
+        builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            clazz, name),
+          builder))
+    fn("accent_fold", "graft.functions.AccentFold",
+      exprs => graft.functions.AccentFold(exprs.head))
+    fn("vec_dot", "graft.functions.VecDot",
+      exprs => graft.functions.VecDot(exprs.head, exprs(1)))
+    fn("text_stats", "graft.functions.TextStats",
+      exprs => graft.functions.TextStats(exprs.head))
+    fn("simhash64", "graft.functions.SimHash64",
+      exprs => graft.functions.SimHash64(exprs.head))
+    fn("term_freqs", "graft.functions.TermFreqs",
+      exprs => graft.functions.TermFreqs(exprs.head))
+    // default MinHash geometry (3-word shingles, 8 hashes)
+    fn("minhash_sig_3_8", "graft.functions.MinHashSig",
+      exprs => graft.functions.MinHashSig(exprs.head, 3, 8))
   }
 }

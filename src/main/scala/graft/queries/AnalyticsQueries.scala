@@ -110,6 +110,29 @@ object AnalyticsQueries {
 
     // ---- ranking suite (rank/dense_rank/percent_rank over a tied order,
     // ntile/row_number over a total order — deterministic either way) ----
+    // ---- second-moment statistics (corr/covar/stddev/var): one grouped
+    // pass, all algebraic (partial-aggregable), rounded for FP parity ----
+    Q("a_stats_suite",
+      s"""SELECT l_returnflag,
+         |  ${Fp.rSql("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
+         |  ${Fp.rSql("covar_samp(l_quantity, l_extendedprice)", 2)} AS covar_qty_price,
+         |  ${Fp.rSql("stddev_samp(l_quantity)", 4)} AS sd_qty,
+         |  ${Fp.rSql("var_samp(l_quantity)", 4)} AS var_qty,
+         |  ${Fp.rSql("skewness(l_quantity)", 4)} AS skew_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(
+            Fp.r(corr(col("l_quantity"), col("l_extendedprice")), 4)
+              .as("corr_qty_price"),
+            Fp.r(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("covar_qty_price"),
+            Fp.r(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            Fp.r(var_samp(col("l_quantity")), 4).as("var_qty"),
+            Fp.r(skewness(col("l_quantity")), 4).as("skew_qty"))
+          .orderBy("l_returnflag")
+    },
+
     Q("w_rank_ntile",
       """SELECT o_orderkey, o_orderstatus,
         |       CAST(rank() OVER wt AS INT) AS rnk,
