@@ -65,10 +65,12 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     graft.functions.MinHashSig.register(df.sparkSession, shingleN, k)
     val sig = graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
+    // one ordered projection (NOT withColumns(Map), whose hash-map iteration
+    // order would scramble the mh0..mh{k-1} schema order for k > 4)
     df.withColumn("__m", sig)
       .filter(col("__m").isNotNull)
-      .withColumns((0 until k).map(i => s"mh$i" -> col("__m.sig")(i)).toMap)
-      .drop("__m")
+      .select(df.columns.map(col) ++
+        (0 until k).map(i => col("__m.sig")(i).as(s"mh$i")): _*)
   }
 
   /** LSH band value: digest of `rowsPerBand` adjacent signature columns.

@@ -111,7 +111,11 @@ object AnalyticsQueries {
     // ---- ranking suite (rank/dense_rank/percent_rank over a tied order,
     // ntile/row_number over a total order — deterministic either way) ----
     // ---- second-moment statistics (corr/covar/stddev/var): one grouped
-    // pass, all algebraic (partial-aggregable), rounded for FP parity ----
+    // pass, all algebraic (partial-aggregable), rounded for FP parity.
+    // Skewness definitions differ by engine: Spark computes population g1
+    // (m3/m2^1.5), DuckDB bias-corrected SAMPLE skewness G1. Convert
+    // explicitly — G1 = g1 * sqrt(n(n-1))/(n-2) — instead of relying on
+    // large groups to shrink the correction below the rounding epsilon. --
     Q("a_stats_suite",
       s"""SELECT l_returnflag,
          |  ${Fp.rSql("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
@@ -129,7 +133,14 @@ object AnalyticsQueries {
               .as("covar_qty_price"),
             Fp.r(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
             Fp.r(var_samp(col("l_quantity")), 4).as("var_qty"),
-            Fp.r(skewness(col("l_quantity")), 4).as("skew_qty"))
+            skewness(col("l_quantity")).as("__g1"),
+            count(col("l_quantity")).as("__n"))
+          .select(col("l_returnflag"), col("corr_qty_price"),
+            col("covar_qty_price"), col("sd_qty"), col("var_qty"),
+            // n <= 2 → sample skewness undefined (DuckDB yields NULL)
+            when(col("__n") > 2,
+              Fp.r(col("__g1") * sqrt(col("__n") * (col("__n") - 1)) /
+                (col("__n") - 2), 4)).as("skew_qty"))
           .orderBy("l_returnflag")
     },
 
