@@ -105,15 +105,13 @@ object AsOf {
     */
   def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
       ts: String, width: Column, bucketSeconds: Long): DataFrame = {
-    // probe the width on one row (epoch + width, as epoch seconds); a
-    // width that isn't row-independent fails the probe and skips the guard
-    val widthSeconds: Option[Double] = scala.util.Try {
-      left.sparkSession.range(1)
-        .select((to_timestamp(lit("1970-01-01 00:00:00")) + width)
-          .cast("double"))
-        .first().getDouble(0)
-    }.toOption
-    widthSeconds.foreach(ws => require(bucketSeconds >= ws,
+    // Inspect the width on the driver — analysis + constant folding only,
+    // NO Spark job at plan-construction time. A constant interval (the
+    // common case) folds to a literal whose length bounds in seconds;
+    // anything non-constant skips the guard (the scaladoc hazard above
+    // applies).
+    widthUpperBoundSeconds(left.sparkSession, width).foreach(ws => require(
+      bucketSeconds >= ws,
       s"bandedRangeJoin: bucketSeconds=$bucketSeconds is smaller than the " +
         s"interval width (${ws}s) — rows beyond the adjacent band would be " +
         "silently dropped; pass bucketSeconds >= the width in seconds"))
@@ -129,5 +127,36 @@ object AsOf {
       l(key) === r(s"r_$key") && l("__band") === r("__band") &&
         r(s"r_$ts") > l(ts) && r(s"r_$ts") <= l(ts) + width)
       .drop("__band")
+  }
+
+  /** Upper bound (seconds) of a CONSTANT interval column, obtained on the
+    * driver by analyzing + constant-folding `width` against a one-row
+    * relation — never by running a job. `None` when the width isn't a
+    * constant interval (e.g. it references data columns — then folding
+    * yields no literal, or analysis fails, and ONLY `AnalysisException`
+    * is swallowed). Year-month components are bounded by 31-day months —
+    * conservative for the bucketSeconds guard (may reject a borderline
+    * config, never silently passes an undersized one). */
+  private[graft] def widthUpperBoundSeconds(
+      spark: org.apache.spark.sql.SparkSession,
+      width: Column): Option[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
+    import org.apache.spark.unsafe.types.CalendarInterval
+    try {
+      spark.range(1).select(width.as("__w"))
+        .queryExecution.optimizedPlan.expressions
+        .flatMap(_.collectFirst {
+          case Literal(iv: CalendarInterval, CalendarIntervalType) =>
+            iv.months * 31.0 * 86400 + iv.days * 86400.0 +
+              iv.microseconds / 1e6
+          case Literal(micros: Long, _: DayTimeIntervalType) =>
+            micros / 1e6
+          case Literal(months: Int, _: YearMonthIntervalType) =>
+            months * 31.0 * 86400
+        }).headOption
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 }

@@ -44,5 +44,7 @@ object AccentFold {
   /** SQL registration: `SELECT accent_fold(nom) FROM ...`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "accent_fold", exprs => AccentFold(exprs.head), "built-in")
+      "accent_fold",
+      FnReg.checked("accent_fold", 1)(exprs => AccentFold(exprs.head)),
+      "built-in")
 }

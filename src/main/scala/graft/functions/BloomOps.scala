@@ -29,13 +29,14 @@ object BloomOps {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bloom_filter_agg",
-      exprs => exprs.size match {
+      FnReg.checkedRange("bloom_filter_agg", 1, 3)(exprs => exprs.size match {
         case 1 => new BloomFilterAggregate(exprs.head)
         case 2 => new BloomFilterAggregate(exprs(0), exprs(1))
         case _ => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
-      }, "built-in")
+      }), "built-in")
     reg.createOrReplaceTempFunction("might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      FnReg.checked("might_contain", 2)(exprs =>
+        BloomFilterMightContain(exprs(0), exprs(1))), "built-in")
   }
 
   /** `large` rows whose `largeKey` might appear among `small`'s

@@ -105,8 +105,8 @@ object BottomK {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottom_k",
-      exprs => BottomKStrings(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      FnReg.checked("bottom_k", 2)(exprs => BottomKStrings(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())),
       "built-in")
 
   def bottomK(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =

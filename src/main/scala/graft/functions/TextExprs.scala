@@ -180,8 +180,12 @@ object TextExprsImpl {
     val dsh = new java.util.ArrayList[UTF8String]()
     val mins = Array.fill(k)(-1L) // unsigned max
     val md = java.security.MessageDigest.getInstance("MD5")
-    // reusable buffer: "<seed>:" prefix (seed < 100) + shingle bytes
-    var buf = new Array[Byte](64)
+    // reusable buffer: "<seed>:" prefix + shingle bytes. The prefix
+    // region is sized from k (digits of the largest seed, plus ':') so
+    // any k is safe — a fixed-width region would underflow once seeds
+    // grow another digit.
+    val pfx = Integer.toString(math.max(k - 1, 0)).length + 1
+    var buf = new Array[Byte](math.max(64, pfx + 32))
     var t = 0
     while (t + shingleN <= nTok) {
       val from = spans(2 * t)
@@ -191,8 +195,8 @@ object TextExprsImpl {
       var need = 0
       var j = 0
       while (j < shingleN) { need += spans(2 * (t + j) + 1) - spans(2 * (t + j)) + 1; j += 1 }
-      if (buf.length < need + 4) buf = new Array[Byte](math.max(buf.length * 2, need + 4))
-      var off = 4 // room for "NN:" seed prefixes up to 2 digits
+      if (buf.length < need + pfx) buf = new Array[Byte](math.max(buf.length * 2, need + pfx))
+      var off = pfx // room for the "<seed>:" prefixes
       j = 0
       while (j < shingleN) {
         if (j > 0) { buf(off) = 0x20; off += 1 }
@@ -201,7 +205,7 @@ object TextExprsImpl {
         off += u - f
         j += 1
       }
-      val sh = UTF8String.fromBytes(buf, 4, off - 4)
+      val sh = UTF8String.fromBytes(buf, pfx, off - pfx)
       if (!seen.contains(sh)) {
         val copy = sh.clone()
         seen.add(copy)
@@ -209,7 +213,7 @@ object TextExprsImpl {
         var seed = 0
         while (seed < k) {
           // prefix "<seed>:" written just before the shingle bytes
-          var p = 4 - 1
+          var p = pfx - 1
           buf(p) = ':'.toByte
           var v = seed
           do { p -= 1; buf(p) = ('0' + v % 10).toByte; v /= 10 } while (v > 0)
@@ -328,7 +332,9 @@ object TextStats {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_stats", exprs => TextStats(exprs.head), "built-in")
+      "text_stats",
+      FnReg.checked("text_stats", 1)(exprs => TextStats(exprs.head)),
+      "built-in")
 }
 
 /** Per-row MinHash signature + distinct shingles (see
@@ -361,10 +367,13 @@ object MinHashSig {
     org.apache.spark.sql.functions.call_function(s"minhash_sig_${shingleN}_$k", c)
 
   /** Registers `minhash_sig_<n>_<k>` (params aren't SQL-passable). */
-  def register(spark: SparkSession, shingleN: Int = 3, k: Int = 8): Unit =
+  def register(spark: SparkSession, shingleN: Int = 3, k: Int = 8): Unit = {
+    val name = s"minhash_sig_${shingleN}_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"minhash_sig_${shingleN}_$k",
-      exprs => MinHashSig(exprs.head, shingleN, k), "built-in")
+      name,
+      FnReg.checked(name, 1)(exprs => MinHashSig(exprs.head, shingleN, k)),
+      "built-in")
+  }
 }
 
 /** Per-row term-frequency map (see [[TextExprsImpl.termFreqs]]). */
@@ -388,7 +397,9 @@ object TermFreqs {
     org.apache.spark.sql.functions.call_function("term_freqs", c)
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "term_freqs", exprs => TermFreqs(exprs.head), "built-in")
+      "term_freqs",
+      FnReg.checked("term_freqs", 1)(exprs => TermFreqs(exprs.head)),
+      "built-in")
 }
 
 /** Per-row 64-bit SimHash bit string (see [[TextExprsImpl.simhash]]). */
@@ -411,5 +422,7 @@ object SimHash64 {
     org.apache.spark.sql.functions.call_function("simhash64", c)
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64",
+      FnReg.checked("simhash64", 1)(exprs => SimHash64(exprs.head)),
+      "built-in")
 }

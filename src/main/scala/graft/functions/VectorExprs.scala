@@ -166,12 +166,16 @@ object VectorOps {
       java.util.Arrays.deepHashCode(
         centroids.map(_.toArray).toArray[AnyRef]))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => NearestCentroid(exprs.head, centroids), "built-in")
+      name,
+      FnReg.checked(name, 1)(exprs => NearestCentroid(exprs.head, centroids)),
+      "built-in")
     org.apache.spark.sql.functions.call_function(name, emb)
   }
 
   /** Idempotent; `SELECT vec_dot(a, b)` afterwards. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot",
+      FnReg.checked("vec_dot", 2)(exprs => VecDot(exprs.head, exprs(1))),
+      "built-in")
 }

@@ -87,25 +87,28 @@ object RlsInjectionRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RlsInjectionRule(session))
-    def fn(name: String, clazz: String,
+    // every builder validates arity up front: wrong arg count from SQL
+    // raises a proper AnalysisException (WRONG_NUM_ARGS) naming the
+    // function and the expected count, not an IndexOutOfBoundsException
+    def fn(name: String, clazz: String, arity: Int,
         builder: Seq[Expression] => Expression): Unit =
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
             clazz, name),
-          builder))
-    fn("accent_fold", "graft.functions.AccentFold",
+          graft.functions.FnReg.checked(name, arity)(builder)))
+    fn("accent_fold", "graft.functions.AccentFold", 1,
       exprs => graft.functions.AccentFold(exprs.head))
-    fn("vec_dot", "graft.functions.VecDot",
+    fn("vec_dot", "graft.functions.VecDot", 2,
       exprs => graft.functions.VecDot(exprs.head, exprs(1)))
-    fn("text_stats", "graft.functions.TextStats",
+    fn("text_stats", "graft.functions.TextStats", 1,
       exprs => graft.functions.TextStats(exprs.head))
-    fn("simhash64", "graft.functions.SimHash64",
+    fn("simhash64", "graft.functions.SimHash64", 1,
       exprs => graft.functions.SimHash64(exprs.head))
-    fn("term_freqs", "graft.functions.TermFreqs",
+    fn("term_freqs", "graft.functions.TermFreqs", 1,
       exprs => graft.functions.TermFreqs(exprs.head))
     // default MinHash geometry (3-word shingles, 8 hashes)
-    fn("minhash_sig_3_8", "graft.functions.MinHashSig",
+    fn("minhash_sig_3_8", "graft.functions.MinHashSig", 1,
       exprs => graft.functions.MinHashSig(exprs.head, 3, 8))
   }
 }

@@ -137,10 +137,14 @@ object AnalyticsQueries {
             count(col("l_quantity")).as("__n"))
           .select(col("l_returnflag"), col("corr_qty_price"),
             col("covar_qty_price"), col("sd_qty"), col("var_qty"),
-            // n <= 2 → sample skewness undefined (DuckDB yields NULL)
+            // n <= 2 → sample skewness undefined (DuckDB yields NULL).
+            // The n(n-1) correction is computed in DOUBLE: long n*(n-1)
+            // overflows (ANSI ArithmeticException) past ~3e9 rows/group.
             when(col("__n") > 2,
-              Fp.r(col("__g1") * sqrt(col("__n") * (col("__n") - 1)) /
-                (col("__n") - 2), 4)).as("skew_qty"))
+              Fp.r(col("__g1") *
+                sqrt(col("__n").cast("double") *
+                  (col("__n").cast("double") - 1)) /
+                (col("__n").cast("double") - 2), 4)).as("skew_qty"))
           .orderBy("l_returnflag")
     },
 

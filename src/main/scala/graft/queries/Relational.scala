@@ -91,8 +91,10 @@ object Relational {
     },
 
     // ----- J: joins [§2.3] -----
-    // J1 star join: fact → 4 dims; dims broadcast (no shuffle for the
-    // dim sides; the li⋈orders join shuffles on the order key only).
+    // J1 star join: fact → 4 dims. Only the fixed-cardinality dims
+    // (nation=25, region=5 — constant at any SF) carry an explicit
+    // broadcast hint; customer scales with SF, so AQE's size check must
+    // stay in charge of that join (a forced hint would OOM at 100×).
     Q("j_star_join",
       """SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
         |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
@@ -105,7 +107,7 @@ object Relational {
         |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
@@ -154,15 +156,17 @@ object Relational {
         .orderBy("r_name", "o_year")
     },
 
-    // J5 dimension-key broadcast lookup (reference get_dim_mapping hand-rolled
-    // hash join, load_facts.py:74-88 — in Spark this is just broadcast()).
+    // J5 dimension-key lookup (reference get_dim_mapping hand-rolled hash
+    // join, load_facts.py:74-88). supplier scales with SF, so no forced
+    // broadcast hint — AQE broadcasts it while it's under the threshold and
+    // falls back to a shuffle join once it isn't (the safe call at 100×).
     Q("j_broadcast_lookup",
       """SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
         .orderBy("s_name")

@@ -46,6 +46,26 @@ class AsOfSpec extends SparkSpec {
     assert(n == 8)
   }
 
+  test("bandedRangeJoin width guard inspects literals without a Spark job") {
+    // constant widths fold to a driver-inspectable literal
+    assert(AsOf.widthUpperBoundSeconds(spark, expr("INTERVAL 1 HOUR"))
+      .contains(3600.0))
+    assert(AsOf.widthUpperBoundSeconds(spark, expr("INTERVAL 2 DAY"))
+      .contains(2 * 86400.0))
+    // year-month widths bound at 31-day months (conservative)
+    assert(AsOf.widthUpperBoundSeconds(spark, expr("INTERVAL 1 MONTH"))
+      .contains(31 * 86400.0))
+    // a data-dependent width can't be analyzed against range(1): the
+    // AnalysisException is swallowed and ONLY that → guard skipped
+    assert(AsOf.widthUpperBoundSeconds(spark, col("some_data_col")).isEmpty)
+    // undersized bucketSeconds is rejected at construction time
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.bandedRangeJoin(purchases, clicks, "user_id", "ts",
+        expr("INTERVAL 1 HOUR"), bucketSeconds = 60)
+    }
+    assert(ex.getMessage.contains("bucketSeconds"))
+  }
+
   test("bandedRangeJoin matches the exact (ts, ts+width] interval only") {
     val joined = AsOf.bandedRangeJoin(
       purchases, clicks.withColumnRenamed("click_id", "event_id2"),

@@ -23,6 +23,19 @@ class CatalystSpec extends SparkSpec {
     assert(sql.toSeq == Seq("Jerome Lefevre", "Edith"))
   }
 
+  test("wrong function arity raises AnalysisException, not IndexOutOfBounds") {
+    AccentFold.register(spark)
+    graft.functions.VectorOps.register(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT accent_fold('a', 'b')")
+    }
+    assert(e1.getMessage.contains("accent_fold"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0D))")
+    }
+    assert(e2.getMessage.contains("vec_dot"))
+  }
+
   test("RLS rule injects the predicate transparently per session user") {
     // a fresh session (same SparkContext) so withExtensions takes effect —
     // getOrCreate() reuses the active session otherwise

@@ -101,6 +101,22 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig survives k > 1000 (seed prefixes past 3 digits)") {
+    MinHashSig.register(spark, 2, 1001)
+    val sh = Dedup.shingles(col("text"), 2)
+    val r = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .select(MinHashSig.minhashSig($"text", 2, 1001).as("m"),
+        Dedup.minhash(sh, 0).as("e0"),
+        Dedup.minhash(sh, 999).as("e999"),
+        Dedup.minhash(sh, 1000).as("e1000"))
+      .first()
+    val sig = r.getStruct(0).getSeq[String](1)
+    assert(sig.length == 1001)
+    assert(sig(0) == r.getString(1), "seed 0")
+    assert(sig(999) == r.getString(2), "seed 999 (3-digit boundary)")
+    assert(sig(1000) == r.getString(3), "seed 1000 (4-digit prefix)")
+  }
+
   test("SimHash64 agrees with the HOF formulation") {
     SimHash64.register(spark)
     val got = corpus.select($"doc_id",
