@@ -147,10 +147,12 @@ object Dedup {
     * minimum label among itself and its neighbors — one equi-join + one
     * aggregation per round, all distributed, converging in O(component
     * diameter) rounds. Near-dup clusters are shallow (dups of dups of one
-    * original), so a handful of rounds closes them; the round count is
-    * checked with a single count() action per round (one scalar to the
-    * driver, never the data). At larger diameters the classic large-star/
-    * small-star contraction halves round count — same join shape.
+    * original), so a handful of rounds closes them; rounds run FUSED in
+    * pairs — one persist + one count() action (a single scalar to the
+    * driver, never the data) covers two propagation hops, halving driver
+    * round-trips on deeper chains. At larger diameters the classic
+    * large-star/small-star contraction would cut the hop count itself —
+    * same join shape.
     *
     * Runs to the fix point; `maxIter` is a safety rail against adversarial
     * diameters and THROWS when exceeded rather than silently returning
@@ -189,18 +191,23 @@ object Dedup {
     }
     val init = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"), col("id").as("prev"))
-    // two rounds fused into the first materialized lineage: near-dup
-    // clusters are shallow, so the typical run converges here and pays
-    // exactly ONE driver action (the count) before the caller's job
+    // TWO propagation rounds per materialized lineage, every iteration:
+    // `prev` carries the label between the fused rounds, so
+    // `label != prev` tests whether the LAST round changed anything —
+    // equality there is the fix point regardless of what the first fused
+    // round did. Near-dup clusters are shallow (star-ish), so the typical
+    // run converges within the first lineage and pays exactly ONE driver
+    // action; deeper chains pay one persist+count per TWO hops instead
+    // of per hop (half the driver round-trips and scheduler barriers).
     var labels = round(round(init)).persist(MEMORY_AND_DISK)
     var changed = labels.filter(col("label") =!= col("prev")).count()
     var iter = 2
     while (changed > 0 && iter < maxIter) {
-      val next = round(labels).persist(MEMORY_AND_DISK)
+      val next = round(round(labels)).persist(MEMORY_AND_DISK)
       changed = next.filter(col("label") =!= col("prev")).count()
       labels.unpersist()
       labels = next
-      iter += 1
+      iter += 2
     }
     if (changed > 0)
       throw new IllegalStateException(

@@ -86,6 +86,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN join: top-`k` cosine neighbors for EVERY vector, candidates
+    * restricted to the vector's LSH bucket (bucket equi-join + per-key
+    * top-k, never a cross product).
+    *
+    * Quadratic guard: within-bucket pair count grows O(Σ bucketSize²) —
+    * with few bits or a skewed corpus one hot bucket goes quadratic.
+    * `maxBucketCandidates` hard-caps the CANDIDATE side per bucket
+    * (kept deterministically by ascending id), bounding work at
+    * O(rows × cap). The cap trades recall, never correctness of the
+    * top-k over the surviving candidates. The scale levers, in order:
+    * size `bits` so expected bucket size ≈ the cap (buckets double per
+    * bit), then recover recall with multiprobe (also query the buckets
+    * at Hamming distance 1, ×(bits+1) candidates) rather than fewer
+    * bits. The cap is the backstop for the skew the levers don't catch.
+    *
+    * @param cosineTransform applied to the raw cosine BEFORE ranking
+    *        (e.g. rounding so the rank cut reproduces across engines)
+    */
+  def knnJoin(corpus: DataFrame, embCol: String, idCol: String, k: Int,
+      bits: Int, dim: Int, maxBucketCandidates: Int = 10000,
+      cosineTransform: Column => Column = identity): DataFrame = {
+    require(maxBucketCandidates >= 1, "maxBucketCandidates must be >= 1")
+    VectorOps.register(corpus.sparkSession)
+    val planes = hyperplanes(bits, dim)
+    // norms once per vector before the pair join (not per pair)
+    val b = graft.core.Tables.spread(corpus)
+      .select(col(idCol), col(embCol).as("__e"),
+        lshBucket(col(embCol), planes).as("bucket"))
+      .withColumn("__norm", VectorOps.vecNorm(col("__e")))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col(idCol))
+    val r = b
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= maxBucketCandidates)
+      .select(col("bucket"), col(idCol).as("nbr_id"),
+        col("__e").as("__b"), col("__norm").as("__bn"))
+    val l = b.select(col("bucket"), col(idCol),
+      col("__e").as("__a"), col("__norm").as("__an"))
+    val cs = l.join(r, "bucket").filter(col(idCol) =!= col("nbr_id"))
+      .select(col(idCol), col("nbr_id"),
+        cosineTransform(VectorOps.vecDot(col("__a"), col("__b")) /
+          nullif(col("__an") * col("__bn"), lit(0.0))).as("cosine"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cosine").desc, col("nbr_id"))
+    cs.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs near-duplicate embeddings via LSH buckets: exact cosine only
     * within buckets (equi-join), never across the full cross product. */
   def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,

@@ -216,26 +216,12 @@ object MiscQueries {
          |SELECT vec_id, nbr_id, cosine, CAST(rn AS INT) AS rank
          |FROM rk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
     }) { (s, d) =>
-      graft.functions.VectorOps.register(s)
-      import graft.functions.VectorOps
-      val planes = Similarity.hyperplanes(4, 64)
-      // norms once per vector before the pair join (not per pair)
-      val b = Tables.spread(t(s, d, "embeddings"))
-        .select(col("vec_id"), col("embedding"),
-          Similarity.lshBucket(col("embedding"), planes).as("bucket"))
-        .withColumn("__norm", VectorOps.vecNorm(col("embedding")))
-      val l = b.select(col("bucket"), col("vec_id"),
-        col("embedding").as("__a"), col("__norm").as("__an"))
-      val r = b.select(col("bucket"), col("vec_id").as("nbr_id"),
-        col("embedding").as("__b"), col("__norm").as("__bn"))
-      val cs = l.join(r, "bucket").filter(col("vec_id") =!= col("nbr_id"))
-        .select(col("vec_id"), col("nbr_id"),
-          Fp.r(VectorOps.vecDot(col("__a"), col("__b")) /
-            nullif(col("__an") * col("__bn"), lit(0.0)), 4).as("cosine"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cosine").desc, col("nbr_id"))
-      cs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // demo geometry: 4 bits = 16 buckets is fine at test SF; the
+      // operator's maxBucketCandidates default is the quadratic guard
+      // (it never bites at this SF, so the DuckDB oracle stays exact) —
+      // at real scale, raise bits so buckets approach the cap instead
+      Similarity.knnJoin(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 3, bits = 4, dim = 64, cosineTransform = Fp.r(_, 4))
         .orderBy("vec_id", "rank")
     },
 

@@ -15,24 +15,25 @@ import org.apache.spark.sql.functions._
   *
   * Spark has no session-user concept at the storage layer, so the user is
   * an explicit parameter and the filter is injected when the view is
-  * built; the filter is a broadcast semi-join (zones are tiny), which
-  * Catalyst pushes below whatever query runs on top of the view.
+  * built; the user's (tiny) zone list is collected once — one driver
+  * job — and baked in as a literal IN filter, which reaches the parquet
+  * scan as a pushed filter under whatever query runs on top of the view.
   */
 object Rls {
 
-  /** zones: (login, departement_code nullable). */
+  /** zones: (login, departement_code nullable). The user's zone rows are
+    * tiny (a handful of departments), so ONE collect() answers both
+    * control questions — registered at all? wildcard NULL row? — in a
+    * single driver job, and the surviving department list rides into the
+    * semi-join as a literal in-list the optimizer can push to the scan. */
   def filterForUser(geo: DataFrame, zones: DataFrame, login: String,
       deptCol: String = "departement_code"): DataFrame = {
     val userZones = zones.filter(col("login") === login)
       .select(col(deptCol).as("__rls_dept"))
-    val n = userZones.count()
-    if (n == 0) geo // not registered → full access
-    else {
-      val wildcard = userZones.filter(col("__rls_dept").isNull).count() > 0
-      if (wildcard) geo
-      else geo.join(broadcast(userZones), col(deptCol) === col("__rls_dept"),
-        "left_semi")
-    }
+      .collect().map(r => Option(r.get(0))) // dept type varies per schema
+    if (userZones.isEmpty) geo // not registered → full access
+    else if (userZones.contains(None)) geo // NULL zone row → whole region
+    else geo.filter(col(deptCol).isin(userZones.flatten.toIndexedSeq: _*))
   }
 
   /** Session-catalog view factory: registers `<view>_for_<login>` with the

@@ -105,6 +105,29 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("knnJoin caps per-bucket candidates (quadratic guard)") {
+    // all 20 vectors land in ONE bucket (identical direction, scaled).
+    // Components are distinct powers of two so no ±1 plane projects any
+    // vector to ~0 (float rounding there would split buckets arbitrarily).
+    val embs = (0 until 20).map { i =>
+      (i.toLong, Array(8.0f, 4.0f, 2.0f).map(_ * (1.0f + 0.01f * i)))
+    }.toDF("vec_id", "embedding")
+    val capped = Similarity.knnJoin(embs, "embedding", "vec_id",
+      k = 19, bits = 2, dim = 3, maxBucketCandidates = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // candidate side restricted to the 5 smallest ids per bucket: no
+    // neighbor id above 4 appears, and each query sees <= 5 candidates
+    assert(capped.nonEmpty)
+    assert(capped.forall(_._2 <= 4L), "cap must keep only the 5 smallest ids")
+    assert(capped.groupBy(_._1).values.forall(_.length <= 5))
+    // vec 0 still gets its top-k over the surviving candidates (1..4)
+    assert(capped.filter(_._1 == 0L).map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // uncapped (default) the same corpus yields full 19-neighbor lists
+    val full = Similarity.knnJoin(embs, "embedding", "vec_id",
+      k = 19, bits = 2, dim = 3).collect()
+    assert(full.length == 20 * 19)
+  }
+
   test("multimodal: metadata + batched feature extraction over binary") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val meta = Multimodal.withByteMetadata(media, "content")
