@@ -91,6 +91,69 @@ object Backup {
   }
 }
 
+/** Small-file compaction sweep — the warehouse-maintenance analogue of the
+  * reference's fragmentation-driven index rebuild/reorganize
+  * (`Terraform/sql/007_configure_performance.sql:103-151`: scan the DMVs,
+  * rebuild only what crossed the fragmentation threshold). Here the
+  * "fragmentation" is file-count-per-bytes: streaming appends and
+  * per-batch writes leave parquet directories with many files far below
+  * the target size, and at 100 TB the scan-task count (and the
+  * NameNode/listing pressure) is driven by file count, not data size.
+  *
+  * The sweep enumerates LEAF directories on the driver (metadata only —
+  * the same shape as the reference's DMV scan), and rewrites only the
+  * directories whose file count exceeds what their byte size warrants at
+  * `targetBytes`/file. Each rewrite is a distributed Spark job
+  * (read → coalesce → write); partition directories are preserved
+  * because each leaf is rewritten in place — partition values live in
+  * the directory names, untouched by the file swap. Readers racing the
+  * swap see either the old or the new file set, never a partial table
+  * in common object-store layouts where the swap is a metadata move.
+  */
+object Compaction {
+  final case class Report(dir: String, filesBefore: Int, filesAfter: Int,
+      bytes: Long)
+
+  private def isDataFile(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString
+    n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  /** Leaf directories (those directly holding parquet part files) under
+    * `root`, including `root` itself for unpartitioned tables. */
+  private def leafDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+    Files.walk(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter(d => Files.list(d).iterator().asScala.exists(isDataFile))
+      .toSeq
+
+  /** Compact every fragmented leaf directory of `tableDir` to
+    * ~`targetBytes` files; returns a report per REWRITTEN directory
+    * (untouched directories don't appear). Contents are preserved
+    * exactly; only the file layout changes. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[Report] = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    leafDirs(Paths.get(tableDir)).flatMap { d =>
+      val parts = Files.list(d).iterator().asScala.filter(isDataFile).toSeq
+      val bytes = parts.map(Files.size).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (parts.size <= want) None
+      else {
+        val tmp = d.resolveSibling(d.getFileName.toString + ".__compacting")
+        spark.read.parquet(d.toString).coalesce(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val fresh = Files.list(tmp).iterator().asScala.filter(isDataFile).toSeq
+        // swap: drop the old part files, adopt the rewritten ones
+        parts.foreach(Files.delete)
+        fresh.foreach(f => Files.move(f, d.resolve(f.getFileName)))
+        Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        Some(Report(d.toString, parts.size, fresh.size, bytes))
+      }
+    }
+  }
+}
+
 /** Serving layer: allow-listed limit-N table reads (reference FastAPI
   * `GET /tables/{name}?limit=N`, `analytics/api/app/routers/tables.py`). */
 object TableApi {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.etl.Etl
 import graft.marts.Datamarts
-import graft.ops.{Backup, EtlLog, TableApi}
+import graft.ops.{Backup, Compaction, EtlLog, TableApi}
 
 /** ETL building blocks, datamart views, ops layer. */
 class EtlMartsOpsSpec extends SparkSpec {
@@ -106,6 +106,32 @@ class EtlMartsOpsSpec extends SparkSpec {
     val swept = Backup.sweep(root, "20240301_000000")
     assert(swept.size == 1 && swept.head.contains("20240101"))
     assert(new java.io.File(root).list().toSeq == Seq("snapshot_20240601_000000"))
+  }
+
+  test("compaction shrinks fragmented partitions, preserves contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/table"
+    // partitioned write, deliberately fragmented: 8 files per partition
+    (0 until 400).map(i => (i.toLong, i % 2, s"row_$i"))
+      .toDF("id", "part", "payload")
+      .repartition(8).write.partitionBy("part").parquet(dir)
+    def fileCount(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles().count(f =>
+        f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(fileCount("part=0") == 8 && fileCount("part=1") == 8)
+
+    val reports = Compaction.compact(spark, dir) // default 128MB: 1 file/leaf
+    assert(reports.size == 2, "both partitions were fragmented")
+    assert(reports.forall(r => r.filesBefore == 8 && r.filesAfter == 1))
+    assert(fileCount("part=0") == 1 && fileCount("part=1") == 1)
+    // contents identical, partition column intact
+    val after = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(after == before)
+    // second sweep: nothing fragmented, nothing rewritten
+    assert(Compaction.compact(spark, dir).isEmpty)
   }
 
   test("table API enforces allow-list and limit bounds") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.etl.EtlRunner
+import graft.etl.{EtlNotifier, EtlRunner}
 import graft.etl.EtlRunner.Stage
 
 /** Orchestration semantics: per-stage reports, failure cascade, logging. */
@@ -29,6 +29,34 @@ class EtlRunnerSpec extends SparkSpec {
     val log = spark.read.parquet(logPath)
     assert(log.count() == 5)
     assert(log.filter($"statut" === "IGNORE").count() == 2)
+  }
+
+  test("a failure run notifies every sink and persists a report table") {
+    val base = java.nio.file.Files.createTempDirectory("graft-run3").toString
+    val sent = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val reports = EtlRunner.run(spark, s"$base/log", Seq(
+        Stage("staging", Nil, () => 100L),
+        Stage("facts", Seq("staging"), () =>
+          throw new RuntimeException("fact boom")),
+        Stage("refresh", Seq("facts"), () => 1L)),
+      sinks = Seq(
+        EtlNotifier.transport("nightly", (s, b) => sent += ((s, b))),
+        EtlNotifier.table(spark, s"$base/report", "nightly"),
+        _ => throw new RuntimeException("sink down"))) // must not fail the run
+
+    assert(reports.map(_.status) == Seq("SUCCES", "ERREUR", "IGNORE"))
+    // transport sink: one message, failure outcome + per-stage lines
+    assert(sent.size == 1)
+    val (subject, body) = sent.head
+    assert(subject.contains("ECHEC") && subject.contains("1 ok") &&
+      subject.contains("1 en erreur"))
+    assert(body.contains("fact boom") && body.contains("staging"))
+    // table sink: one row per stage, queryable like the ops log
+    val report = spark.read.parquet(s"$base/report")
+    assert(report.count() == 3)
+    assert(report.filter($"status" === "ERREUR")
+      .select("message").as[String].first() == "fact boom")
+    assert(report.select("job").distinct().as[String].first() == "nightly")
   }
 
   test("independent stages are unaffected by another branch's failure") {
