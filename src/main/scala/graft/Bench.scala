@@ -61,6 +61,21 @@ object Bench {
         }
       }
     }
+    // Final targeted sweep (both branches): a host stall spanning BOTH
+    // earlier passes still shows as a fat tail — any query sitting above
+    // max(1.5s, 5x median) gets one more timed run, min wins, within a
+    // fixed budget. Keeps a stalled j_star_join from reading as a 4x
+    // regression when the plan didn't change.
+    val med = results.values.toSeq.sorted.apply(results.size / 2)
+    var outlierBudget = 120.0
+    names.sortBy(n => -results(n)).foreach { n =>
+      if (outlierBudget > 0 && results(n) > math.max(1.5, 5 * med)) {
+        spark.sharedState.cacheManager.clearCache()
+        val t = timed(n)
+        outlierBudget -= t
+        if (t < results(n)) results(n) = t
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
