@@ -59,6 +59,32 @@ class EtlRunnerSpec extends SparkSpec {
     assert(report.select("job").distinct().as[String].first() == "nightly")
   }
 
+  test("config resolution: CLI > tfvars > env > defaults") {
+    import graft.etl.EtlConfig
+    val tf = java.nio.file.Files.createTempFile("graft", ".tfvars")
+    java.nio.file.Files.writeString(tf,
+      """# comment line
+        |warehouse_dir = "/from/tfvars"
+        |log_path = "/tfvars/log"
+        |
+        |not_a_match = unquoted
+        |""".stripMargin)
+    val resolved = EtlConfig.resolve(
+      cli = EtlConfig.parseArgs(Seq("--warehouse_dir", "/from/cli", "--full")),
+      tfvarsPath = Some(tf.toString),
+      env = Map("log_path" -> "/from/env", "backup_root" -> "/from/env/bak"),
+      defaults = Map("backup_root" -> "/default/bak", "retention" -> "30"))
+    assert(resolved("warehouse_dir") == "/from/cli") // CLI beats tfvars
+    assert(resolved("log_path") == "/tfvars/log") // tfvars beats env
+    assert(resolved("backup_root") == "/from/env/bak") // env beats default
+    assert(resolved("retention") == "30") // default survives
+    assert(resolved("full") == "true") // bare flag
+    assert(!resolved.contains("not_a_match")) // reference regex: quoted only
+    assert(EtlConfig.parseArgs(Seq("--a=1", "--b", "2")) ==
+      Map("a" -> "1", "b" -> "2"))
+    assert(EtlConfig.parseTfvars("/nonexistent/path.tfvars").isEmpty)
+  }
+
   test("independent stages are unaffected by another branch's failure") {
     val logPath = java.nio.file.Files.createTempDirectory("graft-run2").toString + "/log"
     val reports = EtlRunner.run(spark, logPath, Seq(
