@@ -68,19 +68,41 @@ object Similarity {
       when(VectorOps.vecDot(emb, plane) > 0, "1").otherwise("0")
     }: _*)
 
-  /** ANN top-k: restrict the exact cosine scan to the query's LSH bucket.
+  /** Multiprobe bucket list for `query`: its exact bucket first, then
+    * buckets reached by flipping ONE plane bit each, in ascending
+    * |projection| order (query-directed multiprobe: the planes the query
+    * sits closest to are the ones most likely to have cut off true
+    * neighbors), `probes` buckets in total. Driver-side — the query
+    * vector is already on the driver; the list becomes a literal IN
+    * filter the scan can prune on. */
+  def probeBuckets(query: Seq[Double], planes: Seq[Seq[Int]],
+      probes: Int): Seq[String] = {
+    require(probes >= 1 && probes <= planes.size + 1,
+      s"probes must be in [1, bits+1], got $probes for ${planes.size} bits")
+    val projs = planes.map(_.zip(query).map { case (w, x) => w * x }.sum)
+    val exact = projs.map(p => if (p > 0) "1" else "0").mkString
+    val flipOrder = projs.zipWithIndex
+      .sortBy { case (p, i) => (math.abs(p), i) }.map(_._2)
+    exact +: flipOrder.take(probes - 1).map(i =>
+      exact.updated(i, if (exact(i) == '1') '0' else '1'))
+  }
+
+  /** ANN top-k: restrict the exact cosine scan to the query's LSH bucket —
+    * plus, with `probes` > 1, the nearest-margin neighboring buckets
+    * (multiprobe: recall recovered by probing more buckets instead of
+    * dropping signature bits, which would coarsen EVERY query's buckets).
     * At scale the corpus is written bucketed/partitioned by this column, so
-    * the candidate read is a partition-pruned scan, not a full pass. */
+    * the candidate read is a partition-pruned scan of `probes` partitions,
+    * not a full pass. */
   def annTopKCosine(corpus: DataFrame, embCol: String, idCol: String,
-      query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
+      query: Seq[Double], k: Int, bits: Int = 8, probes: Int = 1): DataFrame = {
     VectorOps.register(corpus.sparkSession)
     val planes = hyperplanes(bits, query.size)
-    val qBucket = planes.map(p =>
-      if (p.zip(query).map { case (w, x) => w * x }.sum > 0) "1" else "0").mkString
+    val buckets = probeBuckets(query, planes, probes)
     val q = array(query.map(lit): _*)
     graft.core.Tables.spread(corpus)
       .withColumn("bucket", lshBucket(col(embCol), planes))
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(buckets: _*))
       .select(col(idCol), cosineCodegen(col(embCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -16,13 +16,13 @@ object MiscQueries {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Deterministic ±1 hyperplanes shared between Spark and oracle SQL. */
+  private def planeProjSql(p: Seq[Int]): String =
+    p.zipWithIndex.map { case (w, i) =>
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * $w.0"
+    }.mkString(" + ")
+
   private def planesSql(planes: Seq[Seq[Int]]): Seq[String] =
-    planes.map { p =>
-      val terms = p.zipWithIndex.map { case (w, i) =>
-        s"CAST(embedding[${i + 1}] AS DOUBLE) * $w.0"
-      }.mkString(" + ")
-      s"CASE WHEN ($terms) > 0 THEN '1' ELSE '0' END"
-    }
+    planes.map(p => s"CASE WHEN (${planeProjSql(p)}) > 0 THEN '1' ELSE '0' END")
 
   val all: Seq[Q] = Seq(
 
@@ -169,6 +169,58 @@ object MiscQueries {
       corpus
         .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
         .filter(col("bucket") === qBucket)
+        .select(col("vec_id"),
+          Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+    },
+
+    // Multiprobe ANN: the query's exact bucket PLUS the 2 buckets across
+    // its nearest-margin planes (query-directed multiprobe — recall
+    // recovered by probing neighbor buckets instead of dropping signature
+    // bits). The oracle reproduces the margin ranking and bit flips in SQL
+    // so the probe set, candidates, and top-k all hash-match.
+    Q("x_sim_ann_multiprobe", {
+      val planes = Similarity.hyperplanes(4, 64)
+      val bucketExpr = planesSql(planes).mkString(" || ")
+      val projVals = planes.zipWithIndex.map { case (p, k) =>
+        s"($k, (SELECT ${planeProjSql(p)} FROM q))"
+      }.mkString(",\n         |  ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |m(k, proj) AS (VALUES
+         |  $projVals),
+         |flips AS (SELECT k FROM m ORDER BY abs(proj), k LIMIT 2),
+         |qb AS (SELECT $bucketExpr AS bucket FROM q),
+         |pb AS (SELECT bucket FROM qb
+         |       UNION
+         |       SELECT substr(qb.bucket, 1, f.k) ||
+         |              (CASE WHEN substr(qb.bucket, f.k + 1, 1) = '1'
+         |                    THEN '0' ELSE '1' END) ||
+         |              substr(qb.bucket, f.k + 2)
+         |       FROM qb, flips f),
+         |cand AS (SELECT vec_id, embedding FROM b
+         |         WHERE bucket IN (SELECT bucket FROM pb)),
+         |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM cand),
+         |qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         |              generate_subscripts(embedding, 1) AS i FROM q)
+         |SELECT e.vec_id,
+         |       round(sum(e.v * qe.v)
+         |             / nullif(sqrt(sum(e.v * e.v)) * sqrt(sum(qe.v * qe.v)), 0) + 1e-7, 4)
+         |         AS cosine
+         |FROM e JOIN qe ON e.i = qe.i
+         |GROUP BY e.vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val corpus = t(s, d, "embeddings")
+      val planes = Similarity.hyperplanes(4, 64)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      val buckets = Similarity.probeBuckets(qv, planes, probes = 3)
+      val q = array(qv.map(lit): _*)
+      graft.functions.VectorOps.register(s)
+      corpus
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+        .filter(col("bucket").isin(buckets: _*))
         .select(col("vec_id"),
           Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)

@@ -105,6 +105,31 @@ class ExtSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("multiprobe ANN recovers a neighbor across the nearest-margin plane") {
+    val dim = 8
+    val planes = Similarity.hyperplanes(4, dim)
+    val q = Seq(8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.0625)
+    val projs = planes.map(_.zip(q).map { case (w, x) => w * x }.sum)
+    val km = projs.zipWithIndex.minBy { case (p, i) => (math.abs(p), i) }._2
+    // push q just across its nearest-margin plane km: one bucket bit flips
+    val alpha = 2.0 * projs(km) / dim + math.signum(projs(km)) * 0.01
+    val v = q.zip(planes(km)).map { case (x, w) => x - alpha * w }
+    val vProjs = planes.map(_.zip(v).map { case (w, x) => w * x }.sum)
+    assert(vProjs.zipWithIndex.forall { case (p, i) =>
+      if (i == km) math.signum(p) != math.signum(projs(i))
+      else math.signum(p) == math.signum(projs(i))
+    }, "construction: v must differ from q on exactly plane km")
+    assert(Similarity.probeBuckets(q, planes, 2).size == 2)
+    val corpus = Seq((7L, v.map(_.toFloat).toArray)).toDF("vec_id", "embedding")
+    // exact-bucket search misses v (it sits across the plane) ...
+    assert(Similarity.annTopKCosine(corpus, "embedding", "vec_id", q, 5,
+      bits = 4).isEmpty)
+    // ... one extra probe (the minimal-margin flip) finds it
+    val hit = Similarity.annTopKCosine(corpus, "embedding", "vec_id", q, 5,
+      bits = 4, probes = 2)
+    assert(hit.select("vec_id").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("knnJoin caps per-bucket candidates (quadratic guard)") {
     // all 20 vectors land in ONE bucket (identical direction, scaled).
     // Components are distinct powers of two so no ±1 plane projects any
