@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: rule-based quality filtering with
+  * drop reasons, token-budget shard packing, stratified hash sampling.
+  * All three are single-pass, shuffle-light shapes:
+  *
+  *  - [[qualityFilter]] is a pure per-row projection over the fused
+  *    `TextStats` expression — no shuffle at all; the drop decision AND
+  *    the reason ride on every row, so downstream audits (`GROUP BY
+  *    drop_reason`) are one aggregation away.
+  *  - [[packShards]] is one window pass per stratum — packing is
+  *    PER-PARTITION-KEY by design: a single global running sum would
+  *    serialize the corpus through one task at 100 TB, while per-key
+  *    windows (language, source, date bucket) distribute and still give
+  *    deterministic, reproducible shard ids.
+  *  - [[sampleStratified]] filters on a salted md5 prefix of the id —
+  *    deterministic (re-runs pick identical rows, no RNG state), exactly
+  *    reproducible in any engine with md5, and pushdown-friendly.
+  */
+object Curation {
+
+  final val KeepCol = "keep"
+  final val ReasonCol = "drop_reason"
+
+  /** Quality-filter thresholds; a document is dropped with the FIRST
+    * matching reason (stable CASE order: too_short, too_long, high_punct,
+    * gibberish). */
+  final case class QualityRules(
+      minTokens: Int = 20,
+      maxTokens: Int = 500,
+      maxPunctRatio: Double = 0.10,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 9.0)
+
+  /** Adds `keep` (boolean) + `drop_reason` (null when kept) from ONE fused
+    * text-stats pass. Callers `filter(col("keep"))` for the clean corpus
+    * or aggregate `drop_reason` for the curation report. */
+  def qualityFilter(df: DataFrame, textCol: String,
+      rules: QualityRules = QualityRules()): DataFrame = {
+    graft.functions.TextStats.register(df.sparkSession)
+    val st = graft.functions.TextStats.textStats(col(textCol))
+    val nt = col("__st.n_tokens")
+    val pr = col("__st.n_punct").cast("double") /
+      nullif(col("__st.n_chars").cast("double"), lit(0.0))
+    val mwl = col("__st.sum_len").cast("double") /
+      nullif(nt.cast("double"), lit(0.0))
+    val reason = when(nt < rules.minTokens, "too_short")
+      .when(nt > rules.maxTokens, "too_long")
+      .when(pr > rules.maxPunctRatio, "high_punct")
+      .when(mwl < rules.minMeanWordLen || mwl > rules.maxMeanWordLen,
+        "gibberish")
+    df.withColumn("__st", st)
+      .withColumn(ReasonCol, reason)
+      .withColumn(KeepCol, col(ReasonCol).isNull)
+      .drop("__st")
+  }
+
+  /** Deterministic token-budget shard assignment: within each
+    * `partitionCols` stratum, rows ordered by `idCol` accumulate into
+    * shards of ~`budget` tokens — shard = floor(exclusive-cumsum /
+    * budget), so a document lands in the shard its FIRST token falls in
+    * and an oversized document (> budget tokens) gets a shard of its own
+    * rather than being dropped or split. One window pass per stratum;
+    * strata distribute across the cluster. */
+  def packShards(df: DataFrame, tokenCol: String, idCol: String,
+      budget: Long, partitionCols: Seq[String]): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(partitionCols.nonEmpty,
+      "packShards needs partition columns: a global pack would serialize " +
+        "the corpus through one task — pass e.g. language/source/date")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("shard_id",
+        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble))
+          .cast("int"))
+      .drop("__cum")
+  }
+
+  /** Deterministic stratified sample: keep a row when the first two hex
+    * chars of md5(salt:id) sort below the stratum's threshold ("00".."ff"
+    * ≈ rate·256). Thresholds map strata values to 2-hex-char strings;
+    * `default` applies to unlisted strata ("00" keeps nothing). */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], default: String = "00",
+      salt: String = ""): DataFrame = {
+    require((thresholds.values.toSeq :+ default).forall(
+      _.matches("[0-9a-f]{2}")), "thresholds must be 2 lowercase hex chars")
+    val th = thresholds.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, v).otherwise(acc)
+    }
+    val bucket = substring(
+      md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 2)
+    df.filter(bucket < th)
+  }
+}

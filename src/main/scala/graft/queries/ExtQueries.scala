@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (beyond the reference's surface,
   * per the north star): dedup, similarity search, text analysis — each
@@ -99,6 +99,69 @@ object ExtQueries {
         Fp.r(quality, 4).as("quality"),
         col("__st.fingerprint").as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // Rule-based curation filter: keep/drop + first-matching reason, all
+    // from the ONE fused TextStats pass (no shuffle — pure projection).
+    Q("x_curation_filter",
+      s"""WITH tok AS (SELECT doc_id, text, lang, $TOKS AS toks FROM documents),
+         |feat AS (SELECT doc_id, lang, len(toks) AS nt,
+         |    CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)
+         |      / nullif(length(text),0) AS pr,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / nullif(len(toks),0) AS mwl
+         |  FROM tok),
+         |r AS (SELECT doc_id, lang,
+         |    CASE WHEN nt < 20 THEN 'too_short'
+         |         WHEN nt > 500 THEN 'too_long'
+         |         WHEN pr > 0.1 THEN 'high_punct'
+         |         WHEN mwl < 3.0 OR mwl > 9.0 THEN 'gibberish' END AS reason
+         |  FROM feat)
+         |SELECT doc_id, lang, CAST(reason IS NULL AS INT) AS keep,
+         |       coalesce(reason, '') AS drop_reason
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.qualityFilter(docsSpread(s, d), "text")
+        .select(col("doc_id"), col("lang"),
+          col(Curation.KeepCol).cast("int").as("keep"),
+          coalesce(col(Curation.ReasonCol), lit("")).as("drop_reason"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget shard packing per language stratum: deterministic
+    // exclusive-cumsum window → floor(cum/budget); per-stratum windows
+    // distribute (a single global pack would serialize at scale).
+    Q("x_shard_pack",
+      s"""WITH tok AS (SELECT doc_id, lang, CAST(len($TOKS) AS INT) AS n_tokens
+         |            FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM tok)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(floor((cum - n_tokens) / 1000.0) AS INT) AS shard_id
+         |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val withTok = docsSpread(s, d).withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))))
+      Curation.packShards(withTok, "n_tokens", "doc_id",
+          budget = 1000L, partitionCols = Seq("lang"))
+        .select("doc_id", "lang", "n_tokens", "shard_id")
+        .orderBy("lang", "doc_id")
+    },
+
+    // Stratified deterministic sampling: per-language md5-prefix
+    // thresholds (en downsampled to ~8%, the rest ~25%).
+    Q("x_sample_stratified",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      (CASE WHEN lang = 'en' THEN '14' ELSE '40' END)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Curation.sampleStratified(docs(s, d), "doc_id", "lang",
+          thresholds = Map("en" -> "14"), default = "40")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
     },
 
     // Corpus TF-IDF, top-3 terms per doc. Scores round to 4 decimals

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Curation
+import graft.ext.Curation.QualityRules
+
+/** Corpus-curation operators: quality filter reasons + precedence, shard
+  * packing budget/determinism, stratified sampling determinism. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityFilter: first matching rule wins, kept rows have null reason") {
+    val rules = QualityRules(minTokens = 3, maxTokens = 6,
+      maxPunctRatio = 0.2, minMeanWordLen = 2.0, maxMeanWordLen = 8.0)
+    val docs = Seq(
+      (1L, "good clean words here"), // kept
+      (2L, "too short"), // too_short (2 tokens)
+      (3L, "one two three four five six seven"), // too_long (7 tokens)
+      (4L, "a!! b?? c!! d??"), // high punct AND short words: punct wins? no —
+      // 4 tokens in range; punct ratio 6/15=0.4 > 0.2 → high_punct (before
+      // gibberish: mean word len 3.25... rule order decides)
+      (5L, "aa bb cc d"), // mwl = 7/4 = 1.75 < 2.0 → gibberish
+      (6L, "")) // 0 tokens → too_short
+      .toDF("doc_id", "text")
+    val out = Curation.qualityFilter(docs, "text", rules)
+      .select($"doc_id", $"keep", $"drop_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("too_short"))))
+    assert(out(3L) == ((false, Some("too_long"))))
+    assert(out(4L) == ((false, Some("high_punct"))))
+    assert(out(5L) == ((false, Some("gibberish"))))
+    assert(out(6L) == ((false, Some("too_short"))))
+  }
+
+  test("packShards: budget boundaries, oversized docs, per-stratum reset") {
+    val docs = Seq(
+      // lang a: 400+400+400 → doc 3 starts at cum 800 < 1000? exclusive
+      // cumsum: shards = floor(0/1000)=0, floor(400/1000)=0, floor(800/1000)=0
+      (1L, "a", 400), (2L, "a", 400), (3L, "a", 400),
+      (4L, "a", 900), // starts at 1200 → shard 1
+      (5L, "a", 2500), // oversized: starts at 2100 → shard 2, own spillover
+      (6L, "a", 100), // starts at 4600 → shard 4
+      (7L, "b", 50)) // new stratum: shard 0
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Curation.packShards(docs, "n_tokens", "doc_id", 1000L, Seq("lang"))
+      .select($"doc_id", $"shard_id").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 2, 6L -> 4,
+      7L -> 0))
+    // deterministic: same input → same shards on re-run
+    val again = Curation.packShards(docs, "n_tokens", "doc_id", 1000L,
+      Seq("lang")).select($"doc_id", $"shard_id").as[(Long, Int)]
+      .collect().toMap
+    assert(again == out)
+  }
+
+  test("packShards refuses a global (stratum-less) pack") {
+    val ex = intercept[IllegalArgumentException] {
+      Curation.packShards(Seq((1L, 5)).toDF("id", "n"), "n", "id", 10L, Nil)
+    }
+    assert(ex.getMessage.contains("partition"))
+  }
+
+  test("sampleStratified: deterministic, honors per-stratum thresholds") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    val sampled = Curation.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> "14"), default = "40")
+    val counts = sampled.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // "14" ≈ 20/256 ≈ 7.8% of 500; "40" ≈ 64/256 = 25% of 500 — wide margins
+    assert(counts("en") > 10 && counts("en") < 90)
+    assert(counts("fr") > 70 && counts("fr") < 190)
+    assert(counts("fr").toDouble / counts("en") > 1.5)
+    // deterministic: identical rows on a second run
+    val a = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> "14"), default = "40")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // "00" default keeps nothing from unlisted strata
+    assert(Curation.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> "14")).filter($"lang" === "fr").isEmpty)
+  }
+}
