@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order-ish clustered write — the Spark-side replacement for the
+  * reference's composite B-tree indexes on `(temps_id, geo_id[,
+  * activite_id])` (`Terraform/sql/003_create_facts.sql:39-42` etc., per
+  * SURVEY §4): instead of a secondary index, lay the FILES out so that
+  * parquet row-group/file min-max stats are tight on EVERY clustered
+  * column at once, and predicate pushdown prunes files for queries on
+  * any of them (a plain sort is tight on the leading column only).
+  *
+  * Shape: per-column min/max arrive with ONE tiny aggregate (2·n doubles
+  * to the driver), each column linearly bucketizes to 16 bits, buckets
+  * bit-interleave into the z-value — all per-row expressions, no UDF.
+  * `repartitionByRange` on the z-value (one range shuffle, sampled
+  * bounds) + `sortWithinPartitions` gives files that tile the space.
+  * Linear bucketization is skew-sensitive in the same way Delta's
+  * z-order is; heavy skew wants a pre-pass quantile mapping, same write
+  * path.
+  */
+object ZOrder {
+
+  /** 16-bit bucket of `c` within [mn, mx] (degenerate range → bucket 0). */
+  private def bucket16(c: Column, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(0L)
+    else least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(mn)) / lit(mx - mn) * 65535.0)
+        .cast("long")))
+
+  /** Bit-interleaved z-value: bit i of bucket j lands at bit i·n + j. */
+  private[graft] def interleave(buckets: Seq[Column]): Column = {
+    val n = buckets.size
+    val terms = for {
+      i <- 0 until 16
+      (b, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-value column for `cols`, bucketized against the frame's own
+    * min/max (one small aggregate job to fetch 2·n numbers). */
+  def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order wants 2-4 columns, got ${cols.size} (1 column = plain sort)")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).first()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      bucket16(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+    }
+    interleave(buckets)
+  }
+
+  /** Write `df` as `numFiles` parquet files clustered by the z-order of
+    * `cols`: range-partition + in-partition sort on the z-value, so each
+    * file covers a compact tile of the `cols` space and min-max pruning
+    * works for predicates on any clustered column. */
+  def writeClustered(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    df.withColumn("__z", zValue(df, cols))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}
