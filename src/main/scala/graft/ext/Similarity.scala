@@ -125,11 +125,20 @@ object Similarity {
     *
     * @param cosineTransform applied to the raw cosine BEFORE ranking
     *        (e.g. rounding so the rank cut reproduces across engines)
+    * @param probes buckets probed PER QUERY ROW: its exact bucket plus
+    *        `probes - 1` one-bit flips across its nearest-|margin|
+    *        planes (per-row multiprobe — the distributed analogue of
+    *        [[probeBuckets]]). Only the query side replicates (×probes);
+    *        the candidate side keeps one exact bucket per row, so a pair
+    *        can match at most once and no dedup pass is needed.
     */
   def knnJoin(corpus: DataFrame, embCol: String, idCol: String, k: Int,
       bits: Int, dim: Int, maxBucketCandidates: Int = 10000,
-      cosineTransform: Column => Column = identity): DataFrame = {
+      cosineTransform: Column => Column = identity,
+      probes: Int = 1): DataFrame = {
     require(maxBucketCandidates >= 1, "maxBucketCandidates must be >= 1")
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1], got $probes")
     VectorOps.register(corpus.sparkSession)
     val planes = hyperplanes(bits, dim)
     // norms once per vector before the pair join (not per pair)
@@ -144,7 +153,28 @@ object Similarity {
       .filter(col("__rn") <= maxBucketCandidates)
       .select(col("bucket"), col(idCol).as("nbr_id"),
         col("__e").as("__b"), col("__norm").as("__bn"))
-    val l = b.select(col("bucket"), col(idCol),
+    val l = (if (probes == 1) b else {
+      // per-row probe list: exact bucket + flips of the (probes-1)
+      // nearest-|margin| planes — all array expressions, no UDF
+      val projs = array(planes.map(p =>
+        VectorOps.vecDot(col("__e"),
+          array(p.map(v => lit(v.toDouble)): _*))): _*)
+      val bitsArr = transform(projs,
+        p => when(p > 0, "1").otherwise("0"))
+      val flipIdx = slice(
+        transform(
+          array_sort(transform(projs,
+            (p, i) => struct(abs(p).as("m"), i.as("i")))),
+          s => s.getField("i")),
+        1, probes - 1)
+      val probeArr = concat(
+        array(array_join(bitsArr, "")),
+        transform(flipIdx, f =>
+          array_join(transform(bitsArr, (bit, i) =>
+            when(i === f, when(bit === "1", "0").otherwise("1"))
+              .otherwise(bit)), "")))
+      b.withColumn("bucket", explode(probeArr))
+    }).select(col("bucket"), col(idCol),
       col("__e").as("__a"), col("__norm").as("__an"))
     val cs = l.join(r, "bucket").filter(col(idCol) =!= col("nbr_id"))
       .select(col(idCol), col("nbr_id"),

@@ -130,6 +130,26 @@ class ExtSpec extends SparkSpec {
     assert(hit.select("vec_id").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("knnJoin multiprobe links vectors across the nearest-margin plane") {
+    val dim = 8
+    val planes = Similarity.hyperplanes(4, dim)
+    val q = Seq(8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.0625)
+    val projs = planes.map(_.zip(q).map { case (w, x) => w * x }.sum)
+    val km = projs.zipWithIndex.minBy { case (p, i) => (math.abs(p), i) }._2
+    val alpha = 2.0 * projs(km) / dim + math.signum(projs(km)) * 0.01
+    val v = q.zip(planes(km)).map { case (x, w) => x - alpha * w }
+    val corpus = Seq((1L, q.map(_.toFloat).toArray),
+      (7L, v.map(_.toFloat).toArray)).toDF("vec_id", "embedding")
+    // exact buckets differ → no candidates with probes=1
+    assert(Similarity.knnJoin(corpus, "embedding", "vec_id",
+      k = 1, bits = 4, dim = dim).isEmpty)
+    // one extra probe per row crosses the minimal-margin plane both ways
+    val linked = Similarity.knnJoin(corpus, "embedding", "vec_id",
+      k = 1, bits = 4, dim = dim, probes = 2)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(linked == Set((1L, 7L), (7L, 1L)))
+  }
+
   test("knnJoin caps per-bucket candidates (quadratic guard)") {
     // all 20 vectors land in ONE bucket (identical direction, scaled).
     // Components are distinct powers of two so no ±1 plane projects any
