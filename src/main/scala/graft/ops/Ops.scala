@@ -154,6 +154,27 @@ object Compaction {
   }
 }
 
+/** Statistics refresh — the reference's Stage-5 `EXEC sp_updatestats` +
+  * `UPDATE STATISTICS ... FULLSCAN` (`run_etl.py:263`,
+  * `Terraform/sql/007_configure_performance.sql:71-78,161-177`)
+  * re-expressed as `ANALYZE TABLE`: table-level row/byte counts feed the
+  * cost-based optimizer's join reordering and broadcast decisions
+  * (AQE observes runtime sizes only AFTER a stage runs — CBO stats
+  * shape the initial plan), and per-column min/max/NDV enable star-schema
+  * detection and better cardinality estimates. One metadata-writing scan
+  * per table; run it where the reference runs its refresh stage, after
+  * loads. */
+object Stats {
+  def refreshStatistics(spark: SparkSession, tables: Seq[String],
+      columns: Map[String, Seq[String]] = Map.empty): Unit =
+    tables.foreach { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      columns.get(t).filter(_.nonEmpty).foreach(cs =>
+        spark.sql(
+          s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${cs.mkString(", ")}"))
+    }
+}
+
 /** Serving layer: allow-listed limit-N table reads (reference FastAPI
   * `GET /tables/{name}?limit=N`, `analytics/api/app/routers/tables.py`). */
 object TableApi {

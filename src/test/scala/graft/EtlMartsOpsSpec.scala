@@ -134,6 +134,25 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(Compaction.compact(spark, dir).isEmpty)
   }
 
+  test("statistics refresh records table + column stats for the CBO") {
+    import graft.ops.Stats
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("k", "v")
+      .write.mode("overwrite").saveAsTable("stats_probe")
+    try {
+      Stats.refreshStatistics(spark, Seq("stats_probe"),
+        columns = Map("stats_probe" -> Seq("k", "v")))
+      val tableStats = spark.sql("DESCRIBE TABLE EXTENDED stats_probe")
+        .filter($"col_name" === "Statistics")
+        .select("data_type").as[String].collect()
+      assert(tableStats.nonEmpty && tableStats.head.contains("3 rows"))
+      val colStats = spark.sql("DESCRIBE EXTENDED stats_probe k")
+        .filter($"info_name" === "distinct_count")
+        .select("info_value").as[String].collect()
+      assert(colStats.headOption.contains("3"))
+    } finally spark.sql("DROP TABLE IF EXISTS stats_probe")
+  }
+
   test("table API enforces allow-list and limit bounds") {
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("allowed_t")
     val cfg = TableApi.Config(Set("allowed_t"))
