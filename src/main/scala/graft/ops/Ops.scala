@@ -111,21 +111,26 @@ object Backup {
   * in common object-store layouts where the swap is a metadata move.
   */
 object Compaction {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
   final case class Report(dir: String, filesBefore: Int, filesAfter: Int,
       bytes: Long)
 
-  private def isDataFile(p: java.nio.file.Path): Boolean = {
-    val n = p.getFileName.toString
+  private def isDataFile(p: HPath): Boolean = {
+    val n = p.getName
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
   }
 
   /** Leaf directories (those directly holding parquet part files) under
-    * `root`, including `root` itself for unpartitioned tables. */
-  private def leafDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] =
-    Files.walk(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filter(d => Files.list(d).iterator().asScala.exists(isDataFile))
-      .toSeq
+    * `root`, including `root` itself for unpartitioned tables. Uses the
+    * Hadoop FileSystem API throughout, so the sweep runs unchanged on
+    * local disk, HDFS, or an object store behind an s3a/abfs connector. */
+  private def leafDirs(fs: FileSystem, root: HPath): Seq[HPath] = {
+    val st = fs.listStatus(root)
+    val here = if (st.exists(s => s.isFile && isDataFile(s.getPath)))
+      Seq(root) else Nil
+    here ++ st.filter(_.isDirectory).flatMap(d => leafDirs(fs, d.getPath))
+  }
 
   /** Compact every fragmented leaf directory of `tableDir` to
     * ~`targetBytes` files; returns a report per REWRITTEN directory
@@ -134,21 +139,25 @@ object Compaction {
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Seq[Report] = {
     require(targetBytes >= 1, "targetBytes must be positive")
-    leafDirs(Paths.get(tableDir)).flatMap { d =>
-      val parts = Files.list(d).iterator().asScala.filter(isDataFile).toSeq
-      val bytes = parts.map(Files.size).sum
+    val root = new HPath(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leafDirs(fs, root).flatMap { d =>
+      val parts = fs.listStatus(d).filter(s => s.isFile && isDataFile(s.getPath))
+      val bytes = parts.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (parts.size <= want) None
+      if (parts.length <= want) None
       else {
-        val tmp = d.resolveSibling(d.getFileName.toString + ".__compacting")
+        val tmp = new HPath(d.getParent, d.getName + ".__compacting")
         spark.read.parquet(d.toString).coalesce(want)
           .write.mode("overwrite").parquet(tmp.toString)
-        val fresh = Files.list(tmp).iterator().asScala.filter(isDataFile).toSeq
+        val fresh = fs.listStatus(tmp)
+          .filter(s => s.isFile && isDataFile(s.getPath))
         // swap: drop the old part files, adopt the rewritten ones
-        parts.foreach(Files.delete)
-        fresh.foreach(f => Files.move(f, d.resolve(f.getFileName)))
-        Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        Some(Report(d.toString, parts.size, fresh.size, bytes))
+        parts.foreach(p => fs.delete(p.getPath, false))
+        fresh.foreach(f =>
+          fs.rename(f.getPath, new HPath(d, f.getPath.getName)))
+        fs.delete(tmp, true)
+        Some(Report(d.toString, parts.length, fresh.length, bytes))
       }
     }
   }
