@@ -106,6 +106,39 @@ object MiscQueries {
         .orderBy("user_id")
     },
 
+    // Streaming exact dedup, batch parity: a doubled event stream dedups
+    // back to the original per-type counts (watermark is a batch no-op;
+    // the same call dedups with state eviction under readStream).
+    Q("st_stream_dedup",
+      """WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+        |d AS (SELECT DISTINCT user_id, event_type, ts FROM doubled)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        val e = t(s, d, "events").select("user_id", "event_type", "ts")
+        Streams.streamingDedup(e.unionAll(e), Seq("user_id", "event_type"),
+            watermark = "1 minute")
+          .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+    },
+
+    // Watermarked stream-stream interval join, batch parity: events
+    // followed by events of the same user within 60s (self-pairs count —
+    // deterministic and the exact join predicate the streaming path uses).
+    Q("st_interval_join",
+      """SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 SECOND
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select("user_id", "event_id", "ts")
+      Streams.intervalJoin(e, e, "user_id", watermark = "1 minute",
+          withinSec = 60)
+        .select(col("l.user_id").as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
     // ---- multimodal: opaque binary + native metadata ---------------------
     Q("x_mm_binary_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
