@@ -89,7 +89,7 @@ object Etl {
       s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
         "small-side rows (replicated per salt); use inner/left/semi/anti")
     val l = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(salts)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val s = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(s, Seq(key, "__salt"), joinType).drop("__salt")

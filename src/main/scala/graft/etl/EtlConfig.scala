@@ -18,11 +18,14 @@ object EtlConfig {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Map.empty
     val line = """^(\w+)\s*=\s*"([^"]*)"\s*$""".r
-    scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
-      .map(_.stripPrefix("﻿").trim)
-      .filterNot(l => l.isEmpty || l.startsWith("#"))
-      .collect { case line(k, v) => k -> v }
-      .toMap
+    scala.util.Using.resource(scala.io.Source.fromFile(p.toFile, "UTF-8")) {
+      src =>
+        src.getLines()
+          .map(_.stripPrefix("﻿").trim)
+          .filterNot(l => l.isEmpty || l.startsWith("#"))
+          .collect { case line(k, v) => k -> v }
+          .toMap
+    }
   }
 
   /** Parse CLI args: `--key value` and `--key=value` both accepted;

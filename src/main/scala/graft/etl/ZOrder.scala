@@ -39,18 +39,32 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Z-value column for `cols` against CALLER-SUPPLIED (min, max) bounds
+    * per column — pure expression construction, no job. Use this variant
+    * when bounds are known (date ranges, key domains) or tracked in a
+    * stats table. */
+  def zValueWithBounds(cols: Seq[String],
+      bounds: Seq[(Double, Double)]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order wants 2-4 columns, got ${cols.size} (1 column = plain sort)")
+    require(bounds.size == cols.size, "one (min, max) pair per column")
+    interleave(cols.zip(bounds).map { case (c, (mn, mx)) =>
+      bucket16(col(c), mn, mx)
+    })
+  }
+
   /** Z-value column for `cols`, bucketized against the frame's own
-    * min/max (one small aggregate job to fetch 2·n numbers). */
+    * min/max — NOTE: runs one small aggregate job (2·n doubles to the
+    * driver) to fetch the bounds; pass them to [[zValueWithBounds]]
+    * instead when they're already known. */
   def zValue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2 && cols.size <= 4,
       s"z-order wants 2-4 columns, got ${cols.size} (1 column = plain sort)")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).first()
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      bucket16(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-    }
-    interleave(buckets)
+    zValueWithBounds(cols,
+      cols.indices.map(i => (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))))
   }
 
   /** Write `df` as `numFiles` parquet files clustered by the z-order of

@@ -69,7 +69,7 @@ object Dedup {
     // order would scramble the mh0..mh{k-1} schema order for k > 4)
     df.withColumn("__m", sig)
       .filter(col("__m").isNotNull)
-      .select(df.columns.map(col) ++
+      .select(df.columns.toIndexedSeq.map(col) ++
         (0 until k).map(i => col("__m.sig")(i).as(s"mh$i")): _*)
   }
 

@@ -34,7 +34,7 @@ object Prep {
 
   /** Normalize all headers, then apply the per-source rename map. */
   def normalizeHeaders(df: DataFrame, renameMap: Map[String, String] = Map.empty): DataFrame = {
-    val normed = df.toDF(df.columns.map(normalizeName): _*)
+    val normed = df.toDF(df.columns.toIndexedSeq.map(normalizeName): _*)
     renameMap.foldLeft(normed) { case (d, (from, to)) =>
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
