@@ -29,6 +29,45 @@ class SinksSpec extends SparkSpec {
     assert(o.count() == 2)
   }
 
+  test("excel sink writes a well-formed xlsx with typed cells (S10)") {
+    import graft.sources.ExcelSink
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx")
+      .resolve("taux.xlsx").toString
+    val df = Seq(
+      ("Livret A", 3.0, 2024, true),
+      ("LEP <&> spécial", 5.0, 2024, false))
+      .toDF("produit", "taux", "annee", "actif")
+    ExcelSink.writeExcel(df, path, sheet = "Taux")
+
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      def entry(n: String): String = {
+        val is = zip.getInputStream(zip.getEntry(n))
+        try new String(is.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally is.close()
+      }
+      // all mandatory OOXML parts present
+      Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml")
+        .foreach(n => assert(zip.getEntry(n) != null, s"missing part $n"))
+      assert(entry("xl/workbook.xml").contains("""name="Taux""""))
+      val sheet = entry("xl/worksheets/sheet1.xml")
+      // header + escaped string + number + boolean cells
+      assert(sheet.contains("<is><t>produit</t></is>"))
+      assert(sheet.contains("<is><t>LEP &lt;&amp;&gt; spécial</t></is>"))
+      assert(sheet.contains("""<c r="B2"><v>3.0</v></c>"""))
+      assert(sheet.contains("""<c r="D3" t="b"><v>0</v></c>"""))
+      assert(sheet.contains("""<row r="3">"""))
+    } finally zip.close()
+    // the row-bound contract: this is a report sink, not a distributed one
+    val big = spark.range(0, 50).toDF("n")
+    val ex = intercept[IllegalArgumentException] {
+      ExcelSink.writeExcel(big, path, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("driver-side report sink"))
+  }
+
   test("relational batch sink: saveAsTable + catalog read-back (S8)") {
     sample.write.mode("overwrite").saveAsTable("stg_sample")
     try {
