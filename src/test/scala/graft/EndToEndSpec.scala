@@ -119,6 +119,76 @@ class EndToEndSpec extends SparkSpec {
     assert(n2015.getAs[Any]("naissances") == null)
   }
 
+  test("full lifecycle: config → staged run → stats → compaction → backup → notify") {
+    writeFixtures()
+    import graft.etl.{EtlConfig, EtlNotifier, EtlRunner}
+    import graft.etl.EtlRunner.Stage
+    import graft.ops.{Backup, Compaction, Stats}
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // reference §3.1 step 1: config resolution (CLI beats defaults)
+    val cfg = EtlConfig.resolve(
+      cli = EtlConfig.parseArgs(Seq("--warehouse_dir", wh)),
+      defaults = Map("warehouse_dir" -> "/nonexistent",
+        "log_path" -> s"$wh/log", "backup_root" -> s"$wh/backup"))
+    assert(cfg("warehouse_dir") == wh)
+    val dims = Seeds.all(spark)
+    val sent = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    spark.sql("DROP TABLE IF EXISTS fait_population_e2e")
+
+    // steps 2-7: the staged pipeline under the runner, with the
+    // maintenance/backup analogues in their reference positions
+    val reports = EtlRunner.run(spark, cfg("log_path"), Seq(
+      Stage("staging", Nil, () => {
+        val stg = Prep.prepare(
+          Sources.csv(spark, s"$tmp/population.csv", delimiter = ";"),
+          popSpec, "population.csv")
+        // deliberately fragmented write; the maintenance stage compacts
+        Sources.writeParquet(stg.repartition(8), s"$wh/stg_population")
+        stg.count()
+      }),
+      Stage("facts", Seq("staging"), () => {
+        val stg = spark.read.parquet(s"$wh/stg_population")
+        val fact = Etl.requireKeys(
+          Etl.dimKeyJoin(stg, dims("dim_temps"), Seq("annee"), "temps_id"),
+          Seq("temps_id"))
+        fact.write.mode("overwrite").saveAsTable("fait_population_e2e")
+        spark.table("fait_population_e2e").count()
+      }),
+      Stage("refresh", Seq("facts"), () => {
+        Stats.refreshStatistics(spark, Seq("fait_population_e2e"))
+        spark.table("fait_population_e2e").count()
+      }),
+      Stage("maintenance", Seq("staging"), () =>
+        Compaction.compact(spark, s"$wh/stg_population")
+          .map(_.filesBefore.toLong).sum),
+      Stage("backup", Seq("facts"), () => {
+        Backup.snapshot(s"$wh/stg_population", cfg("backup_root"),
+          "20260812_000000")
+        1L
+      })),
+      sinks = Seq(
+        EtlNotifier.transport("pipeline", (s, b) => sent += ((s, b))),
+        EtlNotifier.table(spark, s"$wh/report", "pipeline")))
+    try {
+      assert(reports.size == 5 && reports.forall(_.status == "SUCCES"))
+      // notification fired with the success outcome
+      assert(sent.size == 1 && sent.head._1.contains("SUCCES"))
+      // CBO stats recorded by the refresh stage
+      assert(spark.sql("DESCRIBE TABLE EXTENDED fait_population_e2e")
+        .filter($"col_name" === "Statistics").count() == 1)
+      // the maintenance stage compacted staging's 8 files down to 1
+      assert(new java.io.File(s"$wh/stg_population").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+      // backup snapshot exists under the configured root
+      assert(new java.io.File(
+        s"${cfg("backup_root")}/snapshot_20260812_000000").isDirectory)
+      // ops log + report table each carry one row per stage
+      assert(spark.read.parquet(cfg("log_path")).count() == 5)
+      assert(spark.read.parquet(s"$wh/report").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS fait_population_e2e")
+  }
+
   test("communes JSON: flatten + postal-code bridge (S3, array explode)") {
     writeFixtures()
     val doc = Sources.json(spark, s"$tmp/communes.json")
