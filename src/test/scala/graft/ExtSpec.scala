@@ -50,6 +50,20 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("clusterPairs converges on a deep chain within the safety rail") {
+    // a 40-node chain (diameter 39) exercises many fused-hop iterations;
+    // near-dup graphs are far shallower, so this over-covers reality
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.clusterPairs(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 40)
+    assert(labels.values.forall(_ == 0L), "one component, min-id label")
+    // and a disjoint second component keeps its own min label
+    val two = chain.union(Seq((100L, 101L), (101L, 102L)).toDF("a_id", "b_id"))
+    val l2 = Dedup.clusterPairs(two).as[(Long, Long)].collect().toMap
+    assert(l2(102L) == 100L && l2(39L) == 0L)
+  }
+
   test("simhash: identical texts agree, near-dups differ in few bits") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, String)].collect().toMap
