@@ -197,15 +197,17 @@ object Dedup {
     // equality there is the fix point regardless of what the first fused
     // round did. Near-dup clusters are shallow (star-ish), so the typical
     // run converges within the first lineage and pays exactly ONE driver
-    // action; deeper chains pay one persist+count per TWO hops instead
-    // of per hop (half the driver round-trips and scheduler barriers).
-    var labels = round(round(init)).persist(MEMORY_AND_DISK)
+    // action; deeper chains pay one materialize+count per TWO hops
+    // instead of per hop. localCheckpoint (not persist) each iteration:
+    // persist truncates only the computation, the LOGICAL plan keeps
+    // nesting two joins per round and analyzer cost explodes on deep
+    // chains — checkpointing truncates both.
+    var labels = round(round(init)).localCheckpoint()
     var changed = labels.filter(col("label") =!= col("prev")).count()
     var iter = 2
     while (changed > 0 && iter < maxIter) {
-      val next = round(round(labels)).persist(MEMORY_AND_DISK)
+      val next = round(round(labels)).localCheckpoint()
       changed = next.filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       iter += 2
     }
@@ -213,13 +215,89 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterPairs: min-label propagation did not converge in $maxIter " +
           "rounds (component diameter exceeds the safety rail); raise " +
-          "maxIter or switch to large-star/small-star contraction")
-    // hand back converged labels without the iteration's cached lineage
+          "maxIter or switch to clusterPairsStar (large-star/small-star)")
     val out = labels.select(col("id"), col("label").as("cluster_id"))
-      .localCheckpoint()
-    labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the ADVERSARIAL-DIAMETER path: converges in O(log n)
+    * rounds on any graph, where [[clusterPairs]]' min-label propagation
+    * pays O(diameter) rounds. Per round it costs two groupBy+join passes
+    * (vs one for propagation), so propagation stays the default for
+    * near-dup graphs (shallow stars); switch here when components can be
+    * long chains — sessionized click paths, citation chains, linked
+    * records.
+    *
+    * Same contract as [[clusterPairs]]: returns (id, cluster_id),
+    * cluster_id = smallest member id; throws rather than returning split
+    * clusters if `maxIter` rounds don't reach the star fix point.
+    */
+  def clusterPairsStar(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge set: (u < v), no loops, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+
+    // large-star: every neighbor v > u rewires to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = dir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(dir.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: all smaller neighbors (and u itself) rewire to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      canon(dir.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("x"), col("m").as("y")),
+          struct(col("u").as("x"), col("m").as("y")))).as("e"))
+        .select(col("e.x").as("u"), col("e.y").as("v")))
+    }
+    // edge-set fingerprint: one tiny aggregate per round (count + order-
+    // independent hash sum) — a scalar to the driver, never the data
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+
+    // localCheckpoint each round: truncates BOTH the lineage and the
+    // logical plan — without it the plan nests two star passes per round
+    // and analyzer time explodes after ~8 rounds (propagation gets away
+    // without this because shallow graphs converge in 2-3 rounds)
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint()
+    var fp = fingerprint(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairsStar: star contraction did not reach the fix point " +
+          s"in $maxIter rounds; raise maxIter")
+    // fix point = disjoint stars canonicalized as (center, leaf) with
+    // center < leaf: leaves take the center's label, centers themselves
+    edges.select(col("u").as("id"), col("u").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("u").as("cluster_id")))
+      .distinct()
   }
 
   // ---- SimHash -----------------------------------------------------------

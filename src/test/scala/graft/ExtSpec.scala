@@ -64,6 +64,28 @@ class ExtSpec extends SparkSpec {
     assert(l2(102L) == 100L && l2(39L) == 0L)
   }
 
+  test("clusterPairsStar matches label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a_id", "b_id")
+      val prop = Dedup.clusterPairs(df).as[(Long, Long)].collect().toMap
+      val star = Dedup.clusterPairsStar(df).as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial: star labels must equal propagation")
+    }
+  }
+
+  test("clusterPairsStar closes a 200-node chain in logarithmic rounds") {
+    // diameter 199: propagation would need ~100 fused iterations;
+    // star contraction converges within its default 25-round rail
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.clusterPairsStar(chain).as[(Long, Long)].collect().toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("simhash: identical texts agree, near-dups differ in few bits") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, String)].collect().toMap
