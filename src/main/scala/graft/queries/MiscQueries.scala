@@ -125,6 +125,10 @@ object MiscQueries {
     // Watermarked stream-stream interval join, batch parity: events
     // followed by events of the same user within 60s (self-pairs count —
     // deterministic and the exact join predicate the streaming path uses).
+    // Scale note: streaming bounds this by watermark state eviction; the
+    // BATCH shape at warehouse scale is AsOf.bandedRangeJoin (equi-band,
+    // constant 2x replication) — this query demonstrates operator parity,
+    // not the batch-scale plan (see j_range_join for that).
     Q("st_interval_join",
       """SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM events l JOIN events r
