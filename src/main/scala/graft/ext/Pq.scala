@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search") — the memory-side scale path for embedding search
+  * that [[Ivf]]/[[Similarity]] don't cover: a dim-d float vector (4·d
+  * bytes) compresses to `m` small codes (m bytes at k=256), so a
+  * 10B-vector corpus drops from terabytes to tens of gigabytes and ANN
+  * scoring becomes m table lookups per row instead of d multiplies.
+  *
+  * Scale shape: codebooks are tiny (m × k × d/m doubles) and train on a
+  * sample via the same distributed Lloyd's iterations as [[Ivf.train]] —
+  * the driver only ever holds centroids. Encoding is a per-row
+  * expression pass (the codegen `NearestCentroid` per subspace — no
+  * UDF, no shuffle). Search precomputes the query's m × k distance
+  * table on the driver and scores rows with m array lookups
+  * (asymmetric distance computation); combine with IVF cell pruning for
+  * the full IVF-PQ shape: partition by cell, scan `nprobe` cells,
+  * score codes.
+  */
+object Pq {
+
+  /** `m` sub-quantizers of `subDim` dims each: centroids(j)(c) is the
+    * c-th centroid of subspace j. */
+  final case class Codebook(m: Int, subDim: Int,
+      centroids: Seq[Seq[Seq[Double]]]) {
+    require(centroids.size == m && centroids.forall(_.forall(_.size == subDim)))
+  }
+
+  private def subspace(embCol: String, j: Int, subDim: Int): Column =
+    slice(col(embCol), j * subDim + 1, subDim)
+
+  /** Train per-subspace codebooks with distributed Lloyd's iterations.
+    * ALL m subspaces update in ONE job per iteration (per-row assignment
+    * array → dims exploded once → mean per (subspace, cell, pos)) — m
+    * separate [[Ivf.train]] calls would pay m× the scheduling and scan
+    * cost for identical results. `k` ≤ 256 keeps codes byte-sized.
+    * Deterministic: initialized from the first k vectors by id, fixed
+    * iteration count. */
+  def train(corpus: DataFrame, embCol: String, idCol: String, m: Int,
+      k: Int = 256, iters: Int = 3): Codebook = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val first = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      first.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
+    (1 to iters).foreach { _ =>
+      // assignments on the compact rows, THEN explode via join — next to
+      // posexplode in one projection the m nearest-centroid expressions
+      // would be re-evaluated once per exploded element (dim× the work)
+      val cells = corpus.select(col(idCol), array((0 until m).map(j =>
+        graft.functions.VectorOps.nearestCentroid(spark,
+          subspace(embCol, j, subDim), books(j))): _*).as("__cells"))
+      val means = corpus
+        .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+        .join(cells, idCol)
+        .select((col("pos") / subDim).cast("int").as("j"),
+          pmod(col("pos"), lit(subDim)).as("p"),
+          element_at(col("__cells"),
+            (col("pos") / subDim).cast("int") + 1).as("cell"),
+          col("v"))
+        .groupBy("j", "cell", "p")
+        .agg(avg(col("v").cast("double")).as("mn"))
+        .collect()
+        .map(r => ((r.getAs[Int]("j"), r.getAs[Int]("cell"),
+          r.getAs[Int]("p")), r.getAs[Double]("mn"))).toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          if (means.contains((j, c, 0)))
+            (0 until subDim).map(p => means((j, c, p)))
+          else old // empty cell keeps its centroid
+        }
+      }
+    }
+    Codebook(m, subDim, books)
+  }
+
+  /** Adds `codeCol` (array<int>, one nearest-centroid index per
+    * subspace) — the compressed representation to persist instead of
+    * the float vectors. Pure per-row codegen expressions. */
+  def encode(corpus: DataFrame, embCol: String, book: Codebook,
+      codeCol: String = "pq_code"): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus.withColumn(codeCol, array((0 until book.m).map(j =>
+      graft.functions.VectorOps.nearestCentroid(spark,
+        subspace(embCol, j, book.subDim), book.centroids(j))): _*))
+  }
+
+  /** Top-k by asymmetric distance: the query's m × k squared-L2 table is
+    * computed on the driver (m·k·subDim flops — microseconds) and baked
+    * in as a literal; each row costs m array lookups + adds. Returns
+    * (idCol, adc) ascending — approximate L2 nearest neighbors. */
+  def adcTopK(encoded: DataFrame, codeCol: String, idCol: String,
+      book: Codebook, query: Seq[Double], k: Int): DataFrame = {
+    require(query.size == book.m * book.subDim, "query dim mismatch")
+    val table = array(book.centroids.zipWithIndex.map { case (cents, j) =>
+      val q = query.slice(j * book.subDim, (j + 1) * book.subDim)
+      array(cents.map(c =>
+        lit(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)): _*)
+    }: _*)
+    val adc = aggregate(
+      zip_with(col(codeCol),
+        sequence(lit(1), lit(book.m)),
+        (c, j) => element_at(element_at(table, j), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    encoded.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+}

@@ -280,6 +280,22 @@ object MiscQueries {
         .orderBy(col("cosine").desc, col("vec_id"))
     },
 
+    // Product-quantized ANN (rows-only: k-means codebooks not
+    // SQL-expressible; deterministic — seeded init, fixed iterations).
+    // The scale story: 4·dim-byte vectors compress to m code bytes and
+    // search is m table lookups per row (see ext.Pq scaladoc).
+    Q.rowsOnly("x_sim_pq_ann") { (s, d) =>
+      val corpus = t(s, d, "embeddings").persist()
+      val book = graft.ext.Pq.train(corpus, "embedding", "vec_id",
+        m = 8, k = 16, iters = 2)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      graft.ext.Pq.adcTopK(
+          graft.ext.Pq.encode(corpus, "embedding", book),
+          "pq_code", "vec_id", book, qv, k = 10)
+        .select(col("vec_id"), Fp.r(col("adc"), 4).as("adc"))
+    },
+
     // k-NN join: top-3 cosine neighbors for EVERY vector, candidates
     // restricted to the vector's LSH bucket (the all-pairs kNN shape at
     // scale: bucket equi-join + per-key top-k, never a cross product).
