@@ -45,9 +45,14 @@ object Pq {
     val dim = corpus.select(size(col(embCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
+    // float corpora and double residual vectors (IvfPq) both train here
     val first = corpus.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toIndexedSeq)
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       first.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
     (1 to iters).foreach { _ =>

@@ -296,6 +296,20 @@ object MiscQueries {
         .select(col("vec_id"), Fp.r(col("adc"), 4).as("adc"))
     },
 
+    // Composed IVF-PQ index (rows-only: two k-means trainings not
+    // SQL-expressible; deterministic). The production ANN layout: cell
+    // partitioning prunes the scan, residual PQ codes shrink it to bytes
+    // per vector, ADC scores with per-cell lookup tables.
+    Q.rowsOnly("x_sim_ivfpq_ann") { (s, d) =>
+      val corpus = t(s, d, "embeddings").persist()
+      val (index, meta) = graft.ext.IvfPq.build(corpus, "embedding",
+        "vec_id", nCells = 8, m = 8, k = 16, iters = 2)
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      graft.ext.IvfPq.search(index, meta, "vec_id", qv, k = 10, nprobe = 2)
+        .select(col("vec_id"), Fp.r(col("adc"), 4).as("adc"))
+    },
+
     // k-NN join: top-3 cosine neighbors for EVERY vector, candidates
     // restricted to the vector's LSH bucket (the all-pairs kNN shape at
     // scale: bucket equi-join + per-key top-k, never a cross product).
