@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator demonstrations, grouped by module. */
   def allQs: Seq[Q] =
     Relational.all ++ ExtQueries.all ++ ScdQueries.all ++ MiscQueries.all ++
-      AnalyticsQueries.all ++ SeriesQueries.all ++ ScaleQueries.all
+      AnalyticsQueries.all ++ SeriesQueries.all ++ ScaleQueries.all ++
+      MartQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -65,9 +65,52 @@ object Datamarts {
         sum("actifs").as("actifs"))
       .withColumn("taux_chomage", pct(col("chomeurs"), col("actifs")))
 
+  /** vm_entreprises_departement (reference `005:56-84`): the one 4-way
+    * star in the reference — fact ⋈ temps ⋈ geo ⋈ **activite**, grouped by
+    * the third dimension's attributes (secteur / NAF section) on top of
+    * the usual (annee, departement) keys, with conditional-split creation
+    * counters summed per cell.
+    *
+    * All three dims carry a broadcast hint: datamart dimensions are
+    * bounded-cardinality by construction (dates, communes, NAF sections —
+    * none grows with fact volume), so the hint stays safe at 100 TB while
+    * sparing three shuffles of the fact table.
+    */
+  def entreprisesDepartement(faitEntreprises: DataFrame, dimTemps: DataFrame,
+      dimGeo: DataFrame, dimActivite: DataFrame): DataFrame =
+    faitEntreprises
+      .join(broadcast(dimTemps), "temps_id")
+      .join(broadcast(dimGeo.filter(col("niveau_geo") === "DEPARTEMENT")), "geo_id")
+      .join(broadcast(dimActivite), "activite_id")
+      .groupBy(col("annee"), col("departement_code"), col("departement_nom"),
+        col("secteur_activite"), col("naf_section_code"),
+        col("naf_section_libelle"))
+      .agg(
+        sum("nb_creations_entreprises").as("nb_creations"),
+        sum("nb_creations_micro").as("nb_creations_micro"),
+        sum("nb_creations_ei").as("nb_creations_ei"),
+        sum("nb_creations_hommes").as("creations_hommes"),
+        sum("nb_creations_femmes").as("creations_femmes"),
+        sum("nb_creations_moins_30ans").as("creations_jeunes"))
+
+  /** vm_logement_departement (reference `005:174-199`): housing-stock SUMs
+    * with the guarded overcrowding percentage (NULL when no stock). */
+  def logementDepartement(faitLogement: DataFrame, dimTemps: DataFrame,
+      dimGeo: DataFrame): DataFrame =
+    faitLogement
+      .join(broadcast(dimTemps), "temps_id")
+      .join(broadcast(dimGeo.filter(col("niveau_geo") === "DEPARTEMENT")), "geo_id")
+      .groupBy(col("annee"), col("departement_code"), col("departement_nom"))
+      .agg(
+        sum("nb_residences_principales").as("nb_residences_principales"),
+        sum("nb_logements_surpeuples").as("nb_logements_surpeuples"))
+      .withColumn("taux_surpeuplement",
+        pct(col("nb_logements_surpeuples"), col("nb_residences_principales")))
+
   /** Dashboard scaffold: geo × temps CROSS JOIN, left-joined to each
     * datamart so every (department, year) cell exists even with no facts
-    * (reference `005:235-254`). */
+    * (reference `005:235-254`; the entreprises mart enters re-aggregated
+    * to (annee, departement) as in `005:239-243`). */
   def tableauBord(dimGeo: DataFrame, dimTemps: DataFrame,
       datamarts: Seq[(String, DataFrame)]): DataFrame = {
     val scaffold = dimGeo.filter(col("niveau_geo") === "DEPARTEMENT")

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.marts.Datamarts
+
+/** Oracle-checked demonstrations of the reference's two remaining datamart
+  * views, driven through the REAL `Datamarts` builders (not re-inlined SQL)
+  * over mart-shaped projections of the driver's TPC-H-ish testdata.
+  *
+  * Mapping (deterministic, same on both engines):
+  *   - dim_temps    ← distinct shipping months (temps_id = yyyymm, annee)
+  *   - dim_geo      ← supplier ⋈ nation (departement = nation; suppkeys
+  *                    divisible by 10 are demoted to 'REGION' so the view's
+  *                    `niveau_geo = 'DEPARTEMENT'` filter actually filters)
+  *   - dim_activite ← part (secteur = first word of p_type, NAF section =
+  *                    p_brand, libelle functionally dependent on the code)
+  *   - fact measures ← integral l_quantity split by returnflag/linestatus
+  *                    so every SUM is exact (BIGINT, order-independent).
+  *
+  * The reference dims (dates, communes, NAF sections) are bounded-
+  * cardinality, which is what licenses the builders' broadcast hints; the
+  * testdata stand-ins respect the same contract at every tested SF.
+  */
+object MartQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** temps_id = yyyymm of l_shipdate; one row per distinct month. */
+  private def dimTemps(li: DataFrame): DataFrame =
+    li.select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("temps_id"),
+      year(col("l_shipdate")).as("annee")).distinct()
+
+  private val dimTempsSql =
+    """SELECT DISTINCT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
+      |                CAST(year(l_shipdate) AS INT) AS annee
+      |FROM lineitem""".stripMargin
+
+  private def dimGeo(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("geo_id"),
+        col("s_nationkey").cast("int").as("departement_code"),
+        col("n_name").as("departement_nom"),
+        when(col("s_suppkey") % 10 =!= 0, lit("DEPARTEMENT"))
+          .otherwise(lit("REGION")).as("niveau_geo"))
+
+  private val dimGeoSql =
+    """SELECT s_suppkey AS geo_id, CAST(s_nationkey AS INT) AS departement_code,
+      |       n_name AS departement_nom,
+      |       CASE WHEN s_suppkey % 10 <> 0 THEN 'DEPARTEMENT' ELSE 'REGION' END AS niveau_geo
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
+  /** lineitem rows reshaped to the fait_logement vocabulary. */
+  private def faitLogement(li: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    li.select(
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("temps_id"),
+      col("l_suppkey").as("geo_id"),
+      q.as("nb_residences_principales"),
+      when(col("l_returnflag") === "R", q).otherwise(lit(0L))
+        .as("nb_logements_surpeuples"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // vm_entreprises_departement (005:56-84): the 4-way star grouped by
+    // the activity dimension's attributes — the one join shape in §2 no
+    // other query demonstrates.
+    Q("mart_entreprises",
+      s"""WITH temps AS ($dimTempsSql),
+        |geo AS ($dimGeoSql),
+        |act AS (
+        |  SELECT p_partkey AS activite_id,
+        |         split_part(p_type, ' ', 1) AS secteur_activite,
+        |         p_brand AS naf_section_code,
+        |         'SECTION ' || p_brand AS naf_section_libelle
+        |  FROM part),
+        |fait AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
+        |         l_suppkey AS geo_id, l_partkey AS activite_id,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         l_returnflag, l_linestatus, l_discount
+        |  FROM lineitem)
+        |SELECT t.annee, g.departement_code, g.departement_nom,
+        |       a.secteur_activite, a.naf_section_code, a.naf_section_libelle,
+        |       CAST(sum(q) AS BIGINT) AS nb_creations,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN q ELSE 0 END) AS BIGINT) AS nb_creations_micro,
+        |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN q ELSE 0 END) AS BIGINT) AS nb_creations_ei,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN q ELSE 0 END) AS BIGINT) AS creations_hommes,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN q ELSE 0 END) AS BIGINT) AS creations_femmes,
+        |       CAST(sum(CASE WHEN l_discount >= 0.05 THEN q ELSE 0 END) AS BIGINT) AS creations_jeunes
+        |FROM fait f
+        |JOIN temps t ON f.temps_id = t.temps_id
+        |JOIN geo g ON f.geo_id = g.geo_id AND g.niveau_geo = 'DEPARTEMENT'
+        |JOIN act a ON f.activite_id = a.activite_id
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val q = col("l_quantity").cast("long")
+      val fait = li.select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("temps_id"),
+        col("l_suppkey").as("geo_id"),
+        col("l_partkey").as("activite_id"),
+        q.as("nb_creations_entreprises"),
+        when(col("l_returnflag") === "R", q).otherwise(lit(0L)).as("nb_creations_micro"),
+        when(col("l_returnflag") === "A", q).otherwise(lit(0L)).as("nb_creations_ei"),
+        when(col("l_linestatus") === "O", q).otherwise(lit(0L)).as("nb_creations_hommes"),
+        when(col("l_linestatus") === "F", q).otherwise(lit(0L)).as("nb_creations_femmes"),
+        when(col("l_discount") >= 0.05, q).otherwise(lit(0L)).as("nb_creations_moins_30ans"))
+      val act = t(s, d, "part").select(
+        col("p_partkey").as("activite_id"),
+        split(col("p_type"), " ").getItem(0).as("secteur_activite"),
+        col("p_brand").as("naf_section_code"),
+        concat(lit("SECTION "), col("p_brand")).as("naf_section_libelle"))
+      Datamarts.entreprisesDepartement(fait, dimTemps(li), dimGeo(s, d), act)
+        .orderBy("annee", "departement_code", "departement_nom",
+          "secteur_activite", "naf_section_code", "naf_section_libelle")
+    },
+
+    // vm_logement_departement (005:174-199): stock SUMs + guarded
+    // overcrowding percentage (exact BIGINT sums → identical ratio doubles
+    // on both engines; Fp.r absorbs the half-boundary rounding split).
+    Q("mart_logement",
+      s"""WITH temps AS ($dimTempsSql),
+        |geo AS ($dimGeoSql),
+        |fait AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
+        |         l_suppkey AS geo_id,
+        |         CAST(l_quantity AS BIGINT) AS nb_residences_principales,
+        |         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS nb_logements_surpeuples
+        |  FROM lineitem)
+        |SELECT t.annee, g.departement_code, g.departement_nom,
+        |       CAST(sum(nb_residences_principales) AS BIGINT) AS nb_residences_principales,
+        |       CAST(sum(nb_logements_surpeuples) AS BIGINT) AS nb_logements_surpeuples,
+        |       round(CASE WHEN sum(nb_residences_principales) > 0
+        |         THEN sum(nb_logements_surpeuples) * 100.0 / sum(nb_residences_principales)
+        |         ELSE NULL END + 1e-7, 4) AS taux_surpeuplement
+        |FROM fait f
+        |JOIN temps t ON f.temps_id = t.temps_id
+        |JOIN geo g ON f.geo_id = g.geo_id AND g.niveau_geo = 'DEPARTEMENT'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      Datamarts.logementDepartement(faitLogement(li), dimTemps(li), dimGeo(s, d))
+        .withColumn("taux_surpeuplement", Fp.r(col("taux_surpeuplement"), 4))
+        .orderBy("annee", "departement_code", "departement_nom")
+    })
+}

@@ -68,6 +68,73 @@ class EtlMartsOpsSpec extends SparkSpec {
       .getAs[Any]("taux_natalite") == null)
   }
 
+  test("entreprises datamart groups the 4-way star by activity attributes") {
+    val temps = Seq((1, 2021), (2, 2022)).toDF("temps_id", "annee")
+    val geo = Seq((1, "59", "Nord", "DEPARTEMENT"), (2, "XX", "Reg", "REGION"))
+      .toDF("geo_id", "departement_code", "departement_nom", "niveau_geo")
+    val act = Seq((1, "Industrie", "C", "Manufacture"), (2, "Services", "J", "Info"))
+      .toDF("activite_id", "secteur_activite", "naf_section_code", "naf_section_libelle")
+    val fait = Seq(
+      (1, 1, 1, 10L, 4L, 2L, 6L, 4L, 3L),
+      (1, 1, 1, 5L, 1L, 1L, 2L, 3L, 1L),   // same cell → summed
+      (1, 1, 2, 7L, 0L, 0L, 7L, 0L, 0L),   // other activity → own cell
+      (1, 2, 1, 99L, 9L, 9L, 9L, 9L, 9L))  // REGION geo → filtered out
+      .toDF("temps_id", "geo_id", "activite_id", "nb_creations_entreprises",
+        "nb_creations_micro", "nb_creations_ei", "nb_creations_hommes",
+        "nb_creations_femmes", "nb_creations_moins_30ans")
+    val dm = Datamarts.entreprisesDepartement(fait, temps, geo, act).cache()
+    assert(dm.count() == 2)
+    val indus = dm.filter($"naf_section_code" === "C").first()
+    assert(indus.getAs[Long]("nb_creations") == 15L)
+    assert(indus.getAs[Long]("nb_creations_micro") == 5L)
+    assert(indus.getAs[Long]("creations_femmes") == 7L)
+    assert(dm.filter($"naf_section_code" === "J").first()
+      .getAs[Long]("nb_creations") == 7L)
+  }
+
+  test("logement datamart sums stock and guards the overcrowding rate") {
+    val temps = Seq((1, 2021)).toDF("temps_id", "annee")
+    val geo = Seq((1, "59", "Nord", "DEPARTEMENT"), (2, "02", "Aisne", "DEPARTEMENT"))
+      .toDF("geo_id", "departement_code", "departement_nom", "niveau_geo")
+    val fait = Seq((1, 1, 800L, 40L), (1, 1, 200L, 10L), (1, 2, 0L, 0L))
+      .toDF("temps_id", "geo_id", "nb_residences_principales",
+        "nb_logements_surpeuples")
+    val dm = Datamarts.logementDepartement(fait, temps, geo).cache()
+    val nord = dm.filter($"departement_code" === "59").first()
+    assert(nord.getAs[Long]("nb_residences_principales") == 1000L)
+    assert(math.abs(nord.getAs[Double]("taux_surpeuplement") - 5.0) < 1e-9)
+    // zero stock → NULL rate (reference CASE WHEN), not a division error
+    assert(dm.filter($"departement_code" === "02").first()
+      .getAs[Any]("taux_surpeuplement") == null)
+  }
+
+  test("dashboard joins the re-aggregated entreprises + logement marts") {
+    // reference 005:239-243: the 4-dim entreprises mart enters the tableau
+    // de bord re-aggregated to (annee, departement).
+    val temps = Seq((1, 2021)).toDF("temps_id", "annee")
+    val geo = Seq((1, "59", "Nord", "DEPARTEMENT")).toDF(
+      "geo_id", "departement_code", "departement_nom", "niveau_geo")
+    val act = Seq((1, "Industrie", "C", "Manufacture"), (2, "Services", "J", "Info"))
+      .toDF("activite_id", "secteur_activite", "naf_section_code", "naf_section_libelle")
+    val faitEnt = Seq((1, 1, 1, 10L, 0L, 0L, 0L, 0L, 0L), (1, 1, 2, 7L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("temps_id", "geo_id", "activite_id", "nb_creations_entreprises",
+        "nb_creations_micro", "nb_creations_ei", "nb_creations_hommes",
+        "nb_creations_femmes", "nb_creations_moins_30ans")
+    val faitLog = Seq((1, 1, 1000L, 50L)).toDF("temps_id", "geo_id",
+      "nb_residences_principales", "nb_logements_surpeuples")
+    val ent = Datamarts.entreprisesDepartement(faitEnt, temps, geo, act)
+      .groupBy("annee", "departement_code")
+      .agg(sum("nb_creations").as("creations_entreprises"))
+    val log = Datamarts.logementDepartement(faitLog, temps, geo)
+      .select("annee", "departement_code", "departement_nom", "taux_surpeuplement")
+    val board = Datamarts.tableauBord(geo, temps,
+      Seq("ent" -> ent, "log" -> log)).cache()
+    assert(board.count() == 1)
+    val row = board.first()
+    assert(row.getAs[Long]("creations_entreprises") == 17L)
+    assert(math.abs(row.getAs[Double]("taux_surpeuplement") - 5.0) < 1e-9)
+  }
+
   test("dashboard scaffold has a cell for every (dept, year)") {
     val temps = Seq((1, 2020), (2, 2021)).toDF("temps_id", "annee")
     val geo = Seq((1, "59", "Nord", "DEPARTEMENT"), (2, "02", "Aisne", "DEPARTEMENT"))
