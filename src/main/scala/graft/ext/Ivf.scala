@@ -16,9 +16,27 @@ import org.apache.spark.sql.functions._
   * one distributed aggregation (posexplode → avg per (cell, dim)) — the
   * driver only ever holds k × dim numbers.
   *
-  * Deterministic: initial centroids are the first k vectors by id.
+  * Deterministic: initial centroids are a hash-ordered sample of k
+  * vectors (md5 over a fixed salt + id) — corpus-spanning regardless of
+  * how ids correlate with ingest order, yet reproducible run-to-run.
   */
 object Ivf {
+
+  /** Fixed salt for the deterministic init sample. */
+  private[ext] val InitSalt = "graft-kmeans-init"
+
+  /** Deterministic corpus-spanning pick of k seed rows: ordering by the
+    * FIRST k ids would start all centroids inside one ingest slice at
+    * warehouse scale (ids correlate with load batches), and Lloyd's may
+    * not recover in a few iterations; ordering by a salted hash of the id
+    * costs the same one pass but spreads the seeds across the corpus. */
+  private[ext] def initSample(corpus: DataFrame, embCol: String,
+      idCol: String, k: Int): Array[org.apache.spark.sql.Row] =
+    corpus
+      .orderBy(md5(concat_ws("|", lit(InitSalt), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(k)
+      .select(col(embCol)).collect()
 
   /** Index (0-based) of the nearest centroid (ties break to the lowest
     * index — deterministic). `graft.functions.NearestCentroid` is a
@@ -33,8 +51,7 @@ object Ivf {
   def train(corpus: DataFrame, embCol: String, idCol: String, k: Int,
       iters: Int = 5): Seq[Seq[Double]] = {
     val dim = corpus.select(size(col(embCol))).first().getInt(0)
-    var centroids: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(embCol)).collect()
+    var centroids: Seq[Seq[Double]] = initSample(corpus, embCol, idCol, k)
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     (1 to iters).foreach { _ =>
       // cell assignment on the compact rows, THEN explode via join — if the

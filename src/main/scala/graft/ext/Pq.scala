@@ -37,8 +37,9 @@ object Pq {
     * array → dims exploded once → mean per (subspace, cell, pos)) — m
     * separate [[Ivf.train]] calls would pay m× the scheduling and scan
     * cost for identical results. `k` ≤ 256 keeps codes byte-sized.
-    * Deterministic: initialized from the first k vectors by id, fixed
-    * iteration count. */
+    * Deterministic: initialized from a hash-ordered sample of k vectors
+    * ([[Ivf.initSample]] — corpus-spanning even when ids correlate with
+    * ingest slices), fixed iteration count. */
   def train(corpus: DataFrame, embCol: String, idCol: String, m: Int,
       k: Int = 256, iters: Int = 3): Codebook = {
     val spark = corpus.sparkSession
@@ -46,8 +47,7 @@ object Pq {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
     // float corpora and double residual vectors (IvfPq) both train here
-    val first = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(embCol)).collect()
+    val first = Ivf.initSample(corpus, embCol, idCol, k)
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d

@@ -147,6 +147,54 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = c)
 }
 
+/** Broadcast-backed [[NearestCentroid]] for large k×dim matrices: the task
+  * binary carries only the broadcast handle (bytes), the matrix ships once
+  * per EXECUTOR via torrent broadcast instead of once per task closure —
+  * at 1000 executors × thousands of tasks that is the difference between
+  * one matrix copy per machine and one per task. The generated code
+  * materializes `bc.value()` once per codegen instance (mutable state
+  * init), so the per-row loop is identical to the literal variant. */
+case class NearestCentroidBc(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private def isFloatArr: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_bc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOpsImpl.nearestCentroid(v.asInstanceOf[ArrayData], bc.value,
+      isFloatArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", bc,
+      "org.apache.spark.broadcast.Broadcast<double[][]>")
+    val cents = ctx.addMutableState("double[][]", "centsMat",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Integer ${ev.value}_r =
+         |  graft.functions.VectorOpsImpl.nearestCentroid($c, $cents, $isFloatArr);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.intValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidBc =
+    copy(child = c)
+}
+
 object VectorOps {
   /** Column API (requires [[register]] on the session first — Spark 4's
     * Expression↔Column bridge is private, the registry is the seam). */
@@ -156,20 +204,42 @@ object VectorOps {
   def vecNorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vecDot(a, a))
 
+  /** Past this many matrix elements (128 KiB of doubles) the centroid
+    * payload rides a broadcast variable instead of the task closure. */
+  val BroadcastThresholdElems: Int = 16384
+
   /** `nearest_centroid` takes the centroid matrix at registration time (a
     * literal matrix is not SQL-passable). The registered name is unique
     * per matrix so concurrent queries with different centroids (e.g. the
-    * parallel Verify dump) can never clobber each other's registration. */
+    * parallel Verify dump) can never clobber each other's registration.
+    *
+    * Representation switch: small matrices embed in the expression (zero
+    * extra machinery); past [[BroadcastThresholdElems]] the matrix ships
+    * as a broadcast variable — once per executor, not once per task —
+    * so large-k×dim IVF/PQ assignment stays cheap on a 1000-executor
+    * cluster. Results are bit-identical either way. */
   def nearestCentroid(spark: SparkSession, emb: Column,
       centroids: Seq[Seq[Double]]): Column = {
-    val name = "nearest_centroid_" + java.lang.Integer.toHexString(
-      java.util.Arrays.deepHashCode(
-        centroids.map(_.toArray).toArray[AnyRef]))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      FnReg.checked(name, 1)(exprs => NearestCentroid(exprs.head, centroids)),
-      "built-in")
-    org.apache.spark.sql.functions.call_function(name, emb)
+    val elems = centroids.size * centroids.headOption.map(_.size).getOrElse(0)
+    if (elems <= BroadcastThresholdElems) {
+      val name = "nearest_centroid_" + java.lang.Integer.toHexString(
+        java.util.Arrays.deepHashCode(
+          centroids.map(_.toArray).toArray[AnyRef]))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        FnReg.checked(name, 1)(exprs => NearestCentroid(exprs.head, centroids)),
+        "built-in")
+      org.apache.spark.sql.functions.call_function(name, emb)
+    } else {
+      val bc = spark.sparkContext.broadcast(
+        centroids.map(_.toArray).toArray)
+      val name = "nearest_centroid_bc_" + bc.id
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        FnReg.checked(name, 1)(exprs => NearestCentroidBc(exprs.head, bc)),
+        "built-in")
+      org.apache.spark.sql.functions.call_function(name, emb)
+    }
   }
 
   /** Idempotent; `SELECT vec_dot(a, b)` afterwards. */

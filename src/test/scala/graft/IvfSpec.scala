@@ -22,6 +22,21 @@ class IvfSpec extends SparkSpec {
     assert(cs == cs2)
   }
 
+  test("broadcast-backed assignment (large k×dim) matches the literal path") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 2)
+    // pad to 300 centroids (300×64 = 19200 elems > BroadcastThresholdElems
+    // = 16384 → NearestCentroidBc path) with decoys shifted far away, so
+    // the winning cell must match the 8-centroid literal-path assignment
+    assert(graft.functions.VectorOps.BroadcastThresholdElems < 300 * 64)
+    val decoys = (0 until 292).map(i => cs(i % 8).map(_ + 1000.0 + i))
+    val big = cs ++ decoys
+    val literal = Ivf.withCell(corpus, "embedding", cs)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val viaBc = Ivf.withCell(corpus, "embedding", big)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaBc == literal)
+  }
+
   test("nprobe=k degenerates to exact brute-force top-k") {
     val cs = Ivf.train(corpus, "embedding", "vec_id", k = 4, iters = 2)
     val q = corpus.filter($"vec_id" === 7).select("embedding")
