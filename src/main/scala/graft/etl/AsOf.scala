@@ -132,29 +132,44 @@ object AsOf {
   /** Upper bound (seconds) of a CONSTANT interval column, obtained on the
     * driver by analyzing + constant-folding `width` against a one-row
     * relation — never by running a job. `None` when the width isn't a
-    * constant interval (e.g. it references data columns — then folding
-    * yields no literal, or analysis fails, and ONLY `AnalysisException`
-    * is swallowed). Year-month components are bounded by 31-day months —
+    * constant interval (e.g. it references data columns — then either
+    * analysis fails, and ONLY `AnalysisException` is swallowed, or the
+    * expression folds only PARTIALLY and is rejected because the bound
+    * is taken solely from a fully-folded top-level literal). Year-month components are bounded by 31-day months —
     * conservative for the bucketSeconds guard (may reject a borderline
     * config, never silently passes an undersized one). */
   private[graft] def widthUpperBoundSeconds(
       spark: org.apache.spark.sql.SparkSession,
       width: Column): Option[Double] = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
     import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, YearMonthIntervalType}
     import org.apache.spark.unsafe.types.CalendarInterval
+    def litSeconds(l: Literal): Option[Double] = l match {
+      case Literal(iv: CalendarInterval, CalendarIntervalType) =>
+        Some(iv.months * 31.0 * 86400 + iv.days * 86400.0 +
+          iv.microseconds / 1e6)
+      case Literal(micros: Long, _: DayTimeIntervalType) =>
+        Some(micros / 1e6)
+      case Literal(months: Int, _: YearMonthIntervalType) =>
+        Some(months * 31.0 * 86400)
+      case _ => None
+    }
     try {
+      // Only a FULLY folded width counts: the projected expression itself
+      // must be a Literal (or the whole plan collapsed to a local row).
+      // Scanning the tree for ANY literal would let a partially folded
+      // width (one that resolved against range(1)'s `id`) smuggle an
+      // inner sub-literal out as the bound and defeat the guard.
       spark.range(1).select(width.as("__w"))
-        .queryExecution.optimizedPlan.expressions
-        .flatMap(_.collectFirst {
-          case Literal(iv: CalendarInterval, CalendarIntervalType) =>
-            iv.months * 31.0 * 86400 + iv.days * 86400.0 +
-              iv.microseconds / 1e6
-          case Literal(micros: Long, _: DayTimeIntervalType) =>
-            micros / 1e6
-          case Literal(months: Int, _: YearMonthIntervalType) =>
-            months * 31.0 * 86400
-        }).headOption
+        .queryExecution.optimizedPlan match {
+        case Project(Seq(Alias(l: Literal, _)), _) => litSeconds(l)
+        case Project(Seq(l: Literal), _) => litSeconds(l)
+        case lr: LocalRelation if lr.output.size == 1 && lr.data.size == 1 =>
+          val dt = lr.output.head.dataType
+          litSeconds(Literal(lr.data.head.get(0, dt), dt))
+        case _ => None
+      }
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
     }

@@ -294,10 +294,17 @@ object Dedup {
         s"clusterPairsStar: star contraction did not reach the fix point " +
           s"in $maxIter rounds; raise maxIter")
     // fix point = disjoint stars canonicalized as (center, leaf) with
-    // center < leaf: leaves take the center's label, centers themselves
-    edges.select(col("u").as("id"), col("u").as("cluster_id"))
+    // center < leaf: leaves take the center's label, centers themselves.
+    // canon() drops self-loops, so an id appearing ONLY as (x, x) would
+    // vanish — restore every input node, defaulting to its own label,
+    // to keep the clusterPairs contract (singletons included).
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    val labels = edges.select(col("u").as("id"), col("u").as("cluster_id"))
       .union(edges.select(col("v").as("id"), col("u").as("cluster_id")))
       .distinct()
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   // ---- SimHash -----------------------------------------------------------

@@ -106,9 +106,17 @@ object Backup {
   * `targetBytes`/file. Each rewrite is a distributed Spark job
   * (read → coalesce → write); partition directories are preserved
   * because each leaf is rewritten in place — partition values live in
-  * the directory names, untouched by the file swap. Readers racing the
-  * swap see either the old or the new file set, never a partial table
-  * in common object-store layouts where the swap is a metadata move.
+  * the directory names, untouched by the file swap.
+  *
+  * Swap discipline: the rewrite lands in a dot-prefixed sibling dir
+  * (hidden paths are ignored by Spark's FileIndex and by partition
+  * discovery, so the temp files can never surface as a bogus
+  * partition), fresh files are renamed IN before the old ones are
+  * deleted (a crash mid-swap can leave transient duplicates, never
+  * data loss), and stale temp dirs from a crashed earlier sweep are
+  * removed at the start of the next one. The swap is NOT atomic — a
+  * reader listing the leaf mid-swap can see both file sets; point-in-
+  * time isolation needs a transactional table format, out of scope.
   */
 object Compaction {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -121,6 +129,19 @@ object Compaction {
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
   }
 
+  private val TmpSuffix = "__compacting"
+
+  /** Hidden rewrite dir for a leaf: the dot prefix keeps it out of
+    * Spark's FileIndex and partition discovery even while it holds
+    * parquet files. */
+  private def tmpDirFor(d: HPath): HPath =
+    new HPath(d.getParent, "." + d.getName + TmpSuffix)
+
+  private def isHidden(p: HPath): Boolean = {
+    val n = p.getName
+    n.startsWith(".") || n.startsWith("_")
+  }
+
   /** Leaf directories (those directly holding parquet part files) under
     * `root`, including `root` itself for unpartitioned tables. Uses the
     * Hadoop FileSystem API throughout, so the sweep runs unchanged on
@@ -129,7 +150,8 @@ object Compaction {
     val st = fs.listStatus(root)
     val here = if (st.exists(s => s.isFile && isDataFile(s.getPath)))
       Seq(root) else Nil
-    here ++ st.filter(_.isDirectory).flatMap(d => leafDirs(fs, d.getPath))
+    here ++ st.filter(s => s.isDirectory && !isHidden(s.getPath))
+      .flatMap(d => leafDirs(fs, d.getPath))
   }
 
   /** Compact every fragmented leaf directory of `tableDir` to
@@ -142,20 +164,23 @@ object Compaction {
     val root = new HPath(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leafDirs(fs, root).flatMap { d =>
+      // a crashed earlier sweep may have left its hidden rewrite dir
+      val tmp = tmpDirFor(d)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       val parts = fs.listStatus(d).filter(s => s.isFile && isDataFile(s.getPath))
       val bytes = parts.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (parts.length <= want) None
       else {
-        val tmp = new HPath(d.getParent, d.getName + ".__compacting")
         spark.read.parquet(d.toString).coalesce(want)
           .write.mode("overwrite").parquet(tmp.toString)
         val fresh = fs.listStatus(tmp)
           .filter(s => s.isFile && isDataFile(s.getPath))
-        // swap: drop the old part files, adopt the rewritten ones
-        parts.foreach(p => fs.delete(p.getPath, false))
+        // swap: adopt the rewritten files FIRST, then drop the old part
+        // files — a crash in between duplicates rows, never loses them
         fresh.foreach(f =>
           fs.rename(f.getPath, new HPath(d, f.getPath.getName)))
+        parts.foreach(p => fs.delete(p.getPath, false))
         fs.delete(tmp, true)
         Some(Report(d.toString, parts.length, fresh.length, bytes))
       }
@@ -198,4 +223,19 @@ object TableApi {
   def readJson(spark: SparkSession, cfg: Config, table: String,
       limit: Int): Seq[String] =
     read(spark, cfg, table, limit).toJSON.collect().toSeq
+
+  /** `GET /tables/summary` analogue (reference
+    * `analytics/api/app/routers/tables.py:15-19` over the notebook's
+    * `tables_summary`: table / rows / columns, sorted by name): one row
+    * per ALLOWED table with row count, column count and the schema DDL.
+    * The loop is over the allow-list (a fixed config set, not data), and
+    * each count is a distributed job — nothing here scales with table
+    * size on the driver. */
+  def describe(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    cfg.allowedTables.toSeq.sorted.map { t =>
+      val df = spark.table(t)
+      (t, df.count(), df.columns.length, df.schema.toDDL)
+    }.toDF("table", "n_rows", "n_columns", "schema_ddl")
+  }
 }

@@ -24,8 +24,22 @@ object ExcelSink {
         "sinks for distributed exports")
     val header = df.columns.toIndexedSeq
 
-    def esc(s: String): String = s
-      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // full XML escape (quotes matter in attribute context — sheet names);
+    // control chars are illegal in XML 1.0 and dropped
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&apos;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+    def isFinite(v: Any): Boolean = v match {
+      case d: Double => !d.isNaN && !d.isInfinite
+      case f: Float => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
     def colRef(i: Int): String = { // 0 -> A, 25 -> Z, 26 -> AA ...
       var n = i + 1; val sb = new StringBuilder
       while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
@@ -35,8 +49,10 @@ object ExcelSink {
       val ref = s"${colRef(c)}${r + 1}"
       v match {
         case null => ""
+        // NaN/Infinity are not valid SpreadsheetML numbers — they fall
+        // through to the inline-string branch below
         case n @ (_: Int | _: Long | _: Double | _: Float | _: Short |
-                  _: Byte | _: java.math.BigDecimal) =>
+                  _: Byte | _: java.math.BigDecimal) if isFinite(n) =>
           s"""<c r="$ref"><v>$n</v></c>"""
         case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
         case s => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s.toString)}</t></is></c>"""

@@ -58,6 +58,14 @@ class AsOfSpec extends SparkSpec {
     // a data-dependent width can't be analyzed against range(1): the
     // AnalysisException is swallowed and ONLY that → guard skipped
     assert(AsOf.widthUpperBoundSeconds(spark, col("some_data_col")).isEmpty)
+    // a width that RESOLVES against range(1)'s own `id` column folds only
+    // partially — its inner interval literal must NOT leak out as the
+    // bound (the expression is not constant, so no bound at all)
+    assert(AsOf.widthUpperBoundSeconds(spark,
+      expr("INTERVAL 1 HOUR") * col("id")).isEmpty)
+    assert(AsOf.widthUpperBoundSeconds(spark,
+      when(col("id") > 0, expr("INTERVAL 1 HOUR"))
+        .otherwise(expr("INTERVAL 9 HOUR"))).isEmpty)
     // undersized bucketSeconds is rejected at construction time
     val ex = intercept[IllegalArgumentException] {
       AsOf.bandedRangeJoin(purchases, clicks, "user_id", "ts",

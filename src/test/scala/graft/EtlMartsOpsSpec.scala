@@ -201,6 +201,23 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(Compaction.compact(spark, dir).isEmpty)
   }
 
+  test("compaction temp dirs are hidden from readers and swept if stale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale")
+      .toString + "/table"
+    (0 until 100).map(i => (i.toLong, i % 2)).toDF("id", "part")
+      .repartition(4).write.partitionBy("part").parquet(dir)
+    // simulate a crashed sweep: a hidden rewrite dir full of parquet
+    // next to a partition leaf — readers must NOT pick it up as data
+    val stale = new java.io.File(s"$dir/.part=0__compacting")
+    Seq((999L, "bogus")).toDF("id", "payload")
+      .write.parquet(stale.toString)
+    assert(spark.read.parquet(dir).count() == 100) // bogus rows invisible
+    val reports = Compaction.compact(spark, dir)
+    assert(reports.size == 2) // both real partitions compacted...
+    assert(!stale.exists())   // ...and the stale leftover was swept
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("statistics refresh records table + column stats for the CBO") {
     import graft.ops.Stats
     spark.sql("DROP TABLE IF EXISTS stats_probe")
@@ -227,5 +244,19 @@ class EtlMartsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "secret_t", 10))
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 0))
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
+  }
+
+  test("table API summary describes each allowed table (rows/cols/schema)") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .createOrReplaceTempView("sum_b")
+    Seq((1.5, true)).toDF("x", "flag").createOrReplaceTempView("sum_a")
+    val cfg = TableApi.Config(Set("sum_b", "sum_a"))
+    val rows = TableApi.describe(spark, cfg)
+      .as[(String, Long, Int, String)].collect().toSeq
+    // sorted by table name, like the reference's sort_values('table')
+    assert(rows.map(_._1) == Seq("sum_a", "sum_b"))
+    assert(rows == Seq(
+      ("sum_a", 1L, 2, "x DOUBLE NOT NULL,flag BOOLEAN NOT NULL"),
+      ("sum_b", 3L, 2, "id INT NOT NULL,v STRING")))
   }
 }

@@ -68,13 +68,21 @@ class ExtSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
       val n = 60
+      // self-loops stay IN: ids whose only pair is (x, x) must come back
+      // as singleton clusters from both implementations
       val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
       val df = edges.toDF("a_id", "b_id")
       val prop = Dedup.clusterPairs(df).as[(Long, Long)].collect().toMap
       val star = Dedup.clusterPairsStar(df).as[(Long, Long)].collect().toMap
       assert(star == prop, s"trial $trial: star labels must equal propagation")
     }
+  }
+
+  test("clusterPairsStar keeps self-loop-only ids as singletons") {
+    val pairs = Seq((1L, 2L), (7L, 7L), (9L, 9L), (2L, 3L))
+      .toDF("a_id", "b_id")
+    val star = Dedup.clusterPairsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 9L))
   }
 
   test("clusterPairsStar closes a 200-node chain in logarithmic rounds") {

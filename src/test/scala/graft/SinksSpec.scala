@@ -68,6 +68,40 @@ class SinksSpec extends SparkSpec {
     assert(ex.getMessage.contains("driver-side report sink"))
   }
 
+  test("Excel sink: NaN/Infinity become strings, quotes escape in attrs") {
+    import graft.sources.ExcelSink
+    val path = java.nio.file.Files.createTempDirectory("graft-xlsx-nan")
+      .resolve("nan.xlsx").toString
+    val df = Seq(("ok", 1.5), ("nan", Double.NaN),
+      ("inf", Double.PositiveInfinity)).toDF("k", "v")
+    ExcelSink.writeExcel(df, path, sheet = """Rapport "Q1" <2024>""")
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      def entry(n: String): String = {
+        val is = zip.getInputStream(zip.getEntry(n))
+        try new String(is.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally is.close()
+      }
+      val sheet = entry("xl/worksheets/sheet1.xml")
+      assert(sheet.contains("""<c r="B2"><v>1.5</v></c>"""))
+      // non-finite doubles are NOT numeric cells (invalid SpreadsheetML)
+      assert(!sheet.contains("<v>NaN</v>") && !sheet.contains("<v>Infinity</v>"))
+      assert(sheet.contains("<is><t>NaN</t></is>"))
+      assert(sheet.contains("<is><t>Infinity</t></is>"))
+      // quote escaped inside the sheet-name attribute
+      val wb = entry("xl/workbook.xml")
+      assert(wb.contains("name=\"Rapport &quot;Q1&quot; &lt;2024&gt;\""))
+      // both XML parts stay well-formed
+      Seq(wb, sheet).foreach { xml =>
+        javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder()
+          .parse(new java.io.ByteArrayInputStream(
+            xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    } finally zip.close()
+  }
+
   test("relational batch sink: saveAsTable + catalog read-back (S8)") {
     sample.write.mode("overwrite").saveAsTable("stg_sample")
     try {
