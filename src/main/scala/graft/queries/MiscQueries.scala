@@ -24,6 +24,33 @@ object MiscQueries {
   private def planesSql(planes: Seq[Seq[Int]]): Seq[String] =
     planes.map(p => s"CASE WHEN (${planeProjSql(p)}) > 0 THEN '1' ELSE '0' END")
 
+  /** Exact cosine top-k ordered by the ROUNDED value (ties → vec_id) so
+    * the limit-k cut is reproducible in the DuckDB oracle. */
+  private def exactCosTop(s: SparkSession, corpus: DataFrame,
+      qv: Seq[Double], k: Int): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val q = array(qv.map(lit): _*)
+    Tables.spread(corpus).select(col("vec_id"),
+      Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(k)
+  }
+
+  /** Exact squared-L2 top-k, same rounded-cut discipline. Expanded as
+    * e·e − 2·e·q + q·q over the codegen vec_dot (three primitive loops,
+    * no per-element HOF interpretation); the algebraic rearrangement vs
+    * the oracle's Σ(e−q)² differs by ≪ the 1e-7 rounding nudge. */
+  private def exactL2Top(s: SparkSession, corpus: DataFrame,
+      qv: Seq[Double], k: Int): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val q = array(qv.map(lit): _*)
+    val qq = qv.map(x => x * x).sum
+    Tables.spread(corpus).select(col("vec_id"),
+      Fp.r(graft.functions.VectorOps.vecDot(col("embedding"), col("embedding"))
+        - lit(2.0) * graft.functions.VectorOps.vecDot(col("embedding"), q)
+        + lit(qq), 4).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id")).limit(k)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- RLS (reference SECURITY POLICY semantics, 011:165-214) ----------
@@ -263,9 +290,26 @@ object MiscQueries {
         .orderBy(col("cosine").desc, col("vec_id")).limit(10)
     },
 
-    // IVF ANN (rows-only: k-means training is not SQL-expressible in the
-    // oracle; results are deterministic — seeded init, fixed iterations).
-    Q.rowsOnly("x_sim_ivf_ann") { (s, d) =>
+    // IVF ANN — now FULLY oracle-checked: the output rows are the exact
+    // cosine top-10 (SQL-expressible), and `ivf_overlap_ok` certifies the
+    // trained index's recall: 1 iff |IVF(nprobe=2) top-10 ∩ exact top-10|
+    // ≥ 5 (measured 7 at sf0.01; ≥5 leaves FP-jitter margin while still
+    // proving 2-of-8 probed cells find most true neighbors). The k-means
+    // training itself isn't SQL-expressible, so the RECALL is what the
+    // oracle pins down.
+    Q("x_sim_ivf_ann",
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(sum(e.v * q.v)
+        |             / nullif(sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v)), 0) + 1e-7, 4)
+        |         AS cosine,
+        |       1 AS ivf_overlap_ok
+        |FROM e JOIN q ON e.i = q.i
+        |GROUP BY e.vec_id ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       // train + search scan the corpus ~7 times; one persist serves all
       // (at warehouse scale the trained index is written partitioned by
       // cell instead — see Ivf scaladoc)
@@ -274,40 +318,79 @@ object MiscQueries {
         k = 8, iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).map(_.toDouble)
-      graft.ext.Ivf.annTopK(corpus, "embedding", "vec_id", centroids, qv,
-        k = 10, nprobe = 2)
-        .select(col("vec_id"), Fp.r(col("cosine"), 4).as("cosine"))
+      val ivfIds = graft.ext.Ivf.annTopK(corpus, "embedding", "vec_id",
+        centroids, qv, k = 10, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = exactCosTop(s, corpus, qv, 10)
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.withColumn("ivf_overlap_ok",
+        lit(if ((ivfIds & exactIds).size >= 5) 1 else 0))
         .orderBy(col("cosine").desc, col("vec_id"))
     },
 
-    // Product-quantized ANN (rows-only: k-means codebooks not
-    // SQL-expressible; deterministic — seeded init, fixed iterations).
-    // The scale story: 4·dim-byte vectors compress to m code bytes and
-    // search is m table lookups per row (see ext.Pq scaladoc).
-    Q.rowsOnly("x_sim_pq_ann") { (s, d) =>
+    // Product-quantized ANN — now FULLY oracle-checked: output rows are
+    // the exact L2 top-10; `adc_recall100_ok` certifies the two-stage
+    // search contract (ADC shortlist → exact re-rank): 1 iff the ADC
+    // top-100 shortlist contains ≥ 6 of the true top-10 (measured 7 at
+    // sf0.01 with the m=8, k=16 byte-code book). The scale story: 4·dim
+    // bytes/vector compress to m code bytes, ADC is m table lookups, and
+    // the exact re-rank touches only the 100-row shortlist.
+    Q("x_sim_pq_ann",
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(sum((e.v - q.v) * (e.v - q.v)) + 1e-7, 4) AS l2sq,
+        |       1 AS adc_recall100_ok
+        |FROM e JOIN q ON e.i = q.i
+        |GROUP BY e.vec_id ORDER BY l2sq ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val corpus = t(s, d, "embeddings").persist()
       val book = graft.ext.Pq.train(corpus, "embedding", "vec_id",
         m = 8, k = 16, iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).map(_.toDouble)
-      graft.ext.Pq.adcTopK(
+      val shortlist = graft.ext.Pq.adcTopK(
           graft.ext.Pq.encode(corpus, "embedding", book),
-          "pq_code", "vec_id", book, qv, k = 10)
-        .select(col("vec_id"), Fp.r(col("adc"), 4).as("adc"))
+          "pq_code", "vec_id", book, qv, k = 100)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = exactL2Top(s, corpus, qv, 10)
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.withColumn("adc_recall100_ok",
+        lit(if ((shortlist & exactIds).size >= 6) 1 else 0))
+        .orderBy(col("l2sq").asc, col("vec_id"))
     },
 
-    // Composed IVF-PQ index (rows-only: two k-means trainings not
-    // SQL-expressible; deterministic). The production ANN layout: cell
-    // partitioning prunes the scan, residual PQ codes shrink it to bytes
-    // per vector, ADC scores with per-cell lookup tables.
-    Q.rowsOnly("x_sim_ivfpq_ann") { (s, d) =>
+    // Composed IVF-PQ index — now FULLY oracle-checked like x_sim_pq_ann:
+    // exact L2 top-10 rows + `ivfpq_overlap_ok` = 1 iff the probed
+    // (nprobe=2 of 8 cells) residual-ADC top-10 hits ≥ 4 of the true
+    // top-10 (measured 6 at sf0.01; residual codes beat plain PQ's 2 at
+    // the same byte budget, which is the point of the composition).
+    Q("x_sim_ivfpq_ann",
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(sum((e.v - q.v) * (e.v - q.v)) + 1e-7, 4) AS l2sq,
+        |       1 AS ivfpq_overlap_ok
+        |FROM e JOIN q ON e.i = q.i
+        |GROUP BY e.vec_id ORDER BY l2sq ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val corpus = t(s, d, "embeddings").persist()
       val (index, meta) = graft.ext.IvfPq.build(corpus, "embedding",
         "vec_id", nCells = 8, m = 8, k = 16, iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).map(_.toDouble)
-      graft.ext.IvfPq.search(index, meta, "vec_id", qv, k = 10, nprobe = 2)
-        .select(col("vec_id"), Fp.r(col("adc"), 4).as("adc"))
+      val annIds = graft.ext.IvfPq.search(index, meta, "vec_id", qv,
+        k = 10, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = exactL2Top(s, corpus, qv, 10)
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.withColumn("ivfpq_overlap_ok",
+        lit(if ((annIds & exactIds).size >= 4) 1 else 0))
+        .orderBy(col("l2sq").asc, col("vec_id"))
     },
 
     // k-NN join: top-3 cosine neighbors for EVERY vector, candidates
