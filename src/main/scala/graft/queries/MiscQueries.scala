@@ -170,6 +170,32 @@ object MiscQueries {
         .orderBy("user_id")
     },
 
+    // Left-outer interval join, batch parity: every event, left-joined to
+    // the same user's PURCHASE events within the following 60s — lefts
+    // with no purchase survive with null right columns (the enrichment
+    // shape: click with/without conversion). Streaming emits those only
+    // after the watermark passes ts+60s; batch mode is the plain left
+    // outer join the oracle reproduces.
+    Q("st_interval_outer",
+      """SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN r.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unconverted
+        |FROM events l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 SECOND
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events").select("user_id", "event_id", "event_type", "ts")
+      Streams.intervalJoinLeftOuter(e,
+          e.filter(col("event_type") === "purchase"), "user_id",
+          watermark = "1 minute", withinSec = 60)
+        .select(col("l.user_id").as("user_id"),
+          col("r.user_id").isNull.cast("int").as("unmatched"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_rows"),
+          sum(col("unmatched")).cast("long").as("n_unconverted"))
+        .orderBy("user_id")
+    },
+
     // ---- multimodal: opaque binary + native metadata ---------------------
     Q("x_mm_binary_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -107,4 +107,20 @@ object Streams {
       .join(right.withWatermark("ts", watermark).alias("r"),
         expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
           s"r.ts <= l.ts + interval $withinSec seconds"))
+
+  /** LEFT-OUTER watermarked interval join — the common enrichment shape
+    * (every click, with its conversion if one arrived within the bound):
+    * matched pairs emit like [[intervalJoin]]; a left event with no match
+    * emits ONCE with null right columns, but only after the watermark
+    * passes `l.ts + withinSec` (before that a match could still arrive,
+    * so outer results are necessarily watermark-delayed). Same time-bound
+    * state eviction as the inner variant; in batch mode it degenerates to
+    * a plain left outer join, which is what the oracle checks. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, withinSec: Long): DataFrame =
+    left.withWatermark("ts", watermark).alias("l")
+      .join(right.withWatermark("ts", watermark).alias("r"),
+        expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
+          s"r.ts <= l.ts + interval $withinSec seconds"),
+        "leftOuter")
 }

@@ -121,4 +121,31 @@ class StreamsSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(got == Seq(1L, 2L))
   }
+
+  test("left-outer interval join emits unmatched lefts after the watermark") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ldir = java.nio.file.Files.createTempDirectory("graft-sol").toString
+    val rdir = java.nio.file.Files.createTempDirectory("graft-sor").toString
+    Seq((1L, t("2024-01-01 00:00:00")),  // matched within 10 min
+      (3L, t("2024-01-01 00:00:00")),    // no right row at all
+      (9L, t("2024-01-01 09:00:00")))    // late row advancing the watermark
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(ldir)
+    Seq((1L, t("2024-01-01 00:05:00")),
+      (9L, t("2024-01-01 09:00:01")))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(rdir)
+    def s(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = Streams.intervalJoinLeftOuter(s(ldir), s(rdir), "user_id",
+        "1 minute", 600L)
+      .select(col("l.user_id").as("user_id"), col("r.ts").as("r_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ssoj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("ssoj_out")
+      .select($"user_id", $"r_ts".isNull).as[(Long, Boolean)]
+      .collect().sorted.toSeq
+    // user 1 and 9 matched; user 3 emitted exactly once, with a null
+    // right side, once the 09:00 rows pushed the watermark past 00:10
+    assert(rows == Seq((1L, false), (3L, true), (9L, false)))
+  }
 }
