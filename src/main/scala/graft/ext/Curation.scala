@@ -82,6 +82,80 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Benchmark-contamination check: for each document, the fraction of
+    * its DISTINCT n-token shingles that appear anywhere in the benchmark
+    * corpus — the standard "is my training set leaking the eval set"
+    * probe before an LLM training run.
+    *
+    * Scale shape: the benchmark is small and fixed-size (eval sets are
+    * thousands of items; they do NOT grow with corpus size), so its
+    * distinct shingle set BROADCASTS; the corpus explodes its shingles
+    * once, the broadcast left-join marks hits with no corpus shuffle of
+    * text, and one (id) aggregation — count vs matched count — yields
+    * the rate. At extreme corpus scale the same shape runs with a bloom
+    * filter over benchmark shingles (`bloom_filter_agg`/`might_contain`)
+    * to avoid even the broadcast hash probe, at the cost of a bounded
+    * false-positive rate — exactness is why the broadcast join is the
+    * default.
+    *
+    * Output: idCol, n_shingles, n_contaminated, contamination (null for
+    * docs too short to shingle). */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__bs"))
+      .distinct()
+    docs
+      .select(col(idCol),
+        explode_outer(array_distinct(Dedup.shingles(col(textCol), n)))
+          .as("__s"))
+      .join(broadcast(benchShingles), col("__s") === col("__bs"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__s")).as("n_shingles"),
+        count(col("__bs")).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
+  /** Gopher-style repetition signal: 1 − distinct/total n-gram shingles —
+    * boilerplate and degenerate generations repeat themselves; clean
+    * prose doesn't. Pure per-row expression (no shuffle, no UDF); null
+    * for docs too short to shingle. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val sh = Dedup.shingles(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double")
+        / size(sh).cast("double"))
+  }
+
+  /** PII redaction patterns. Deliberately RE2-compatible (no lookaround,
+    * no backreferences) so the same patterns run under Java regex here
+    * and under RE2 in external engines (and in the DuckDB oracle). */
+  final case class PiiRules(
+      email: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      ip: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+      phone: String = "\\+?[0-9][0-9()\\- .]{6,}[0-9]")
+
+  /** Rule-based PII scrub: replaces emails / IPs / phone numbers with
+    * `[EMAIL]` / `[IP]` / `[PHONE]` tags and counts each kind. Applied in
+    * that fixed order ON THE PROGRESSIVELY REDACTED text — emails go
+    * first so their digits can't count as phones, IPs before phones for
+    * the same reason. Counts therefore mean "matches at that stage",
+    * which is also what makes them reproducible in any engine applying
+    * the same order. Pure per-row regex expressions — no shuffle. */
+  def redactPii(df: DataFrame, textCol: String,
+      outCol: String = "text_redacted",
+      rules: PiiRules = PiiRules()): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), rules.email, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, rules.ip, "[IP]")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(rules.email)))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(rules.ip)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(rules.phone)))
+      .withColumn(outCol, regexp_replace(afterIp, rules.phone, "[PHONE]"))
+  }
+
   /** Deterministic stratified sample: keep a row when the first two hex
     * chars of md5(salt:id) sort below the stratum's threshold ("00".."ff"
     * ≈ rate·256). Thresholds map strata values to 2-hex-char strings;

@@ -27,6 +27,8 @@ object ExtQueries {
     s"list_min(list_transform($src, t -> substr(md5('$seed:'||t),1,16)))"
   private val SHINGLES =
     "list_transform(range(len(ltoks)-2), i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+  private val SHINGLES2 =
+    "list_transform(range(len(ltoks)-1), i -> ltoks[i+1]||' '||ltoks[i+2])"
 
   val all: Seq[Q] = Seq(
 
@@ -124,6 +126,87 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"),
           col(Curation.KeepCol).cast("int").as("keep"),
           coalesce(col(Curation.ReasonCol), lit("")).as("drop_reason"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark-contamination check: docs with doc_id % 17 = 0 play the
+    // held-out eval set; for every other document, the fraction of its
+    // distinct 3-gram shingles that appear in that benchmark. Benchmark
+    // shingles broadcast (eval sets are fixed-size); the corpus text
+    // never shuffles — only (doc_id, hit) pairs aggregate.
+    Q("x_contamination",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct($SHINGLES) AS dsh FROM tok
+         |       WHERE len(ltoks) >= 3),
+         |ds AS (SELECT doc_id, unnest(dsh) AS s FROM sh WHERE doc_id % 17 <> 0),
+         |bench AS (SELECT DISTINCT unnest(dsh) AS s FROM sh WHERE doc_id % 17 = 0)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(count(b.s) AS BIGINT) AS n_contaminated,
+         |       round(count(b.s) * 1.0 / count(*) + 1e-7, 4) AS contamination
+         |FROM ds d LEFT JOIN bench b ON d.s = b.s
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val shingleable = docsSpread(s, d)
+        .filter(size(TextAnalysis.tokens(lower(col("text")))) >= 3)
+      Curation.contamination(
+          shingleable.filter(col("doc_id") % 17 =!= 0), "text", "doc_id",
+          shingleable.filter(col("doc_id") % 17 === 0), "text", n = 3)
+        .withColumn("contamination", Fp.r(col("contamination"), 4))
+        .orderBy("doc_id")
+    },
+
+    // Repetition ratio (Gopher-style quality signal): 1 − distinct/total
+    // 2-gram shingles, a pure per-row projection — boilerplate and
+    // degenerate generations repeat; clean prose doesn't.
+    Q("x_repetition",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES2 AS sh2 FROM tok WHERE len(ltoks) >= 2)
+         |SELECT doc_id, CAST(len(sh2) AS INT) AS n_ngrams,
+         |       round(1.0 - len(list_distinct(sh2)) * 1.0 / len(sh2) + 1e-7, 4)
+         |         AS repetition
+         |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docsSpread(s, d)
+        .filter(size(TextAnalysis.tokens(lower(col("text")))) >= 2)
+        .select(col("doc_id"),
+          size(Dedup.shingles(col("text"), 2)).as("n_ngrams"),
+          Fp.r(Curation.repetitionRatio(col("text"), 2), 4).as("repetition"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrub: deterministic synthetic PII (email + IP + phone derived
+    // from doc_id) is appended to each document, then redacted with the
+    // fixed email→IP→phone pass order; counts and the md5 of the fully
+    // redacted text are hash-checked against DuckDB running the SAME
+    // RE2-compatible patterns.
+    Q("x_pii_redact", {
+      val r = Curation.PiiRules()
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |       || '@mail.example or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |       || ' tel +1-202-555-01'
+         |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, t,
+         |         regexp_replace(t, '${r.email}', '[EMAIL]', 'g') AS t1 FROM aug),
+         |r2 AS (SELECT doc_id, t, t1,
+         |         regexp_replace(t1, '${r.ip}', '[IP]', 'g') AS t2 FROM r1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${r.email}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${r.ip}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${r.phone}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(t2, '${r.phone}', '[PHONE]', 'g')) AS redacted_digest
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val aug = docsSpread(s, d).select(col("doc_id"), concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example or 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" tel +1-202-555-01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("t"))
+      Curation.redactPii(aug, "t")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text_redacted").cast("binary")).as("redacted_digest"))
         .orderBy("doc_id")
     },
 

@@ -83,4 +83,47 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sampleStratified(docs, "doc_id", "lang",
       Map("en" -> "14")).filter($"lang" === "fr").isEmpty)
   }
+
+  test("contamination: shingle overlap against a benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"), // 4 shingles, 3 in benchmark
+      (2L, "completely different words entirely here"), // 0 overlap
+      (3L, "hi")) // too short to shingle → null rate
+      .toDF("doc_id", "text")
+    val out = Curation.contamination(docs, "text", "doc_id", bench, "text")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 3L, Some(0.75))))
+    assert(out(2L) == ((3L, 0L, Some(0.0))))
+    assert(out(3L) == ((0L, 0L, None)))
+  }
+
+  test("repetitionRatio: repeated n-grams score high, clean prose low") {
+    val out = Seq(
+      (1L, "spam spam spam spam spam"),  // 4 bigrams, 1 distinct → 0.75
+      (2L, "all words are fully unique"), // 0.0
+      (3L, "x"))                          // too short → null
+      .toDF("doc_id", "text")
+      .select($"doc_id", Curation.repetitionRatio($"text", 2).as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).exists(v => math.abs(v - 0.75) < 1e-9))
+    assert(out(2L).contains(0.0))
+    assert(out(3L).isEmpty)
+  }
+
+  test("redactPii: emails, IPs and phones replaced in fixed order") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@corp.example.com or 10.1.2.3 or +1-202-555-0134 ok"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.redactPii(df, "text")
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"text_redacted")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, e, i, p, red) = out(1L)
+    assert((e, i, p) == ((1, 1, 1)))
+    assert(red == "mail [EMAIL] or [IP] or [PHONE] ok")
+    assert(out(2L)._5 == "no pii here at all" && out(2L)._2 == 0)
+  }
 }
