@@ -156,6 +156,30 @@ object Curation {
       .withColumn(outCol, regexp_replace(afterIp, rules.phone, "[PHONE]"))
   }
 
+  /** Deterministic global training-order shuffle: training runs want the
+    * corpus in a reproducible pseudo-random order (no RNG state, same
+    * order on re-runs and across engines), clustered-by-source data
+    * decorrelated. The shuffle key is md5(salt:id); `apply` the key and
+    * range-partition + locally sort on it — ONE range exchange, no
+    * global row-number (a global position column would funnel the corpus
+    * through a single task; shard-local order + shard id is what data
+    * loaders actually consume). Different salts give independent orders
+    * (epoch reshuffles). */
+  def shuffleKey(idCol: Column, salt: String = ""): Column =
+    md5(concat(lit(s"$salt:"), idCol.cast("string")).cast("binary"))
+
+  /** The corpus in shuffled order: rows range-partitioned into
+    * `numShards` by the salted key and sorted within each shard —
+    * iterating shard files in (shard, local order) replays one global
+    * deterministic permutation. */
+  def shuffled(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    df.withColumn("__shuffle_key", shuffleKey(col(idCol), salt))
+      .repartitionByRange(numShards, col("__shuffle_key"))
+      .sortWithinPartitions("__shuffle_key")
+  }
+
   /** Deterministic stratified sample: keep a row when the first two hex
     * chars of md5(salt:id) sort below the stratum's threshold ("00".."ff"
     * ≈ rate·256). Thresholds map strata values to 2-hex-char strings;

@@ -210,6 +210,29 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic training-order shuffle: the md5(salt:id) key replays
+    // the same pseudo-random permutation on any engine and any re-run
+    // (epoch reshuffle = new salt). The head of the order is verified
+    // here; at scale the corpus is range-partitioned + locally sorted on
+    // the key (Curation.shuffled — one exchange, no global row numbers).
+    Q("x_train_shuffle",
+      """WITH k AS (SELECT doc_id,
+        |             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |           FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM k ORDER BY pos LIMIT 100""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // TakeOrdered cuts the top-100 first; the global window then runs
+      // over those 100 rows only (never the corpus)
+      val top = docs(s, d).select(col("doc_id"),
+        Curation.shuffleKey(col("doc_id"), "ep1").as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id").limit(100)
+      top.withColumn("pos",
+        row_number().over(Window.orderBy("shuffle_key", "doc_id")).cast("int"))
+        .orderBy("pos")
+    },
+
     // Token-budget shard packing per language stratum: deterministic
     // exclusive-cumsum window → floor(cum/budget); per-stratum windows
     // distribute (a single global pack would serialize at scale).

@@ -84,6 +84,26 @@ class CurationSpec extends SparkSpec {
       Map("en" -> "14")).filter($"lang" === "fr").isEmpty)
   }
 
+  test("shuffled: deterministic order, sorted within shards, salt varies") {
+    val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Curation.shuffled(docs, "doc_id", numShards = 4, salt = "ep1")
+    assert(a.rdd.getNumPartitions == 4)
+    // each shard is locally sorted by the shuffle key
+    import org.apache.spark.sql.Row
+    a.select("__shuffle_key").rdd.mapPartitions { it =>
+      val keys = it.map { case Row(k: String) => k }.toSeq
+      Iterator.single(keys == keys.sorted)
+    }.collect().foreach(ok => assert(ok))
+    // reproducible: same salt → same global order; different salt → not
+    def order(salt: String) =
+      Curation.shuffled(docs, "doc_id", 4, salt)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(order("ep1") == order("ep1"))
+    assert(order("ep1") != order("ep2"))
+    // and it is a permutation, not a sample
+    assert(order("ep1").sorted == (0L until 500L))
+  }
+
   test("contamination: shingle overlap against a benchmark set") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val docs = Seq(

@@ -48,6 +48,30 @@ class IvfSpec extends SparkSpec {
     assert(ivfAll == exact)
   }
 
+  test("cell-partitioned index scans are partition-pruned to nprobe cells") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+      .toString + "/index"
+    // the warehouse layout: corpus written partitioned by cell
+    Ivf.withCell(corpus, "embedding", cs)
+      .write.partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val nCells = index.select("cell").distinct().count()
+    assert(nCells >= 4) // training actually spread the corpus over cells
+    val probed = index.filter($"cell".isin(0, 1))
+    // the cell predicate must land in the scan's PartitionFilters (pruned
+    // BEFORE reading any data), not in a post-scan Filter
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [cell") &&
+      scan.contains("IN (0,1)"),
+      s"cell filter must prune partitions:\n$scan")
+    // and the files actually touched are only the probed directories'
+    val filesRead = probed.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(filesRead.nonEmpty)
+    assert(filesRead.forall(f => f.contains("cell=0") || f.contains("cell=1")))
+  }
+
   test("nprobe=1 finds the query's own cell (self in results)") {
     val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
     val q = corpus.filter($"vec_id" === 3).select("embedding")
