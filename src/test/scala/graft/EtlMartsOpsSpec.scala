@@ -246,6 +246,26 @@ class EtlMartsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
   }
 
+  test("query metrics window reports shuffle volume (and its absence)") {
+    import graft.ops.QueryMetrics
+    val df = spark.range(0, 200000).select($"id", ($"id" % 97).as("k"))
+    // a groupBy must show shuffle traffic...
+    val (n1, agg) = QueryMetrics.measure(spark) {
+      df.groupBy("k").count().count()
+    }
+    assert(n1 == 97L)
+    assert(agg.shuffleWriteBytes > 0 && agg.shuffleReadBytes > 0)
+    assert(agg.tasks > 0)
+    // ...a map-only pipeline must not (noop sink: no count-style final
+    // aggregation exchange, just the mapped partitions)
+    val (_, mapOnly) = QueryMetrics.measure(spark) {
+      df.filter($"k" === 0).write.format("noop").mode("overwrite").save()
+    }
+    assert(mapOnly.tasks > 0)
+    assert(mapOnly.shuffleWriteBytes == 0,
+      s"map-only pipeline shuffled: $mapOnly")
+  }
+
   test("table API summary describes each allowed table (rows/cols/schema)") {
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
       .createOrReplaceTempView("sum_b")
