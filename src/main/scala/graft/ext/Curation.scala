@@ -156,6 +156,37 @@ object Curation {
       .withColumn(outCol, regexp_replace(afterIp, rules.phone, "[PHONE]"))
   }
 
+  /** Context-window chunking: splits each document's token stream into
+    * overlapping windows for embedding/indexing — chunk i covers tokens
+    * `[i·stride, i·stride + chunkTokens)` with `stride = chunkTokens −
+    * overlap`, the last chunk may run short, and a document shorter than
+    * one window yields itself as chunk 0. Pure per-row expressions + one
+    * posexplode — no shuffle, no UDF; the chunk count per row is
+    * `max(1, ceil((n − overlap) / stride))`, so output size is linear in
+    * corpus tokens regardless of document skew.
+    *
+    * Output: all input columns except `textCol`, plus (chunk_idx,
+    * chunk_text, n_chunk_tokens). */
+  def chunk(df: DataFrame, textCol: String, chunkTokens: Int = 128,
+      overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens),
+          size(col("__toks")) - col("chunk_idx") * stride))
+      .drop("__toks", textCol)
+  }
+
   /** Deterministic global training-order shuffle: training runs want the
     * corpus in a reproducible pseudo-random order (no RNG state, same
     * order on re-runs and across engines), clustered-by-source data

@@ -210,6 +210,26 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Context-window chunking (32-token windows, 8-token overlap): the
+    // embedding-pipeline reshape — one posexplode, output linear in
+    // corpus tokens, chunk digests + token counts hash-checked.
+    Q("x_chunk",
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        greatest(1, CAST(ceil((len(toks) - 8) * 1.0 / 24) AS INT)) AS nch
+         |      FROM tok),
+         |x AS (SELECT doc_id, toks, unnest(range(nch)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |       CAST(least(32, len(toks) - i * 24) AS INT) AS n_chunk_tokens,
+         |       md5(array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '))
+         |         AS chunk_digest
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Curation.chunk(docsSpread(s, d), "text", chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_digest"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Deterministic training-order shuffle: the md5(salt:id) key replays
     // the same pseudo-random permutation on any engine and any re-run
     // (epoch reshuffle = new salt). The head of the order is verified

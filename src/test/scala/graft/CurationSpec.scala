@@ -84,6 +84,24 @@ class CurationSpec extends SparkSpec {
       Map("en" -> "14")).filter($"lang" === "fr").isEmpty)
   }
 
+  test("chunk: overlapping windows, short tail, sub-window docs survive") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks → 2 chunks
+      (2L, "tiny doc"),                               // shorter than a window
+      (3L, ""))                                       // empty → one empty chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunk(docs, "text", chunkTokens = 32, overlap = 8)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 0, 32), (1L, 1, 16), (2L, 0, 2), (3L, 0, 0)))
+    // stride 24: chunk 1 starts at token 25 and overlaps the previous 8
+    assert(out(1)._4.startsWith("t25 ") && out(1)._4.endsWith(" t40"))
+    assert(out(0)._4.endsWith(" t32"))
+    intercept[IllegalArgumentException](
+      Curation.chunk(docs, "text", chunkTokens = 8, overlap = 8))
+  }
+
   test("shuffled: deterministic order, sorted within shards, salt varies") {
     val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Curation.shuffled(docs, "doc_id", numShards = 4, salt = "ep1")
