@@ -119,6 +119,38 @@ object Curation {
             col("n_shingles").cast("double")))
   }
 
+  /** [[contamination]]'s extreme-scale variant: benchmark shingles fold
+    * into ONE bloom-filter binary (a few MB regardless of corpus size)
+    * and every corpus row probes it with a per-row HOF — no join, no
+    * exchange anywhere; the whole check is a projection over the scan.
+    * The price is the bloom's false-positive rate (size `expectedItems`
+    * generously — rates are ~0.03% at 8 bits/item), which can only
+    * OVERCOUNT contamination: no false negatives, so a clean verdict is
+    * trustworthy and a contaminated one is re-checkable with the exact
+    * join variant. */
+  def contaminationBloom(docs: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      expectedItems: Long = 1000000L): DataFrame = {
+    graft.functions.BloomOps.register(docs.sparkSession)
+    val bytes = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+      .select(call_function("bloom_filter_agg", xxhash64(col("s")),
+        lit(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    docs
+      .withColumn("__dsh", array_distinct(Dedup.shingles(col(textCol), n)))
+      .select(col(idCol),
+        size(col("__dsh")).cast("long").as("n_shingles"),
+        size(filter(col("__dsh"), s =>
+          call_function("might_contain", lit(bytes), xxhash64(s))))
+          .cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   /** Gopher-style repetition signal: 1 − distinct/total n-gram shingles —
     * boilerplate and degenerate generations repeat themselves; clean
     * prose doesn't. Pure per-row expression (no shuffle, no UDF); null

@@ -137,6 +137,24 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, None)))
   }
 
+  test("contaminationBloom agrees with the exact join on real documents") {
+    val all = graft.core.Tables.load(spark, sf001, "documents")
+      .filter(size(split($"text", " ")) >= 3)
+    val bench = all.filter($"doc_id" % 17 === 0)
+    val corpus = all.filter($"doc_id" % 17 =!= 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_contaminated")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = collect(
+      Curation.contamination(corpus, "text", "doc_id", bench, "text"))
+    val bloom = collect(
+      Curation.contaminationBloom(corpus, "text", "doc_id", bench, "text"))
+    // generously sized bloom → no false negatives and ~zero false
+    // positives at this scale, so the two paths coincide exactly
+    assert(bloom == exact)
+    assert(exact.exists(_._3 > 0), "fixture should contain SOME overlap")
+  }
+
   test("repetitionRatio: repeated n-grams score high, clean prose low") {
     val out = Seq(
       (1L, "spam spam spam spam spam"),  // 4 bigrams, 1 distinct → 0.75
