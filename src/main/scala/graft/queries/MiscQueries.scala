@@ -347,10 +347,14 @@ object MiscQueries {
       val ivfIds = graft.ext.Ivf.annTopK(corpus, "embedding", "vec_id",
         centroids, qv, k = 10, nprobe = 2)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = exactCosTop(s, corpus, qv, 10)
-      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
-      exact.withColumn("ivf_overlap_ok",
-        lit(if ((ivfIds & exactIds).size >= 5) 1 else 0))
+      // collect the exact top-10 ONCE and emit it as a local relation —
+      // returning the lazy exact-scan DF would re-run the corpus scan
+      // when the caller executes the result
+      val exactRows = exactCosTop(s, corpus, qv, 10).collect()
+      val ok = if ((ivfIds & exactRows.map(_.getLong(0)).toSet).size >= 5) 1 else 0
+      import s.implicits._
+      exactRows.map(r => (r.getLong(0), r.getDouble(1), ok)).toSeq
+        .toDF("vec_id", "cosine", "ivf_overlap_ok")
         .orderBy(col("cosine").desc, col("vec_id"))
     },
 
@@ -381,10 +385,12 @@ object MiscQueries {
           graft.ext.Pq.encode(corpus, "embedding", book),
           "pq_code", "vec_id", book, qv, k = 100)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = exactL2Top(s, corpus, qv, 10)
-      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
-      exact.withColumn("adc_recall100_ok",
-        lit(if ((shortlist & exactIds).size >= 6) 1 else 0))
+      val exactRows = exactL2Top(s, corpus, qv, 10).collect()
+      val ok =
+        if ((shortlist & exactRows.map(_.getLong(0)).toSet).size >= 6) 1 else 0
+      import s.implicits._
+      exactRows.map(r => (r.getLong(0), r.getDouble(1), ok)).toSeq
+        .toDF("vec_id", "l2sq", "adc_recall100_ok")
         .orderBy(col("l2sq").asc, col("vec_id"))
     },
 
@@ -412,10 +418,12 @@ object MiscQueries {
       val annIds = graft.ext.IvfPq.search(index, meta, "vec_id", qv,
         k = 10, nprobe = 2)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = exactL2Top(s, corpus, qv, 10)
-      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
-      exact.withColumn("ivfpq_overlap_ok",
-        lit(if ((annIds & exactIds).size >= 4) 1 else 0))
+      val exactRows = exactL2Top(s, corpus, qv, 10).collect()
+      val ok =
+        if ((annIds & exactRows.map(_.getLong(0)).toSet).size >= 4) 1 else 0
+      import s.implicits._
+      exactRows.map(r => (r.getLong(0), r.getDouble(1), ok)).toSeq
+        .toDF("vec_id", "l2sq", "ivfpq_overlap_ok")
         .orderBy(col("l2sq").asc, col("vec_id"))
     },
 
