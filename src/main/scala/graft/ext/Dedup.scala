@@ -128,6 +128,58 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** The signature index for incremental dedup: one row per doc with its
+    * minhash signature array, distinct shingle set and shingle count —
+    * exactly what [[nearDupPairs]] computes internally. Write it ONCE per
+    * corpus (parquet next to the corpus); daily batches then dedup
+    * against the index without ever rescanning corpus text. */
+  def signatureIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, shingleN: Int = 3): DataFrame = {
+    graft.functions.MinHashSig.register(df.sparkSession, shingleN, k)
+    graft.core.Tables.spread(df)
+      .select(col(idCol),
+        graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
+          .as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col(idCol), col("__m.sig").as("sig"),
+        col("__m.dsh").as("dsh"), col("__m.n_shingles").as("n_shingles"))
+  }
+
+  /** Incremental near-dup pairs — the daily-ingest shape: candidates come
+    * from banding the NEW batch against an EXISTING [[signatureIndex]],
+    * so the corpus is never rescanned and the join is new×old only,
+    * never old×old (the index side was already deduped when it was
+    * built). Returns (new_id, old_id, jaccard) for the new batch's
+    * collisions; drop new ids whose best jaccard clears the threshold,
+    * then append the survivors' signatures to the index. */
+  def incrementalNearDupPairs(newBatch: DataFrame, textCol: String,
+      idCol: String, index: DataFrame, k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val newSig = signatureIndex(newBatch, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def long(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
+      posexplode(array((0 until bands).map(b => bandValue(
+        (0 until rows).map(r => col("sig")(b * rows + r)))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = long(newSig, "new_id")
+      .join(long(index, "old_id"), Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select("new_id", "old_id").distinct()
+    cand
+      .join(newSig.select(col(idCol).as("new_id"), col("dsh").as("__da"),
+        col("n_shingles").as("__na")), "new_id")
+      .join(index.select(col(idCol).as("old_id"), col("dsh").as("__db"),
+        col("n_shingles").as("__nb")), "old_id")
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .select(col("new_id"), col("old_id"),
+        (col("__inter").cast("double") /
+          nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
+          .as("jaccard"))
+  }
+
   /** Near-dup removal: drop the higher id of every candidate pair whose
     * exact Jaccard clears the threshold. */
   def nearDedup(df: DataFrame, textCol: String, idCol: String,

@@ -366,6 +366,43 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // Incremental dedup — the daily-ingest shape: odd doc_ids play the new
+    // batch, even ids the existing corpus, whose SIGNATURE INDEX is all
+    // that is read (never the old text). Band join runs new×old only.
+    Q("x_dedup_incremental",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |jac AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = new_id
+         |  JOIN sig sb ON sb.doc_id = old_id)
+         |SELECT new_id, old_id,
+         |  round(CAST(inter AS DOUBLE) / nullif(tot - inter, 0) + 1e-7, 4) AS jaccard
+         |FROM jac ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
+      val all = docs(s, d)
+      val index = Dedup.signatureIndex(
+        all.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      Dedup.incrementalNearDupPairs(
+          all.filter(col("doc_id") % 2 === 1), "text", "doc_id", index)
+        .select(col("new_id"), col("old_id"), Fp.r(col("jaccard"), 4).as("jaccard"))
+        .orderBy("new_id", "old_id")
+    },
+
     // Bottom-k (KMV) sketch per group via the custom TypedImperativeAggregate
     // — bounded-memory alternative to sort(collect_list())[0:k].
     Q("x_dedup_bottomk_sketch",

@@ -32,6 +32,28 @@ class ExtSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("incremental dedup: new batch vs signature index matches full run") {
+    // old corpus: docs 1, 3 — new batch: docs 2, 4
+    val index = Dedup.signatureIndex(
+      docs.filter($"doc_id".isin(1L, 3L)), "text", "doc_id")
+    val inc = Dedup.incrementalNearDupPairs(
+      docs.filter($"doc_id".isin(2L, 4L)), "text", "doc_id", index)
+      .select("new_id", "old_id", "jaccard")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the cross-set pairs of the FULL run, exactly — no old×old (1,3)-style
+    // pairs, no new×new (2,4) pair
+    val full = Dedup.nearDupPairs(docs, "text", "doc_id")
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val crossFull = full.collect {
+      case (a, b, j) if Set(1L, 3L)(a) && !Set(1L, 3L)(b) => (b, a) -> j
+      case (a, b, j) if !Set(1L, 3L)(a) && Set(1L, 3L)(b) => (a, b) -> j
+    }.toMap
+    assert(inc == crossFull)
+    assert(inc.contains((2L, 1L)) && inc.contains((4L, 1L))) // near+exact dup
+    assert(!inc.keys.exists { case (n, _) => n == 3L })      // 3 is old-side
+  }
+
   test("nearDedup drops the higher id of confirmed near-dups") {
     val kept = Dedup.nearDedup(docs, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
