@@ -136,6 +136,40 @@ object ScaleQueries {
         .orderBy("label")
     },
 
+    // Data profiling (reference pandas-describe / test_dwh integrity
+    // probes): per-column count/null/distinct/range/mean in ONE aggregate
+    // job over all columns.
+    Q("x_profile", {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS mn, CAST(max($c) AS DOUBLE) AS mx,
+           |  round(avg($c) + 1e-7, 4) AS mean
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+      graft.ops.Profile.describe(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("column").as("col_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("mn"), col("mx"),
+          Fp.r(col("mean"), 4).as("mean"))
+        .orderBy("col_name")
+    },
+
+    // Fixed-width histogram over portable bucket arithmetic (no
+    // engine-specific width_bucket): quantity distribution in 10 bins.
+    Q("x_histogram",
+      """SELECT least(9, greatest(0, CAST(floor((l_quantity - 1.0) / 50.0 * 10) AS INT))) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Profile.histogram(t(s, d, "lineitem"), "l_quantity",
+          lo = 1.0, hi = 51.0, bins = 10)
+        .orderBy("bucket")
+    },
+
     // Mergeable distinct-count sketches (HLL): per-year customer sketches
     // estimated directly AND unioned into an all-time estimate WITHOUT
     // rescanning — at scale the per-partition sketches are tiny and the

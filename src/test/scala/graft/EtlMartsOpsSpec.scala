@@ -246,6 +246,23 @@ class EtlMartsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
   }
 
+  test("profile describes columns and histograms clamp to the bin range") {
+    import graft.ops.Profile
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 1L), (2.0, 2L), (2.0, 3L), (null, 4L), (100.0, 5L))
+      .toDF("x", "id")
+    val p = Profile.describe(df, Seq("x", "id"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(p("x") == (("x", 5L, 1L, 3L, 1.0, 100.0, 26.25)))
+    assert(p("id")._4 == 5L && p("id")._5 == 1.0 && p("id")._6 == 5.0)
+    // histogram: nulls excluded, out-of-range clamps into edge buckets
+    val h = Profile.histogram(df, "x", lo = 0.0, hi = 10.0, bins = 5)
+      .as[(Int, Long)].collect().toMap
+    // bin width 2: 1.0→bucket 0, the two 2.0s→bucket 1, 100.0 clamps to 4
+    assert(h == Map(0 -> 1L, 1 -> 2L, 4 -> 1L))
+  }
+
   test("query metrics window reports shuffle volume (and its absence)") {
     import graft.ops.QueryMetrics
     val df = spark.range(0, 200000).select($"id", ($"id" % 97).as("k"))
