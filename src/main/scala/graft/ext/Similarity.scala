@@ -39,6 +39,28 @@ object Similarity {
     VectorOps.vecDot(a, b) /
       nullif(VectorOps.vecNorm(a) * VectorOps.vecNorm(b), lit(0.0))
 
+  /** Per-group embedding centroid (mean vector) — class prototypes,
+    * per-language/source anchors, cluster summaries. Shape at scale: one
+    * posexplode then ONE partial-aggregating shuffle keyed (group, pos) —
+    * map-side combine reduces each partition to |groups|·dim partial sums
+    * before the exchange, so shuffle volume is bounded by group count,
+    * not row count; the per-group array reassembles from dim rows via a
+    * sorted struct collect (deterministic order, never a raw
+    * collect_list). */
+  def groupCentroids(df: DataFrame, embCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(embCol)).as(Seq("__pos", "__v")))
+      .groupBy(groupCol, "__pos")
+      .agg(avg(col("__v").cast("double")).as("__m"),
+        count(lit(1)).as("__n"))
+      .groupBy(groupCol)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          e => e.getField("__m")).as("centroid"),
+        max(col("__n")).as("n_vectors"))
+
   /** Exact top-k by cosine against one query vector (broadcast). */
   def topKCosine(corpus: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {

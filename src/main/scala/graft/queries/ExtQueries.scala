@@ -441,6 +441,27 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Per-label embedding centroids (class prototypes): one posexplode +
+    // one (label, pos) partial-agg shuffle bounded by |labels|·dim, array
+    // reassembled by sorted struct collect. Values compare as fixed-scale
+    // decimal strings (double→varchar formatting differs across engines).
+    Q("x_group_centroids",
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT label, pos, avg(v) AS m, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |       array_to_string(list_transform(list(m ORDER BY pos),
+        |         x -> CAST(CAST(round(x + 1e-7, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',')
+        |         AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Similarity.groupCentroids(embs(s, d), "embedding", "label")
+        .select(col("label"), col("n_vectors"),
+          array_join(transform(col("centroid"),
+            v => round(v + lit(Fp.Eps), 4).cast("decimal(18,4)").cast("string")),
+            ",").as("centroid"))
+        .orderBy("label")
+    },
+
     // ---- similarity search ----------------------------------------------
     // Brute-force cosine top-k against the vec_id=0 query vector.
     Q("x_sim_cosine_topk",

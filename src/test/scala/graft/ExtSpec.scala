@@ -32,6 +32,20 @@ class ExtSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("groupCentroids: per-group mean vectors in dimension order") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 30.0f), "a"),
+      (2L, Array(3.0f, 4.0f, 10.0f), "a"),
+      (3L, Array(5.0f, 6.0f, 7.0f), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val out = Similarity.groupCentroids(vecs, "embedding", "grp")
+      .as[(String, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a")._1 == Seq(2.0, 3.0, 20.0)) // dims stay ordered
+    assert(out("a")._2 == 2L && out("b")._2 == 1L)
+    assert(out("b")._1 == Seq(5.0, 6.0, 7.0))
+  }
+
   test("incremental dedup: new batch vs signature index matches full run") {
     // old corpus: docs 1, 3 — new batch: docs 2, 4
     val index = Dedup.signatureIndex(
