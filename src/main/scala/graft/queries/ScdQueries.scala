@@ -147,5 +147,51 @@ object ScdQueries {
           .agg(count(lit(1)).as("n_active"), max("version").as("max_version"))
           .orderBy("c_mktsegment")
     },
+
+    // PIT fact enrichment: orders join the customer-segment VERSION valid
+    // at order date (v1 through 1995, v2 — PREMIUM promotion — from
+    // 1996), so the same customer contributes to different segments in
+    // different years. Equi join on the key; the interval predicate is a
+    // residual, never a range-join shuffle.
+    Q("m_scd2_pit",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, 1 AS version,
+        |         DATE '1990-01-01' AS date_debut_validite,
+        |         DATE '1995-12-31' AS date_fin_validite
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |         CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END,
+        |         2, DATE '1996-01-01', CAST(NULL AS DATE)
+        |  FROM customer)
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       d.c_mktsegment AS segment,
+        |       CAST(max(d.version) AS INT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        | AND CAST(o.o_orderdate AS DATE) >= d.date_debut_validite
+        | AND (d.date_fin_validite IS NULL
+        |      OR CAST(o.o_orderdate AS DATE) <= d.date_fin_validite)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val cust = customer(s, d)
+      val v1 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(1).as("version"),
+        lit("1990-01-01").cast("date").as("date_debut_validite"),
+        lit("1995-12-31").cast("date").as("date_fin_validite"))
+      val v2 = cust.select(col("c_custkey"),
+        when(col("c_acctbal") > 5000, "PREMIUM").otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"),
+        lit(2).as("version"),
+        lit("1996-01-01").cast("date").as("date_debut_validite"),
+        lit(null).cast("date").as("date_fin_validite"))
+      val fact = Tables.load(s, d, "orders")
+        .select(col("o_orderdate"), col("o_custkey").as("c_custkey"))
+      Scd.pitJoin(fact, v1.unionByName(v2), Seq("c_custkey"), "o_orderdate")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          col("c_mktsegment").as("segment"))
+        .agg(max("version").cast("int").as("version"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_year", "segment")
+    },
   )
 }

@@ -132,4 +132,26 @@ object Scd {
     dim.filter(col("date_debut_validite") <= dt &&
       (col("date_fin_validite").isNull || col("date_fin_validite") > dt))
   }
+
+  /** Point-in-time FACT enrichment (M2's read side): each fact row joins
+    * the dimension version whose `[date_debut_validite,
+    * date_fin_validite]` interval covers the fact's own date — "which
+    * segment was this customer in WHEN they ordered", not "now".
+    *
+    * Scale shape: this stays an EQUI join on the business key — versions
+    * per key are few and bounded, so the interval predicate rides along
+    * as a join residual; the shuffle is keyed on the business key, never
+    * on time, and broadcast kicks in for dimension-sized right sides.
+    * Left join: facts outside every version's validity survive with null
+    * dimension columns (the audit case). */
+  def pitJoin(fact: DataFrame, dim: DataFrame, bk: Seq[String],
+      factDateCol: String): DataFrame = {
+    val dimR = bk.foldLeft(dim)((df, k) =>
+      df.withColumnRenamed(k, s"__dim_$k"))
+    val cond = bk.map(k => col(k) === col(s"__dim_$k")).reduce(_ && _) &&
+      col(factDateCol).cast("date") >= col("date_debut_validite") &&
+      (col("date_fin_validite").isNull ||
+        col(factDateCol).cast("date") <= col("date_fin_validite"))
+    fact.join(dimR, cond, "left").drop(bk.map(k => s"__dim_$k"): _*)
+  }
 }

@@ -59,6 +59,33 @@ class ScdSpec extends SparkSpec {
     assert(out.filter($"code" === "02").first().getAs[Int]("changed") == 0)
   }
 
+  test("pitJoin picks the version valid at the fact date, left-null outside") {
+    val scd2 = Seq(
+      ("59", "Nord v1", 1, "2020-01-01", "2021-12-31"),
+      ("59", "Nord v2", 2, "2022-01-01", null),
+      ("02", "Aisne", 1, "2020-01-01", null))
+      .toDF("code", "nom", "version", "d0", "d1")
+      .select($"code", $"nom", $"version",
+        $"d0".cast("date").as("date_debut_validite"),
+        $"d1".cast("date").as("date_fin_validite"))
+    val fact = Seq(
+      (1L, "59", "2021-06-01"),  // inside v1
+      (2L, "59", "2022-06-01"),  // inside v2 (open-ended)
+      (3L, "59", "2019-06-01"),  // before any version → nulls
+      (4L, "02", "2024-01-01"))  // open-ended v1
+      .toDF("fact_id", "code", "ts")
+      .select($"fact_id", $"code", $"ts".cast("date").as("ts"))
+    val out = Scd.pitJoin(fact, scd2, Seq("code"), "ts")
+      .select($"fact_id", $"nom", $"version")
+      .as[(Long, Option[String], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("Nord v1"), Some(1))))
+    assert(out(2L) == ((Some("Nord v2"), Some(2))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((Some("Aisne"), Some(1))))
+    assert(out.size == 4) // exactly one row per fact — intervals disjoint
+  }
+
   test("scd3 keeps previous value in companion column") {
     val updates = Seq(("59", "Nord-New")).toDF("code", "nom")
     val out = Scd.scd3(dim.drop(Scd.Meta: _*), updates, Seq("code"), "nom",
