@@ -25,6 +25,26 @@ class ScaleSpec extends SparkSpec {
     assert(dirs == fact.select("o_year").distinct().count())
   }
 
+  test("schema evolution: later partitions add columns, mergeSchema unifies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+      .toString + "/fact"
+    // day 1: the original schema
+    Seq((1L, 10.0)).toDF("id", "amount")
+      .write.parquet(s"$dir/day=2024-01-01")
+    // day 2: the pipeline starts emitting a new column
+    Seq((2L, 20.0, "promo")).toDF("id", "amount", "campaign")
+      .write.parquet(s"$dir/day=2024-01-02")
+    val unified = spark.read.option("mergeSchema", "true")
+      .option("basePath", dir).parquet(dir)
+    assert(unified.columns.toSet == Set("id", "amount", "campaign", "day"))
+    val rows = unified.orderBy("id")
+      .select($"id", $"campaign").as[(Long, Option[String])].collect().toSeq
+    // old partitions read back with NULL for the new column — no rewrite
+    assert(rows == Seq((1L, None), (2L, Some("promo"))))
+    // and predicates on the new column still prune correctly
+    assert(unified.filter($"campaign" === "promo").count() == 1)
+  }
+
   test("salted join splits a hot key and matches the plain join result") {
     // 10k rows of one hot key + a small dimension
     val large = (1 to 10000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
