@@ -132,19 +132,25 @@ object Curation {
       benchmark: DataFrame, benchTextCol: String, n: Int = 3,
       expectedItems: Long = 1000000L): DataFrame = {
     graft.functions.BloomOps.register(docs.sparkSession)
-    val bytes = benchmark
+    // Option(..): an EMPTY benchmark aggregates to a null bloom binary —
+    // then nothing can be contaminated, rather than a null-propagation
+    // surprise inside the HOF
+    val bytes = Option(benchmark
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("s"))
       .distinct()
       .select(call_function("bloom_filter_agg", xxhash64(col("s")),
         lit(expectedItems)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0))
+    val hits = bytes match {
+      case Some(b) => size(filter(col("__dsh"), s =>
+        call_function("might_contain", lit(b), xxhash64(s))))
+      case None => lit(0)
+    }
     docs
       .withColumn("__dsh", array_distinct(Dedup.shingles(col(textCol), n)))
       .select(col(idCol),
         size(col("__dsh")).cast("long").as("n_shingles"),
-        size(filter(col("__dsh"), s =>
-          call_function("might_contain", lit(bytes), xxhash64(s))))
-          .cast("long").as("n_contaminated"))
+        hits.cast("long").as("n_contaminated"))
       .withColumn("contamination",
         when(col("n_shingles") > 0,
           col("n_contaminated").cast("double") /

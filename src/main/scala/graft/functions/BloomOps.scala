@@ -47,11 +47,16 @@ object BloomOps {
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     register(large.sparkSession)
-    val bytes = small
+    val bytes = Option(small
       .select(call_function("bloom_filter_agg",
         xxhash64(col(smallKey)), lit(expectedItems)).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    large.filter(
-      call_function("might_contain", lit(bytes), xxhash64(col(largeKey))))
+      .head().getAs[Array[Byte]](0))
+    bytes match {
+      case Some(b) => large.filter(
+        call_function("might_contain", lit(b), xxhash64(col(largeKey))))
+      // empty build side aggregates to a null bloom: nothing can match
+      // the join that follows, so drop everything up front
+      case None => large.filter(lit(false))
+    }
   }
 }

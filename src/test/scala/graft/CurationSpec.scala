@@ -155,6 +155,14 @@ class CurationSpec extends SparkSpec {
     assert(exact.exists(_._3 > 0), "fixture should contain SOME overlap")
   }
 
+  test("contaminationBloom: empty benchmark means nothing is contaminated") {
+    val docs = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.contaminationBloom(docs, "text", "doc_id", bench, "text")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(out == ((1L, 3L, 0L, Some(0.0))))
+  }
+
   test("repetitionRatio: repeated n-grams score high, clean prose low") {
     val out = Seq(
       (1L, "spam spam spam spam spam"),  // 4 bigrams, 1 distinct → 0.75
