@@ -86,6 +86,55 @@ object Ivf {
     corpus.withColumn("cell",
       nearestCell(corpus.sparkSession, col(embCol), centroids))
 
+  /** The `nprobe` nearest cell indices for a VECTOR COLUMN (per-row
+    * probe ranking — no driver involvement, so it works for query SETS,
+    * not just a single driver-side vector). HOF arithmetic over the
+    * centroid literal: k is small (cells, not rows), so the interpreted
+    * lambda costs k·dim flops per row — the same work the codegen argmin
+    * does, acceptable off the per-corpus-row hot path. Ties break to the
+    * lower cell index (struct sort on (distance, index)). */
+  def probedCells(emb: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.size, "1 <= nprobe <= k")
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val paired = zip_with(
+      transform(cents, c => aggregate(
+        zip_with(c, emb, (a, b) => (a - b.cast("double")) * (a - b.cast("double"))),
+        lit(0.0), _ + _)),
+      sequence(lit(0), lit(centroids.size - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+    transform(slice(array_sort(paired), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** Batch ANN join: top-k cosine neighbors for EVERY query row, IVF
+    * style — the bulk-retrieval shape (RAG index refresh, eval sweeps).
+    * Corpus rows carry ONE cell (codegen argmin); each query replicates
+    * to its `nprobe` nearest cells and the candidate set is one equi-join
+    * on `cell` — never queries × corpus. Each (query, neighbor) pair
+    * appears exactly once (a corpus row lives in one cell), so the
+    * per-query top-k window needs no dedup. At warehouse scale the
+    * corpus side is the cell-partitioned index table: the join reads
+    * only probed partitions. */
+  def annJoin(queries: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, centroids: Seq[Seq[Double]], k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(corpus.sparkSession)
+    val c = withCell(corpus, embCol, centroids)
+      .select(col(idCol).as("nbr_id"), col(embCol).as("__nbr_emb"),
+        col("cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"),
+      explode(probedCells(col(embCol), centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    q.join(c, "cell")
+      .select(col("q_id"), col("nbr_id"),
+        Similarity.cosineCodegen(col("__q_emb"), col("__nbr_emb"))
+          .as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** ANN search: exact cosine within the `nprobe` cells nearest the query. */
   def annTopK(corpus: DataFrame, embCol: String, idCol: String,
       centroids: Seq[Seq[Double]], query: Seq[Double], k: Int,

@@ -72,6 +72,26 @@ class IvfSpec extends SparkSpec {
     assert(filesRead.forall(f => f.contains("cell=0") || f.contains("cell=1")))
   }
 
+  test("annJoin with nprobe=k equals the exact per-query top-k") {
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = 4, iters = 2)
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = Ivf.annJoin(queries, corpus, "embedding", "vec_id", cs,
+      k = 5, nprobe = 4)
+      .select("q_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().foreach { case (qid, emb) =>
+        val exact = Similarity.topKCosine(corpus, "embedding", "vec_id",
+          emb.map(_.toDouble), 5).select("vec_id").as[Long].collect().toSet
+        assert(got(qid) == exact, s"query $qid: all-cell probe must be exact")
+      }
+    // probing fewer cells still finds each query itself (cosine 1)
+    val self = Ivf.annJoin(queries, corpus, "embedding", "vec_id", cs,
+      k = 3, nprobe = 1)
+      .filter($"q_id" === $"nbr_id").select("q_id").as[Long].collect().toSet
+    assert(self == Set(0L, 1L, 2L))
+  }
+
   test("nprobe=1 finds the query's own cell (self in results)") {
     val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
     val q = corpus.filter($"vec_id" === 3).select("embedding")
