@@ -310,6 +310,23 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     },
 
+    // Token entropy (perplexity proxy): -Σ p·ln p over each doc's token
+    // distribution — repetitive text ≈ 0, diverse prose ≈ ln(n). One
+    // fused TermFreqs pass + HOF folds, no shuffle.
+    Q("x_token_entropy",
+      s"""WITH tok AS (SELECT doc_id, unnest($LTOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+         |SELECT tf.doc_id,
+         |       round(-sum((c / n.n) * ln(c / n.n)) + 1e-7, 4) AS token_entropy
+         |FROM tf JOIN n ON tf.doc_id = n.doc_id
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.withTokenEntropy(docsSpread(s, d), "text")
+        .filter(col("token_entropy").isNotNull) // empty docs have no oracle row
+        .select(col("doc_id"), Fp.r(col("token_entropy"), 4).as("token_entropy"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup -----------------------------------------------------------
     // Exact: one winner (min id) per content digest + group size.
     Q("x_dedup_exact",

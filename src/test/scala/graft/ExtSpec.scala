@@ -32,6 +32,18 @@ class ExtSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("token entropy: zero for repetition, ln(n) for all-distinct tokens") {
+    val out = TextAnalysis.withTokenEntropy(Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four fully distinct tokens"),
+      (3L, "")).toDF("doc_id", "text"), "text")
+      .select($"doc_id", $"token_entropy")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).exists(v => math.abs(v) < 1e-12))
+    assert(out(2L).exists(v => math.abs(v - math.log(4)) < 1e-12))
+    assert(out(3L).isEmpty)
+  }
+
   test("groupCentroids: per-group mean vectors in dimension order") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 30.0f), "a"),
