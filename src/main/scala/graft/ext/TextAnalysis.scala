@@ -124,24 +124,15 @@ object TextAnalysis {
 
   /** Shannon entropy (nats) of the per-document token distribution — a
     * cheap perplexity proxy for curation: degenerate/repetitive text
-    * scores near 0, diverse prose near ln(n_tokens). Rides the fused
-    * [[graft.functions.TermFreqs]] per-row counts (one string pass) plus
-    * two HOF folds over the distinct-term map — no shuffle, no
-    * tokenization re-scan; the counts map materializes once (two
-    * downstream references keep CollapseProject from inlining it).
-    * Null for docs with no tokens. */
+    * scores near 0, diverse prose near ln(n_tokens). ONE fused codegen
+    * pass per row ([[graft.functions.TokenEntropy]]: tokenize, count,
+    * fold — no map materialization, no interpreted HOF lambdas, no
+    * shuffle). Null for docs with no tokens. */
   def withTokenEntropy(df: DataFrame, textCol: String,
       outCol: String = "token_entropy"): DataFrame = {
-    graft.functions.TermFreqs.register(df.sparkSession)
-    val c2d = (c: Column) => c.cast("double")
-    df.withColumn("__tc",
-        map_values(graft.functions.TermFreqs.termFreqs(col(textCol))))
-      .withColumn("__tn",
-        aggregate(col("__tc"), lit(0L), (a, c) => a + c).cast("double"))
-      .withColumn(outCol, when(col("__tn") > 0,
-        -aggregate(col("__tc"), lit(0.0), (acc, c) =>
-          acc + c2d(c) / col("__tn") * log(c2d(c) / col("__tn")))))
-      .drop("__tc", "__tn")
+    graft.functions.TokenEntropy.register(df.sparkSession)
+    df.withColumn(outCol,
+      graft.functions.TokenEntropy.tokenEntropy(col(textCol)))
   }
 
   /** All features in one pass. */

@@ -265,6 +265,33 @@ object TextExprsImpl {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Shannon entropy (nats) of the token distribution in one pass —
+    * tokenize, count, fold; no map materialization, no HOF lambdas.
+    * Null when the text has no tokens. Summation runs in token
+    * first-seen order; cross-engine FP drift is far below the oracle's
+    * 1e-7 rounding nudge. */
+  def tokenEntropy(s: UTF8String): java.lang.Double = {
+    val low = s.toLowerCase
+    val b = low.getBytes
+    val (spans, nTok) = tokenSpans(b)
+    if (nTok == 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var t = 0
+    while (t < nTok) {
+      val tok = UTF8String.fromBytes(b, spans(2 * t), spans(2 * t + 1) - spans(2 * t))
+      val c = counts.get(tok)
+      counts.put(tok, if (c == null) 1 else c + 1)
+      t += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().doubleValue() / nTok
+      h -= p * math.log(p)
+    }
+    h
+  }
+
   /** 64-bit SimHash over the distinct lowercase token set, as a 64-char bit
     * string: bit b of md5(token)'s first 8 bytes votes +1/-1; sign wins. */
   def simhash(s: UTF8String): UTF8String = {
@@ -399,6 +426,39 @@ object TermFreqs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "term_freqs",
       FnReg.checked("term_freqs", 1)(exprs => TermFreqs(exprs.head)),
+      "built-in")
+}
+
+/** Per-row token-distribution Shannon entropy (see
+  * [[TextExprsImpl.tokenEntropy]]) — nullable: no tokens, no entropy. */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_entropy"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    TextExprsImpl.tokenEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Double ${ev.value}_r =
+         |  graft.functions.TextExprsImpl.tokenEntropy($c);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): TokenEntropy =
+    copy(c)
+}
+
+object TokenEntropy {
+  def tokenEntropy(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("token_entropy", c)
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_entropy",
+      FnReg.checked("token_entropy", 1)(exprs => TokenEntropy(exprs.head)),
       "built-in")
 }
 
