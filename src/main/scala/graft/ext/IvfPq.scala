@@ -72,4 +72,51 @@ object IvfPq {
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
   }
+
+  /** Batch IVF-PQ search: residual-ADC top-k for EVERY query row. The
+    * single-query path computes its distance tables on the driver; here
+    * each query row computes its own (nprobe × m × k') table as an
+    * EXPRESSION over the centroid/codebook literals — no driver work per
+    * query, so the query side can be a full eval set. Candidates come
+    * from the equi-join on probed cells (partition-pruned when the index
+    * is written partitioned by cell); scoring after the join is still m
+    * array lookups per (query, code) pair. Returns (q_id, nbr_id, adc),
+    * k rows per query, ADC ascending. */
+  def searchBatch(index: DataFrame, meta: Index, queries: DataFrame,
+      embCol: String, idCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = meta.book.m
+    val subDim = meta.book.subDim
+    val cellsLit = array(meta.cells.map(c => array(c.map(lit): _*)): _*)
+    // m × k' × subDim codebook literal
+    val bookLit = array(meta.book.centroids.map(b =>
+      array(b.map(c => array(c.map(lit): _*)): _*)): _*)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("__q"),
+        explode(Ivf.probedCells(col(embCol), meta.cells, nprobe)).as("cell"))
+      // residual against THIS probed cell's centroid, then the m × k'
+      // squared-L2 table of its subvectors vs the codebook
+      .withColumn("__qr", zip_with(col("__q"),
+        element_at(cellsLit, col("cell") + 1),
+        (a, b) => a.cast("double") - b))
+      .withColumn("__table",
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(element_at(bookLit, j + 1), cent =>
+            aggregate(
+              zip_with(cent, slice(col("__qr"), j * subDim + 1, lit(subDim)),
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))))
+      .select(col("q_id"), col("cell"), col("__table"))
+    val adc = aggregate(
+      zip_with(col("pq_code"), sequence(lit(1), lit(m)),
+        (c, j) => element_at(element_at(col("__table"), j), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("nbr_id"))
+    q.join(index.select(col(idCol).as("nbr_id"), col("cell"),
+        col("pq_code")), "cell")
+      .select(col("q_id"), col("nbr_id"), adc.as("adc"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

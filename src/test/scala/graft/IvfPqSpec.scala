@@ -52,4 +52,26 @@ class IvfPqSpec extends SparkSpec {
     assert(wide.length == 40)
     idx.unpersist()
   }
+
+  test("searchBatch reproduces the single-query path for every query") {
+    val (index, meta) = IvfPq.build(corpus, "embedding", "vec_id",
+      nCells = 4, m = 4, k = 4, iters = 3)
+    val idx = index.persist()
+    val queries = corpus.filter($"vec_id" < 6)
+    val batch = IvfPq.searchBatch(idx, meta, queries, "embedding",
+      "vec_id", k = 5, nprobe = 2)
+      .select("q_id", "nbr_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._3, r._2)).map(_._2).toSeq).toMap
+    queries.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .foreach { case (qid, emb) =>
+        val single = IvfPq.search(idx, meta, "vec_id",
+          emb.map(_.toDouble), k = 5, nprobe = 2)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(batch(qid) == single,
+          s"query $qid: batch must equal the single-query path")
+      }
+    idx.unpersist()
+  }
 }
