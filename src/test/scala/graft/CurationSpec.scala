@@ -102,6 +102,28 @@ class CurationSpec extends SparkSpec {
       Curation.chunk(docs, "text", chunkTokens = 8, overlap = 8))
   }
 
+  test("chunk property: stride segments reassemble the original tokens") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 50L).map { i =>
+      (i, Seq.fill(rnd.nextInt(60))("w" + rnd.nextInt(1000)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (c, o) = (16, 4)
+    val chunks = Curation.chunk(docs, "text", chunkTokens = c, overlap = o)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      // chunk i's first `o` tokens repeat chunk i-1's tail: dropping them
+      // from every chunk but the first must reassemble the document
+      val rebuilt = chunks(id).zipWithIndex.flatMap { case (ch, i) =>
+        val t = ch.split(" ").filter(_.nonEmpty).toSeq
+        if (i == 0) t else t.drop(o)
+      }
+      assert(rebuilt == toks, s"doc $id must reassemble")
+    }
+  }
+
   test("shuffled: deterministic order, sorted within shards, salt varies") {
     val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val a = Curation.shuffled(docs, "doc_id", numShards = 4, salt = "ep1")
