@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * row/null/distinct counts and numeric ranges, plus fixed-width
   * histograms for distribution eyeballing.
   *
-  * Shapes: [[describe]] is ONE aggregate job over all requested columns
-  * (each exact distinct adds an expand branch — fine for the handful of
-  * columns a profile run looks at; swap in approx_count_distinct when
-  * profiling hundreds). [[histogram]] is one groupBy on a computed bucket
-  * — the bucket expression is portable arithmetic (no engine-specific
-  * width_bucket), so external engines reproduce it bit-for-bit.
+  * Shapes: [[describe]] runs ONE single-column aggregate job per
+  * profiled column — several exact distincts in a single multi-agg make
+  * Catalyst plan an Expand (cols× row multiplication over the full row
+  * width); per-column jobs keep each pass a column-pruned scan with a
+  * plain two-phase distinct, which is both cheaper and exactly the
+  * UNION-per-column shape external engines use. Swap in
+  * approx_count_distinct when profiling hundreds of columns.
+  * [[histogram]] is one groupBy on a computed bucket — the bucket
+  * expression is portable arithmetic (no engine-specific width_bucket),
+  * so external engines reproduce it bit-for-bit.
   */
 object Profile {
 
@@ -24,19 +28,13 @@ object Profile {
     require(cols.nonEmpty, "profile at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"${c}__n"),
-        count(when(col(c).isNull, 1)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("double").as(s"${c}__mn"),
-        max(col(c)).cast("double").as(s"${c}__mx"),
-        avg(col(c).cast("double")).as(s"${c}__avg"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).first()
-    cols.zipWithIndex.map { case (c, i) =>
-      val b = i * 6
-      (c, row.getLong(b), row.getLong(b + 1), row.getLong(b + 2),
-        row.getDouble(b + 3), row.getDouble(b + 4), row.getDouble(b + 5))
+    cols.map { c =>
+      val row = df.select(col(c)).agg(
+        count(lit(1)), count(when(col(c).isNull, 1)), countDistinct(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double"),
+        avg(col(c).cast("double"))).first()
+      (c, row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3), row.getDouble(4), row.getDouble(5))
     }.toDF("column", "n", "n_null", "n_distinct", "mn", "mx", "mean")
   }
 
