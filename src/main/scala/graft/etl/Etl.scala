@@ -41,6 +41,25 @@ object Etl {
   def requireKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.na.drop(keys)
 
+  /** Early-arriving facts, the constructive counterpart of
+    * [[orphanCount]]: every distinct fact key with no dimension row gets
+    * a PLACEHOLDER member (the Kimball "inferred member"), so the star
+    * join stays inner and loses no facts; `defaults` fills the
+    * placeholder attributes (unlisted columns go null) until the real
+    * member arrives and an SCD1 overwrite corrects them. One left-anti
+    * join on distinct fact keys — the added rows are bounded by distinct
+    * orphans, not fact volume. */
+  def inferredMembers(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, defaults: Map[String, Column]): DataFrame = {
+    val missing = fact.select(col(factKey).as(dimKey)).distinct()
+      .join(dim.select(dimKey), Seq(dimKey), "left_anti")
+    val placeholders = dim.columns.foldLeft(missing) { (df, c) =>
+      if (c == dimKey) df
+      else df.withColumn(c, defaults.getOrElse(c, lit(null)))
+    }.select(dim.columns.map(col): _*)
+    dim.unionByName(placeholders)
+  }
+
   /** Long→wide pivot of indicator rows (reference FILOSOFI pivot,
     * `load_facts.py:361-384`): one output row per group, indicators as
     * columns. `values` must be the explicit indicator list — an implicit

@@ -215,6 +215,41 @@ object Relational {
       a.unionByName(b).orderBy("fk")
     },
 
+    // J9b inferred members (early-arriving facts): customers from nation
+    // 0 are withheld from the dim; their orders' keys come back as
+    // UNKNOWN placeholders, so the star join stays inner and loses no
+    // facts. The dim grows by distinct orphans only.
+    Q("j_inferred_member",
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |             WHERE c_nationkey <> 0),
+        |missing AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders o
+        |            WHERE NOT EXISTS
+        |              (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)),
+        |dim2 AS (SELECT * FROM dim UNION ALL
+        |         SELECT c_custkey, 'UNKNOWN', 'UNKNOWN' FROM missing)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(CASE WHEN c_name = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_inferred,
+        |       CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |              (SELECT 1 FROM dim2 d WHERE d.c_custkey = o.o_custkey))
+        |         AS BIGINT) AS orphans_after
+        |FROM dim2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "customer").filter(col("c_nationkey") =!= 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val fact = t(s, d, "orders")
+      val dim2 = graft.etl.Etl.inferredMembers(fact, dim,
+        "o_custkey", "c_custkey",
+        Map("c_name" -> lit("UNKNOWN"), "c_mktsegment" -> lit("UNKNOWN")))
+      val orphansAfter = graft.etl.Etl.orphanCount(fact, dim2,
+        "o_custkey", "c_custkey")
+      dim2.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("c_name") === "UNKNOWN", 1L).otherwise(0L))
+            .as("n_inferred"))
+        .withColumn("orphans_after", lit(orphansAfter))
+        .orderBy("c_mktsegment")
+    },
+
     // ----- A: aggregations [§2.4] -----
     // A1/A2 grouped sum + avg/min/max (reference datamart aggregates).
     Q("a_grouped_stats",
