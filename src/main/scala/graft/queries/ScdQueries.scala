@@ -148,6 +148,49 @@ object ScdQueries {
           .orderBy("c_mktsegment")
     },
 
+    // CDC apply with deterministic synthetic feed: custkey%10=0 gets two
+    // updates (seq 2 wins → segment CDC_V2), %10=1 is hard-DELETED,
+    // shifted keys are inserts. Latest-change-wins + anti-join + union —
+    // the one merge shape with hard deletes.
+    Q("m_cdc_apply",
+      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'CDC_V1' AS c_mktsegment, 1 AS seq, 'U' AS op
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'CDC_V2', 2, 'U' FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, 1, 'D' FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'CDC_NEW', 1, 'I' FROM customer
+        |  WHERE c_custkey % 10 = 2),
+        |latest AS (SELECT * FROM (SELECT *, row_number() OVER
+        |             (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |           FROM changes) WHERE rn = 1),
+        |applied AS (
+        |  SELECT b.c_custkey, b.c_mktsegment FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = b.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM latest WHERE op <> 'D')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = customer(s, d).select("c_custkey", "c_mktsegment")
+      val cust = customer(s, d)
+      def slice(m: Int) = cust.filter(col("c_custkey") % 10 === m)
+      val changes =
+        slice(0).select(col("c_custkey"), lit("CDC_V1").as("c_mktsegment"),
+            lit(1).as("seq"), lit("U").as("op"))
+          .unionByName(slice(0).select(col("c_custkey"),
+            lit("CDC_V2").as("c_mktsegment"), lit(2).as("seq"), lit("U").as("op")))
+          .unionByName(slice(1).select(col("c_custkey"),
+            col("c_mktsegment"), lit(1).as("seq"), lit("D").as("op")))
+          .unionByName(slice(2).select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("CDC_NEW").as("c_mktsegment"), lit(1).as("seq"), lit("I").as("op")))
+      Scd.applyCdc(base, changes, Seq("c_custkey"), "seq")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // PIT fact enrichment: orders join the customer-segment VERSION valid
     // at order date (v1 through 1995, v2 — PREMIUM promotion — from
     // 1996), so the same customer contributes to different segments in

@@ -133,6 +133,25 @@ object Scd {
       (col("date_fin_validite").isNull || col("date_fin_validite") > dt))
   }
 
+  /** CDC apply — replays a change feed (insert / update / delete rows
+    * with a monotone sequence) onto a base snapshot: the LATEST change
+    * per key wins (one window over the feed, which is change-sized, not
+    * base-sized), then one left-anti join drops every changed key from
+    * the base and the surviving upserts union back in. Hard deletes —
+    * the one merge shape SCD1/2/3 never perform — fall out of the same
+    * pass: a key whose last change is 'D' simply never rejoins.
+    * Change columns must match the base schema plus (`seqCol`,
+    * `opCol` ∈ {'I','U','D'}). */
+  def applyCdc(base: DataFrame, changes: DataFrame, bk: Seq[String],
+      seqCol: String, opCol: String = "op"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bk.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    base.join(latest.select(bk.map(col): _*), bk, "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
+  }
+
   /** Point-in-time FACT enrichment (M2's read side): each fact row joins
     * the dimension version whose `[date_debut_validite,
     * date_fin_validite]` interval covers the fact's own date — "which

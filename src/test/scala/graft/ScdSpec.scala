@@ -59,6 +59,19 @@ class ScdSpec extends SparkSpec {
     assert(out.filter($"code" === "02").first().getAs[Int]("changed") == 0)
   }
 
+  test("applyCdc: latest change wins, deletes are hard, inserts land") {
+    val base = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val changes = Seq(
+      ("a", 10, 1, "U"), ("a", 11, 2, "U"), // seq 2 wins
+      ("b", 0, 1, "D"),                     // hard delete
+      ("d", 4, 1, "I"),                     // insert
+      ("e", 5, 1, "I"), ("e", 0, 2, "D"))   // inserted then deleted → gone
+      .toDF("k", "v", "seq", "op")
+    val out = Scd.applyCdc(base, changes, Seq("k"), "seq")
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 11, "c" -> 3, "d" -> 4))
+  }
+
   test("pitJoin picks the version valid at the fact date, left-null outside") {
     val scd2 = Seq(
       ("59", "Nord v1", 1, "2020-01-01", "2021-12-31"),
