@@ -86,5 +86,60 @@ object SeriesQueries {
           "measure", "value")
         .orderBy("l_returnflag", "measure")
     },
+
+    // Funnel conversion: of the users with a 'view', how many purchased
+    // within 24h of their FIRST view. One per-user min + one equi join
+    // with the time bound as a residual — never event×event.
+    Q("a_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT DISTINCT v.user_id FROM v JOIN events p
+        |         ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |         AND p.ts >= v.first_view
+        |         AND p.ts <= v.first_view + INTERVAL 24 HOUR)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+        |       CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+        |       round((SELECT count(*) FROM conv) * 1.0
+        |             / (SELECT count(*) FROM v) + 1e-7, 4) AS conversion_rate""".stripMargin) {
+      (s, d) =>
+        val e = t(s, d, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+        val nViewers = v.count()
+        val nConverted = v.join(
+            e.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts")),
+            Seq("user_id"))
+          .filter(col("ts") >= col("first_view") &&
+            col("ts") <= col("first_view") + expr("INTERVAL 24 HOURS"))
+          .select("user_id").distinct().count()
+        import s.implicits._
+        Seq((nViewers, nConverted, nConverted.toDouble / nViewers))
+          .toDF("n_viewers", "n_converted", "conversion_rate")
+          .select(col("n_viewers"), col("n_converted"),
+            Fp.r(col("conversion_rate"), 4).as("conversion_rate"))
+    },
+
+    // Cohort retention: users grouped by first-activity day, counted per
+    // day offset — the standard retention triangle. Two aggregations and
+    // one user-keyed join; nothing scales beyond (users × active days).
+    Q("a_retention",
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort_day,
+        |       CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM act a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val f = e.groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort_day"))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      act.join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    },
   )
 }
