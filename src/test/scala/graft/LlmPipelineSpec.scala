@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Dedup}
+
+/** Capstone composition: the full LLM training-data pipeline assembled
+  * from the individual operators — quality filter → near-dedup →
+  * decontamination gate → context chunking → deterministic shuffle →
+  * token-budget packing — with the invariants a production run needs:
+  * nothing contaminated survives, no near-dup survives, every chunk
+  * traces to a kept document, re-runs are bit-identical.
+  */
+class LlmPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filter → dedup → decontaminate → chunk → shuffle → pack") {
+    val all = graft.core.Tables.load(spark, sf001, "documents")
+    // the held-out eval set we must not train on
+    val benchmark = all.filter($"doc_id" % 17 === 0)
+    val corpus = all.filter($"doc_id" % 17 =!= 0)
+
+    def runPipeline() = {
+      // 1. rule-based quality filter (keep + drop_reason)
+      val kept = Curation.qualityFilter(corpus, "text",
+          Curation.QualityRules(minTokens = 5, maxTokens = 10000))
+        .filter(col(Curation.KeepCol))
+        .select("doc_id", "text", "lang")
+      // 2. near-duplicate removal (min-id survivor)
+      val deduped = Dedup.nearDedup(kept, "text", "doc_id", threshold = 0.8)
+      // 3. benchmark decontamination gate
+      val contaminated = Curation.contamination(deduped, "text", "doc_id",
+          benchmark, "text")
+        .filter(col("contamination") > 0.5).select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. context-window chunking for the embedding/training stage
+      val chunks = Curation.chunk(clean, "text", chunkTokens = 64, overlap = 8)
+        .withColumn("chunk_id",
+          concat(col("doc_id"), lit("_"), col("chunk_idx")))
+      // 5. deterministic training-order shuffle + 6. per-lang shard pack
+      val packed = Curation.packShards(
+        chunks.withColumn("__key", Curation.shuffleKey(col("chunk_id"))),
+        "n_chunk_tokens", "__key", budget = 2000, partitionCols = Seq("lang"))
+      packed.select($"chunk_id", $"lang", $"n_chunk_tokens", $"shard_id")
+    }
+
+    val out = runPipeline().cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty, "pipeline must keep something")
+
+    // INVARIANT 1: no surviving doc is >0.5 contaminated vs the benchmark
+    val survivorDocs = out.select(
+      split($"chunk_id", "_").getItem(0).cast("long").as("doc_id")).distinct()
+    val recheck = Curation.contamination(
+        all.join(survivorDocs, Seq("doc_id")), "text", "doc_id",
+        benchmark, "text")
+      .filter($"contamination" > 0.5).count()
+    assert(recheck == 0, "no contaminated doc may survive the gate")
+
+    // INVARIANT 2: no two surviving docs are near-dups of each other
+    val survivorsText = all.join(survivorDocs, Seq("doc_id"))
+    val dupPairs = Dedup.nearDupPairs(survivorsText, "text", "doc_id")
+      .filter($"jaccard" >= 0.8).count()
+    assert(dupPairs == 0, "near-dups must not survive dedup")
+
+    // INVARIANT 3: shards respect the token budget (oversized single
+    // chunks excepted — none at 64-token chunks vs a 2000 budget)
+    val shardSizes = out.groupBy("lang", "shard_id")
+      .agg(sum("n_chunk_tokens").as("tokens"))
+      .select("tokens").as[Long].collect()
+    assert(shardSizes.forall(_ <= 2000 + 64),
+      s"shard overflow: ${shardSizes.max}")
+
+    // INVARIANT 4: the whole pipeline is deterministic end-to-end
+    val again = runPipeline().collect()
+    assert(again.toSeq.sortBy(_.getString(0)) ==
+      rows.toSeq.sortBy(_.getString(0)))
+  }
+}
