@@ -51,7 +51,10 @@ object Etl {
     * orphans, not fact volume. */
   def inferredMembers(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, defaults: Map[String, Column]): DataFrame = {
-    val missing = fact.select(col(factKey).as(dimKey)).distinct()
+    // null fact keys can never equi-match ANY member — they are
+    // [[requireKeys]]' problem, not a placeholder to invent
+    val missing = fact.select(col(factKey).as(dimKey))
+      .filter(col(dimKey).isNotNull).distinct()
       .join(dim.select(dimKey), Seq(dimKey), "left_anti")
     val placeholders = dim.columns.foldLeft(missing) { (df, c) =>
       if (c == dimKey) df

@@ -210,7 +210,10 @@ object Curation {
     require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = TextAnalysis.tokens(col(textCol))
+    // null text reads as empty: the row must survive as chunk 0 (an
+    // un-coalesced null would null the chunk count and explode to
+    // NOTHING, silently dropping the document)
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val n = size(toks)
     val nChunks = greatest(lit(1),
       ceil((n - lit(overlap)).cast("double") / stride).cast("int"))

@@ -157,8 +157,12 @@ object Dedup {
       bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
+    // localCheckpoint, NOT persist: this API runs once per ingest batch
+    // in a long-lived session, and cacheManager would pin a persisted
+    // frame until an explicit unpersist nobody holds a handle for —
+    // checkpoint blocks free with the frame itself
     val newSig = signatureIndex(newBatch, textCol, idCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def long(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
       posexplode(array((0 until bands).map(b => bandValue(
         (0 until rows).map(r => col("sig")(b * rows + r)))): _*))

@@ -208,6 +208,18 @@ object VectorOps {
     * payload rides a broadcast variable instead of the task closure. */
   val BroadcastThresholdElems: Int = 16384
 
+  /** Content-keyed LRU of centroid broadcasts: a repeated call with the
+    * SAME matrix (assignment + search against one trained set, parallel
+    * queries) reuses one broadcast + one registry entry instead of
+    * minting fresh ones per call — otherwise every registration closure
+    * would pin a dead Broadcast forever (the registry holds it, the
+    * ContextCleaner can't reclaim it). Evicted entries unpersist their
+    * executor blocks (re-fetchable from the driver if a straggler task
+    * still needs them) and drop their registry entry. */
+  private val MaxCachedBroadcasts = 8
+  private val bcCache = new java.util.LinkedHashMap[String,
+    org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]](16, 0.75f, true)
+
   /** `nearest_centroid` takes the centroid matrix at registration time (a
     * literal matrix is not SQL-passable). The registered name is unique
     * per matrix so concurrent queries with different centroids (e.g. the
@@ -231,9 +243,27 @@ object VectorOps {
         "built-in")
       org.apache.spark.sql.functions.call_function(name, emb)
     } else {
-      val bc = spark.sparkContext.broadcast(
-        centroids.map(_.toArray).toArray)
-      val name = "nearest_centroid_bc_" + bc.id
+      val name = "nearest_centroid_bc_" + java.lang.Integer.toHexString(
+        java.util.Arrays.deepHashCode(
+          centroids.map(_.toArray).toArray[AnyRef]))
+      val bc = bcCache.synchronized {
+        val cached = bcCache.get(name)
+        val b = if (cached != null) cached
+        else {
+          val fresh = spark.sparkContext.broadcast(
+            centroids.map(_.toArray).toArray)
+          bcCache.put(name, fresh)
+          fresh
+        }
+        while (bcCache.size() > MaxCachedBroadcasts) {
+          val it = bcCache.entrySet().iterator()
+          val eldest = it.next(); it.remove()
+          eldest.getValue.unpersist(false)
+          spark.sessionState.functionRegistry.dropFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(eldest.getKey))
+        }
+        b
+      }
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name,
         FnReg.checked(name, 1)(exprs => NearestCentroidBc(exprs.head, bc)),

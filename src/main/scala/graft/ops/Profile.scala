@@ -33,8 +33,13 @@ object Profile {
         count(lit(1)), count(when(col(c).isNull, 1)), countDistinct(col(c)),
         min(col(c)).cast("double"), max(col(c)).cast("double"),
         avg(col(c).cast("double"))).first()
+      // min/max/mean aggregate to NULL on an empty table or an all-null
+      // (or non-numeric-castable) column — exactly what a profiler must
+      // report, not crash on
+      def opt(i: Int): Option[Double] =
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
       (c, row.getLong(0), row.getLong(1), row.getLong(2),
-        row.getDouble(3), row.getDouble(4), row.getDouble(5))
+        opt(3), opt(4), opt(5))
     }.toDF("column", "n", "n_null", "n_distinct", "mn", "mx", "mean")
   }
 

@@ -60,12 +60,14 @@ object QueryMetrics {
     try {
       val out = body
       var prev = rec.snapshot
-      var stable = false
+      var stableRounds = 0
       val deadline = System.nanoTime() + 2000000000L
-      while (!stable && System.nanoTime() < deadline) {
+      // TWO consecutive unchanged snapshots: one quiet 50 ms window can
+      // be a backlogged listener bus, not a drained one
+      while (stableRounds < 2 && System.nanoTime() < deadline) {
         Thread.sleep(50)
         val cur = rec.snapshot
-        stable = cur == prev
+        stableRounds = if (cur == prev) stableRounds + 1 else 0
         prev = cur
       }
       (out, prev)

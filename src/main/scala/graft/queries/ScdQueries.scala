@@ -195,12 +195,14 @@ object ScdQueries {
     // at order date (v1 through 1995, v2 — PREMIUM promotion — from
     // 1996), so the same customer contributes to different segments in
     // different years. Equi join on the key; the interval predicate is a
-    // residual, never a range-join shuffle.
+    // residual, never a range-join shuffle. Validity ends are EXCLUSIVE
+    // (fin = successor's debut, exactly what Scd.scd2 writes) so a
+    // boundary-dated fact matches exactly one version.
     Q("m_scd2_pit",
       """WITH dim AS (
         |  SELECT c_custkey, c_mktsegment, 1 AS version,
         |         DATE '1990-01-01' AS date_debut_validite,
-        |         DATE '1995-12-31' AS date_fin_validite
+        |         DATE '1996-01-01' AS date_fin_validite
         |  FROM customer
         |  UNION ALL
         |  SELECT c_custkey,
@@ -214,13 +216,13 @@ object ScdQueries {
         |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
         | AND CAST(o.o_orderdate AS DATE) >= d.date_debut_validite
         | AND (d.date_fin_validite IS NULL
-        |      OR CAST(o.o_orderdate AS DATE) <= d.date_fin_validite)
+        |      OR CAST(o.o_orderdate AS DATE) < d.date_fin_validite)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val cust = customer(s, d)
       val v1 = cust.select(col("c_custkey"), col("c_mktsegment"),
         lit(1).as("version"),
         lit("1990-01-01").cast("date").as("date_debut_validite"),
-        lit("1995-12-31").cast("date").as("date_fin_validite"))
+        lit("1996-01-01").cast("date").as("date_fin_validite"))
       val v2 = cust.select(col("c_custkey"),
         when(col("c_acctbal") > 5000, "PREMIUM").otherwise(col("c_mktsegment"))
           .as("c_mktsegment"),

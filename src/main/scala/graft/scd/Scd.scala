@@ -154,7 +154,7 @@ object Scd {
 
   /** Point-in-time FACT enrichment (M2's read side): each fact row joins
     * the dimension version whose `[date_debut_validite,
-    * date_fin_validite]` interval covers the fact's own date — "which
+    * date_fin_validite)` interval covers the fact's own date — "which
     * segment was this customer in WHEN they ordered", not "now".
     *
     * Scale shape: this stays an EQUI join on the business key — versions
@@ -162,7 +162,13 @@ object Scd {
     * as a join residual; the shuffle is keyed on the business key, never
     * on time, and broadcast kicks in for dimension-sized right sides.
     * Left join: facts outside every version's validity survive with null
-    * dimension columns (the audit case). */
+    * dimension columns (the audit case).
+    *
+    * Interval convention: `[date_debut_validite, date_fin_validite)` —
+    * the end EXCLUSIVE, because [[scd2]] closes a version with
+    * `date_fin_validite` = the successor's `date_debut_validite` (and
+    * [[asOf]] reads it the same way); an inclusive end would match a
+    * boundary-dated fact against BOTH versions and double-count it. */
   def pitJoin(fact: DataFrame, dim: DataFrame, bk: Seq[String],
       factDateCol: String): DataFrame = {
     val dimR = bk.foldLeft(dim)((df, k) =>
@@ -170,7 +176,7 @@ object Scd {
     val cond = bk.map(k => col(k) === col(s"__dim_$k")).reduce(_ && _) &&
       col(factDateCol).cast("date") >= col("date_debut_validite") &&
       (col("date_fin_validite").isNull ||
-        col(factDateCol).cast("date") <= col("date_fin_validite"))
+        col(factDateCol).cast("date") < col("date_fin_validite"))
     fact.join(dimR, cond, "left").drop(bk.map(k => s"__dim_$k"): _*)
   }
 }

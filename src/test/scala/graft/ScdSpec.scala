@@ -73,8 +73,9 @@ class ScdSpec extends SparkSpec {
   }
 
   test("pitJoin picks the version valid at the fact date, left-null outside") {
+    // fin = successor's debut, exactly what scd2 writes (exclusive end)
     val scd2 = Seq(
-      ("59", "Nord v1", 1, "2020-01-01", "2021-12-31"),
+      ("59", "Nord v1", 1, "2020-01-01", "2022-01-01"),
       ("59", "Nord v2", 2, "2022-01-01", null),
       ("02", "Aisne", 1, "2020-01-01", null))
       .toDF("code", "nom", "version", "d0", "d1")
@@ -85,7 +86,8 @@ class ScdSpec extends SparkSpec {
       (1L, "59", "2021-06-01"),  // inside v1
       (2L, "59", "2022-06-01"),  // inside v2 (open-ended)
       (3L, "59", "2019-06-01"),  // before any version → nulls
-      (4L, "02", "2024-01-01"))  // open-ended v1
+      (4L, "02", "2024-01-01"),  // open-ended v1
+      (5L, "59", "2022-01-01"))  // exactly ON the boundary → v2 ONLY
       .toDF("fact_id", "code", "ts")
       .select($"fact_id", $"code", $"ts".cast("date").as("ts"))
     val out = Scd.pitJoin(fact, scd2, Seq("code"), "ts")
@@ -96,7 +98,10 @@ class ScdSpec extends SparkSpec {
     assert(out(2L) == ((Some("Nord v2"), Some(2))))
     assert(out(3L) == ((None, None)))
     assert(out(4L) == ((Some("Aisne"), Some(1))))
-    assert(out.size == 4) // exactly one row per fact — intervals disjoint
+    assert(out(5L) == ((Some("Nord v2"), Some(2))))
+    // exactly one row per fact: a boundary date must NOT match two
+    // versions (fin is exclusive, matching scd2's close convention)
+    assert(out.size == 5)
   }
 
   test("scd3 keeps previous value in companion column") {
