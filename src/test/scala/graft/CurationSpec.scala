@@ -100,6 +100,12 @@ class CurationSpec extends SparkSpec {
     assert(out(0)._4.endsWith(" t32"))
     intercept[IllegalArgumentException](
       Curation.chunk(docs, "text", chunkTokens = 8, overlap = 8))
+    // NULL text must survive as an empty chunk 0, not silently vanish
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nr = Curation.chunk(withNull, "text", 32, 8)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(nr == Seq((9L, 0, 0)))
   }
 
   test("chunk property: stride segments reassemble the original tokens") {

@@ -32,6 +32,20 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(Etl.orphanCount(fact, dim, "k", "id") == 1)
   }
 
+  test("inferredMembers adds placeholders for orphans, never for nulls") {
+    val fact = Seq[(java.lang.Integer, String)]((1, "a"), (9, "b"),
+      (9, "c"), (null, "d")).toDF("k", "payload")
+    val dim = Seq((1, "Known")).toDF("id", "nom")
+    val dim2 = Etl.inferredMembers(fact, dim, "k", "id",
+      Map("nom" -> lit("UNKNOWN")))
+      .as[(Int, String)].collect().toSet
+    // one placeholder for orphan key 9 (deduped), none for the null key
+    assert(dim2 == Set((1, "Known"), (9, "UNKNOWN")))
+    // the star join now loses only the null-key fact (requireKeys' job)
+    assert(fact.join(dim2.toSeq.toDF("id", "nom"),
+      col("k") === col("id")).count() == 3)
+  }
+
   test("pivotIndicators goes long→wide with renames (FILOSOFI shape)") {
     val long = Seq(
       (2021, "59", "MED_SL", 22000.0), (2021, "59", "PR_MD60", 18.5),
@@ -261,6 +275,13 @@ class EtlMartsOpsSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     // bin width 2: 1.0→bucket 0, the two 2.0s→bucket 1, 100.0 clamps to 4
     assert(h == Map(0 -> 1L, 1 -> 2L, 4 -> 1L))
+    // an all-null column profiles as nulls, it does not crash the pass
+    val allNull = Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L))
+      .toDF("x", "id")
+    val pn = Profile.describe(allNull, Seq("x"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(pn == (("x", 2L, 2L, 0L, None, None, None)))
   }
 
   test("query metrics window reports shuffle volume (and its absence)") {
