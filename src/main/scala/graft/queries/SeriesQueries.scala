@@ -120,6 +120,29 @@ object SeriesQueries {
             Fp.r(col("conversion_rate"), 4).as("conversion_rate"))
     },
 
+    // Event-transition matrix (Markov counts): what follows what, per
+    // user session stream — ONE lead window keyed by user (ts, event_id
+    // tiebreak for simultaneous events), then a count per (from, to)
+    // pair. The window shuffles by user_id; the matrix is |types|².
+    Q("a_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS next_type
+        |           FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    },
+
     // Cohort retention: users grouped by first-activity day, counted per
     // day offset — the standard retention triangle. Two aggregations and
     // one user-keyed join; nothing scales beyond (users × active days).
