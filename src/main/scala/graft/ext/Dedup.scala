@@ -157,12 +157,13 @@ object Dedup {
       bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // localCheckpoint, NOT persist: this API runs once per ingest batch
-    // in a long-lived session, and cacheManager would pin a persisted
-    // frame until an explicit unpersist nobody holds a handle for —
-    // checkpoint blocks free with the frame itself
+    // NO persist: this API runs once per ingest batch in a long-lived
+    // session, and cacheManager would pin a persisted frame until an
+    // explicit unpersist nobody holds a handle for. The two consumers
+    // (band join + jaccard fetch) recompute the signature pass instead —
+    // one extra codegen scan of the NEW BATCH, which is batch-sized by
+    // definition, against the full corpus index either way.
     val newSig = signatureIndex(newBatch, textCol, idCol, k)
-      .localCheckpoint()
     def long(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
       posexplode(array((0 until bands).map(b => bandValue(
         (0 until rows).map(r => col("sig")(b * rows + r)))): _*))

@@ -210,14 +210,17 @@ object VectorOps {
 
   /** Content-keyed LRU of centroid broadcasts: a repeated call with the
     * SAME matrix (assignment + search against one trained set, parallel
-    * queries) reuses one broadcast + one registry entry instead of
-    * minting fresh ones per call — otherwise every registration closure
-    * would pin a dead Broadcast forever (the registry holds it, the
-    * ContextCleaner can't reclaim it). Evicted entries unpersist their
-    * executor blocks (re-fetchable from the driver if a straggler task
-    * still needs them) and drop their registry entry. */
+    * queries) reuses one broadcast instead of minting a fresh one per
+    * call. Keys are (applicationId, full matrix) — content equality, so
+    * a hash collision can never serve the wrong centroids, and a
+    * restarted SparkContext can never be handed a dead broadcast.
+    * Eviction ONLY unpersists executor blocks (re-fetchable from the
+    * driver if a straggler still needs them) — it never drops registry
+    * entries, which could yank a function out from under an in-flight
+    * plan; stale registry closures cost driver memory bounded by the
+    * distinct matrices of the session, which the driver held anyway. */
   private val MaxCachedBroadcasts = 8
-  private val bcCache = new java.util.LinkedHashMap[String,
+  private val bcCache = new java.util.LinkedHashMap[(String, Seq[Seq[Double]]),
     org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]](16, 0.75f, true)
 
   /** `nearest_centroid` takes the centroid matrix at registration time (a
@@ -243,24 +246,23 @@ object VectorOps {
         "built-in")
       org.apache.spark.sql.functions.call_function(name, emb)
     } else {
+      val mat = centroids.map(_.toArray).toArray
       val name = "nearest_centroid_bc_" + java.lang.Integer.toHexString(
-        java.util.Arrays.deepHashCode(
-          centroids.map(_.toArray).toArray[AnyRef]))
+        java.util.Arrays.deepHashCode(mat.asInstanceOf[Array[AnyRef]]))
+      val key = (spark.sparkContext.applicationId, centroids)
       val bc = bcCache.synchronized {
-        val cached = bcCache.get(name)
+        val cached = bcCache.get(key)
         val b = if (cached != null) cached
         else {
-          val fresh = spark.sparkContext.broadcast(
-            centroids.map(_.toArray).toArray)
-          bcCache.put(name, fresh)
+          val fresh = spark.sparkContext.broadcast(mat)
+          bcCache.put(key, fresh)
           fresh
         }
         while (bcCache.size() > MaxCachedBroadcasts) {
           val it = bcCache.entrySet().iterator()
           val eldest = it.next(); it.remove()
-          eldest.getValue.unpersist(false)
-          spark.sessionState.functionRegistry.dropFunction(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(eldest.getKey))
+          try eldest.getValue.unpersist(false)
+          catch { case _: Exception => () } // a stopped context's handle
         }
         b
       }
