@@ -59,6 +59,48 @@ object EtlLog {
   }
 }
 
+/** Error ledger — the reference's `dwh.log_erreurs` lifecycle
+  * (`008_configure_logging.sql:121-209`: `sp_log_erreur`,
+  * `sp_resoudre_erreur`, `v_erreurs_ouvertes`) re-expressed for an
+  * append-only store: the reference UPDATEs `est_resolu` in place, but
+  * parquet is immutable, so resolution is an EVENT — a marker row in a
+  * companion table — and "open errors" is one anti-join of errors
+  * against resolutions, with the age computed against a caller-supplied
+  * clock (deterministic, testable; the reference bakes in GETDATE()). */
+object ErrorLedger {
+  val schema: StructType = StructType(Seq(
+    StructField("erreur_id", LongType),
+    StructField("date_erreur", TimestampType),
+    StructField("source", StringType),
+    StructField("type_erreur", StringType),
+    StructField("message_erreur", StringType)))
+
+  def logError(spark: SparkSession, path: String, id: Long, source: String,
+      typeErreur: String, message: String,
+      at: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Unit =
+    spark.createDataFrame(
+      java.util.List.of(Row(id, at, source, typeErreur, message)), schema)
+      .write.mode("append").parquet(path)
+
+  /** Resolution marker (the `sp_resoudre_erreur` analogue). */
+  def resolve(spark: SparkSession, resolutionsPath: String, id: Long,
+      at: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Unit =
+    spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(id), at)),
+      StructType(Seq(StructField("erreur_id", LongType),
+        StructField("date_resolution", TimestampType))))
+      .write.mode("append").parquet(resolutionsPath)
+
+  /** `v_erreurs_ouvertes`: errors with no resolution marker, plus the
+    * hours elapsed against `asOf`. */
+  def openErrors(errors: DataFrame, resolutions: DataFrame,
+      asOf: java.sql.Timestamp): DataFrame =
+    errors.join(resolutions.select("erreur_id"), Seq("erreur_id"), "left_anti")
+      .withColumn("heures_depuis_erreur",
+        floor((lit(asOf).cast("long") - col("date_erreur").cast("long")) / 3600)
+          .cast("int"))
+}
+
 /** Snapshot backup + retention sweep: copy the warehouse directory to a
   * timestamped snapshot, delete snapshots older than the retention window
   * (reference BACPAC export + 30-day cleanup). */

@@ -178,6 +178,25 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(mon.agg(sum("n_erreurs")).first().getLong(0) == 1)
   }
 
+  test("error ledger: resolution markers close errors, age is computed") {
+    import graft.ops.ErrorLedger
+    val dir = java.nio.file.Files.createTempDirectory("graft-err").toString
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    ErrorLedger.logError(spark, s"$dir/errors", 1L, "etl", "FK",
+      "orphan keys", t("2024-01-01 00:00:00"))
+    ErrorLedger.logError(spark, s"$dir/errors", 2L, "api", "TIMEOUT",
+      "slow fetch", t("2024-01-01 06:00:00"))
+    ErrorLedger.resolve(spark, s"$dir/resolutions", 1L,
+      t("2024-01-01 01:00:00"))
+    val open = ErrorLedger.openErrors(
+      spark.read.parquet(s"$dir/errors"),
+      spark.read.parquet(s"$dir/resolutions"),
+      t("2024-01-01 12:00:00")).cache()
+    // error 1 resolved → only error 2 remains, 6 hours old
+    assert(open.select("erreur_id").as[Long].collect().toSeq == Seq(2L))
+    assert(open.first().getAs[Int]("heures_depuis_erreur") == 6)
+  }
+
   test("backup snapshot + retention sweep") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
     java.nio.file.Files.writeString(wh.resolve("t.parquet"), "x")
