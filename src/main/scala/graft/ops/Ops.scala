@@ -117,6 +117,33 @@ object Backup {
     dest.toString
   }
 
+  /** Backup-state view (reference `analytics.v_etat_backup_azure`,
+    * `009_configure_backup.sql:37-53`, which reads a server DMV; the
+    * engine equivalent inventories the snapshot directory): one row per
+    * snapshot with stamp, file count and total bytes — driver-side
+    * metadata walk over a path set bounded by the retention window. */
+  def status(spark: SparkSession, backupRoot: String): DataFrame = {
+    import spark.implicits._
+    val root = Paths.get(backupRoot)
+    val rows =
+      if (!Files.exists(root)) Seq.empty
+      else Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot_"))
+        .map { p =>
+          val files = Files.walk(p).iterator().asScala
+            .filter(Files.isRegularFile(_)).toSeq
+          (p.getFileName.toString.stripPrefix("snapshot_"),
+            files.size.toLong, files.map(Files.size).sum)
+        }.toSeq.sortBy(_._1)
+    rows.toDF("stamp", "n_files", "total_bytes")
+  }
+
+  /** Backup history (reference `analytics.v_historique_backups`,
+    * `009:67-79`): the ETL log filtered to backup/restore stages. */
+  def history(log: DataFrame, stages: Seq[String] =
+      Seq("BACKUP", "RESTAURATION")): DataFrame =
+    log.filter(col("etape").isin(stages.map(x => x: Any): _*))
+
   /** Remove snapshots whose lexicographic stamp is older than `cutoffStamp`
     * (stamps are yyyyMMdd_HHmmss so string order = time order). */
   def sweep(backupRoot: String, cutoffStamp: String): Seq[String] = {

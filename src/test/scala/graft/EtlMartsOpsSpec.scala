@@ -206,6 +206,16 @@ class EtlMartsOpsSpec extends SparkSpec {
     val swept = Backup.sweep(root, "20240301_000000")
     assert(swept.size == 1 && swept.head.contains("20240101"))
     assert(new java.io.File(root).list().toSeq == Seq("snapshot_20240601_000000"))
+    // backup-state view: one row per surviving snapshot with size stats
+    val st = Backup.status(spark, root)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(st.map(_._1) == Seq("20240601_000000"))
+    assert(st.head._2 == 1L && st.head._3 > 0L)
+    // history view: the ETL log filtered to backup stages
+    val log = Seq(("BACKUP", "SUCCES"), ("facts", "SUCCES"),
+      ("RESTAURATION", "ERREUR")).toDF("etape", "statut")
+    assert(Backup.history(log).select("etape").as[String]
+      .collect().toSet == Set("BACKUP", "RESTAURATION"))
   }
 
   test("compaction shrinks fragmented partitions, preserves contents") {
