@@ -41,9 +41,13 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> timed(n)): _*)
     if (results.values.sum < 120.0) {
-      // fast run: full best-of-2 pass
-      spark.sharedState.cacheManager.clearCache()
-      names.foreach { n => results(n) = math.min(results(n), timed(n)) }
+      // fast run: two more full passes, min-of-3 — host stalls on this VM
+      // also smear thinly across MANY queries (~0.1 s each, under every
+      // outlier threshold); extra full passes are the only cut for that
+      for (_ <- 1 to 2) {
+        spark.sharedState.cacheManager.clearCache()
+        names.foreach { n => results(n) = math.min(results(n), timed(n)) }
+      }
     } else {
       // slow run: host stalls can inflate EVERY query (round-1 bench:
       // median itself 10x, so a 5x-median outlier cut retried almost
