@@ -59,6 +59,28 @@ object EtlLog {
   }
 }
 
+/** Active-work view — the reference's `security.v_connexions_actives`
+  * (`011_security_rls.sql:350`: who is running what right now, from the
+  * server DMVs); the engine-side source of truth is the scheduler's
+  * status tracker. One row per ACTIVE job with its stage/task progress —
+  * driver-local metadata, no Spark job launched to ask. */
+object ActiveWork {
+  def activeJobs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val st = spark.sparkContext.statusTracker
+    st.getActiveJobIds().toSeq.flatMap { jobId =>
+      st.getJobInfo(jobId).map { j =>
+        val stages = j.stageIds().toSeq.flatMap(sid => st.getStageInfo(sid))
+        (jobId, j.status().name(), stages.size,
+          stages.map(_.numTasks().toLong).sum,
+          stages.map(_.numActiveTasks().toLong).sum,
+          stages.map(_.numCompletedTasks().toLong).sum)
+      }
+    }.toDF("job_id", "status", "n_stages", "n_tasks", "n_active_tasks",
+      "n_completed_tasks")
+  }
+}
+
 /** Error ledger — the reference's `dwh.log_erreurs` lifecycle
   * (`008_configure_logging.sql:121-209`: `sp_log_erreur`,
   * `sp_resoudre_erreur`, `v_erreurs_ouvertes`) re-expressed for an

@@ -178,6 +178,29 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(mon.agg(sum("n_erreurs")).first().getLong(0) == 1)
   }
 
+  test("active-work view reflects in-flight jobs and drains when idle") {
+    import graft.ops.ActiveWork
+    // idle session → nothing active (completed jobs never linger)
+    spark.range(10).count()
+    assert(ActiveWork.activeJobs(spark).isEmpty)
+    // a job in flight IS visible (collect() on the local relation stays
+    // driver-side — polling must not itself wait on the busy scheduler)
+    @volatile var seen = false
+    val t = new Thread(() => {
+      spark.range(4).repartition(4).foreachPartition {
+        (_: Iterator[java.lang.Long]) => Thread.sleep(2000) }
+    })
+    t.start()
+    val deadline = System.nanoTime() + 15000000000L
+    while (!seen && System.nanoTime() < deadline) {
+      seen = ActiveWork.activeJobs(spark).collect().nonEmpty
+      Thread.sleep(50)
+    }
+    t.join()
+    assert(seen, "an in-flight job must appear in the active view")
+    assert(ActiveWork.activeJobs(spark).collect().isEmpty) // drained again
+  }
+
   test("error ledger: resolution markers close errors, age is computed") {
     import graft.ops.ErrorLedger
     val dir = java.nio.file.Files.createTempDirectory("graft-err").toString
