@@ -9,19 +9,23 @@ import graft.marts.Datamarts
   * views, driven through the REAL `Datamarts` builders (not re-inlined SQL)
   * over mart-shaped projections of the driver's TPC-H-ish testdata.
   *
-  * Mapping (deterministic, same on both engines):
-  *   - dim_temps    ← distinct shipping months (temps_id = yyyymm, annee)
-  *   - dim_geo      ← supplier ⋈ nation (departement = nation; suppkeys
-  *                    divisible by 10 are demoted to 'REGION' so the view's
+  * Mapping (deterministic, same on both engines) — every dimension fed to
+  * the builders is BOUNDED-CARDINALITY AT ANY SCALE FACTOR, matching the
+  * contract that licenses the builders' broadcast hints (the reference's
+  * dims are dates, communes and NAF sections — none grows with facts):
+  *   - dim_temps    ← distinct shipping months (≤ months in the date
+  *                    range; temps_id = yyyymm)
+  *   - dim_geo      ← nation (25 rows at every SF; departement = nation,
+  *                    odd-keyed nations demoted to 'REGION' so the view's
   *                    `niveau_geo = 'DEPARTEMENT'` filter actually filters)
-  *   - dim_activite ← part (secteur = first word of p_type, NAF section =
-  *                    p_brand, libelle functionally dependent on the code)
-  *   - fact measures ← integral l_quantity split by returnflag/linestatus
-  *                    so every SUM is exact (BIGINT, order-independent).
-  *
-  * The reference dims (dates, communes, NAF sections) are bounded-
-  * cardinality, which is what licenses the builders' broadcast hints; the
-  * testdata stand-ins respect the same contract at every tested SF.
+  *   - dim_activite ← distinct p_brand (25 values at every SF; secteur =
+  *                    brand prefix group, libelle functionally dependent)
+  *   - fact         ← lineitem enriched with its supplier's NATION as
+  *                    geo_id and its part's BRAND as activite_id — two
+  *                    un-hinted prep joins Catalyst/AQE size at runtime
+  *                    (broadcast at test scale, shuffle at 100×), exactly
+  *                    how a real fact build resolves dim keys; measures
+  *                    are integral l_quantity splits (exact BIGINT sums).
   */
 object MartQueries {
 
@@ -38,53 +42,56 @@ object MartQueries {
       |                CAST(year(l_shipdate) AS INT) AS annee
       |FROM lineitem""".stripMargin
 
+  /** Nation-keyed geo dim — 25 rows at every SF. */
   private def dimGeo(s: SparkSession, d: String): DataFrame =
-    t(s, d, "supplier")
-      .join(broadcast(t(s, d, "nation")),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey").as("geo_id"),
-        col("s_nationkey").cast("int").as("departement_code"),
-        col("n_name").as("departement_nom"),
-        when(col("s_suppkey") % 10 =!= 0, lit("DEPARTEMENT"))
-          .otherwise(lit("REGION")).as("niveau_geo"))
+    t(s, d, "nation").select(col("n_nationkey").as("geo_id"),
+      col("n_nationkey").cast("int").as("departement_code"),
+      col("n_name").as("departement_nom"),
+      when(col("n_nationkey") % 2 === 0, lit("DEPARTEMENT"))
+        .otherwise(lit("REGION")).as("niveau_geo"))
 
   private val dimGeoSql =
-    """SELECT s_suppkey AS geo_id, CAST(s_nationkey AS INT) AS departement_code,
+    """SELECT n_nationkey AS geo_id, CAST(n_nationkey AS INT) AS departement_code,
       |       n_name AS departement_nom,
-      |       CASE WHEN s_suppkey % 10 <> 0 THEN 'DEPARTEMENT' ELSE 'REGION' END AS niveau_geo
-      |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+      |       CASE WHEN n_nationkey % 2 = 0 THEN 'DEPARTEMENT' ELSE 'REGION' END AS niveau_geo
+      |FROM nation""".stripMargin
 
-  /** lineitem rows reshaped to the fait_logement vocabulary. */
-  private def faitLogement(li: DataFrame): DataFrame = {
-    val q = col("l_quantity").cast("long")
-    li.select(
-      (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("temps_id"),
-      col("l_suppkey").as("geo_id"),
-      q.as("nb_residences_principales"),
-      when(col("l_returnflag") === "R", q).otherwise(lit(0L))
-        .as("nb_logements_surpeuples"))
-  }
+  /** Fact rows: lineitem with its supplier's nation as geo_id (one
+    * un-hinted prep join — AQE sizes it) and month as temps_id. */
+  private def factBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("temps_id",
+        year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+      .withColumn("geo_id", col("s_nationkey").cast("bigint"))
+
+  private val factBaseSql =
+    """SELECT l.*, CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
+      |       CAST(s_nationkey AS BIGINT) AS geo_id
+      |FROM lineitem l JOIN supplier s ON l_suppkey = s_suppkey""".stripMargin
 
   val all: Seq[Q] = Seq(
 
     // vm_entreprises_departement (005:56-84): the 4-way star grouped by
     // the activity dimension's attributes — the one join shape in §2 no
-    // other query demonstrates.
+    // other query demonstrates. The activity dim is keyed by p_brand
+    // (25 values at any SF); the fact resolves its brand through an
+    // un-hinted part join during prep.
     Q("mart_entreprises",
       s"""WITH temps AS ($dimTempsSql),
         |geo AS ($dimGeoSql),
         |act AS (
-        |  SELECT p_partkey AS activite_id,
-        |         split_part(p_type, ' ', 1) AS secteur_activite,
+        |  SELECT DISTINCT p_brand AS activite_id,
+        |         'Secteur ' || substr(p_brand, 7, 1) AS secteur_activite,
         |         p_brand AS naf_section_code,
         |         'SECTION ' || p_brand AS naf_section_libelle
         |  FROM part),
         |fait AS (
-        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
-        |         l_suppkey AS geo_id, l_partkey AS activite_id,
+        |  SELECT f.temps_id, f.geo_id, p.p_brand AS activite_id,
         |         CAST(l_quantity AS BIGINT) AS q,
         |         l_returnflag, l_linestatus, l_discount
-        |  FROM lineitem)
+        |  FROM ($factBaseSql) f JOIN part p ON f.l_partkey = p.p_partkey)
         |SELECT t.annee, g.departement_code, g.departement_nom,
         |       a.secteur_activite, a.naf_section_code, a.naf_section_libelle,
         |       CAST(sum(q) AS BIGINT) AS nb_creations,
@@ -99,24 +106,26 @@ object MartQueries {
         |JOIN act a ON f.activite_id = a.activite_id
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin) { (s, d) =>
-      val li = t(s, d, "lineitem")
       val q = col("l_quantity").cast("long")
-      val fait = li.select(
-        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("temps_id"),
-        col("l_suppkey").as("geo_id"),
-        col("l_partkey").as("activite_id"),
-        q.as("nb_creations_entreprises"),
-        when(col("l_returnflag") === "R", q).otherwise(lit(0L)).as("nb_creations_micro"),
-        when(col("l_returnflag") === "A", q).otherwise(lit(0L)).as("nb_creations_ei"),
-        when(col("l_linestatus") === "O", q).otherwise(lit(0L)).as("nb_creations_hommes"),
-        when(col("l_linestatus") === "F", q).otherwise(lit(0L)).as("nb_creations_femmes"),
-        when(col("l_discount") >= 0.05, q).otherwise(lit(0L)).as("nb_creations_moins_30ans"))
-      val act = t(s, d, "part").select(
-        col("p_partkey").as("activite_id"),
-        split(col("p_type"), " ").getItem(0).as("secteur_activite"),
-        col("p_brand").as("naf_section_code"),
-        concat(lit("SECTION "), col("p_brand")).as("naf_section_libelle"))
-      Datamarts.entreprisesDepartement(fait, dimTemps(li), dimGeo(s, d), act)
+      val fait = factBase(s, d)
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("temps_id"), col("geo_id"),
+          col("p_brand").as("activite_id"),
+          q.as("nb_creations_entreprises"),
+          when(col("l_returnflag") === "R", q).otherwise(lit(0L)).as("nb_creations_micro"),
+          when(col("l_returnflag") === "A", q).otherwise(lit(0L)).as("nb_creations_ei"),
+          when(col("l_linestatus") === "O", q).otherwise(lit(0L)).as("nb_creations_hommes"),
+          when(col("l_linestatus") === "F", q).otherwise(lit(0L)).as("nb_creations_femmes"),
+          when(col("l_discount") >= 0.05, q).otherwise(lit(0L)).as("nb_creations_moins_30ans"))
+      val act = t(s, d, "part").select(col("p_brand")).distinct()
+        .select(col("p_brand").as("activite_id"),
+          concat(lit("Secteur "), substring(col("p_brand"), 7, 1))
+            .as("secteur_activite"),
+          col("p_brand").as("naf_section_code"),
+          concat(lit("SECTION "), col("p_brand")).as("naf_section_libelle"))
+      Datamarts.entreprisesDepartement(
+          fait, dimTemps(t(s, d, "lineitem")), dimGeo(s, d), act)
         .orderBy("annee", "departement_code", "departement_nom",
           "secteur_activite", "naf_section_code", "naf_section_libelle")
     },
@@ -128,11 +137,10 @@ object MartQueries {
       s"""WITH temps AS ($dimTempsSql),
         |geo AS ($dimGeoSql),
         |fait AS (
-        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS temps_id,
-        |         l_suppkey AS geo_id,
+        |  SELECT temps_id, geo_id,
         |         CAST(l_quantity AS BIGINT) AS nb_residences_principales,
         |         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS nb_logements_surpeuples
-        |  FROM lineitem)
+        |  FROM ($factBaseSql))
         |SELECT t.annee, g.departement_code, g.departement_nom,
         |       CAST(sum(nb_residences_principales) AS BIGINT) AS nb_residences_principales,
         |       CAST(sum(nb_logements_surpeuples) AS BIGINT) AS nb_logements_surpeuples,
@@ -144,8 +152,14 @@ object MartQueries {
         |JOIN geo g ON f.geo_id = g.geo_id AND g.niveau_geo = 'DEPARTEMENT'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
-      val li = t(s, d, "lineitem")
-      Datamarts.logementDepartement(faitLogement(li), dimTemps(li), dimGeo(s, d))
+      val q = col("l_quantity").cast("long")
+      val fait = factBase(s, d).select(
+        col("temps_id"), col("geo_id"),
+        q.as("nb_residences_principales"),
+        when(col("l_returnflag") === "R", q).otherwise(lit(0L))
+          .as("nb_logements_surpeuples"))
+      Datamarts.logementDepartement(
+          fait, dimTemps(t(s, d, "lineitem")), dimGeo(s, d))
         .withColumn("taux_surpeuplement", Fp.r(col("taux_surpeuplement"), 4))
         .orderBy("annee", "departement_code", "departement_nom")
     })
