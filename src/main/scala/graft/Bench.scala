@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * the JSON (its elapsed time still recorded) so a crash is never
   * mistaken for a fast success; (b) the host shows random multi-second
   * page-fault stalls that land on arbitrary queries — if the first pass
-  * is fast we re-run everything best-of-2, otherwise only the outliers
-  * (>max(2s, 5x median)) are retried min-of-3 within a fixed budget, so
-  * one stalled query cannot inflate the reported total 20x.
+  * is fast we re-run everything twice more (min-of-3; stalls also smear
+  * thinly across many queries, under any outlier threshold), otherwise
+  * the worst queries are retried min-wins within a fixed budget, so one
+  * stalled query cannot inflate the reported total 20x.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -247,8 +247,6 @@ object VectorOps {
       org.apache.spark.sql.functions.call_function(name, emb)
     } else {
       val mat = centroids.map(_.toArray).toArray
-      val name = "nearest_centroid_bc_" + java.lang.Integer.toHexString(
-        java.util.Arrays.deepHashCode(mat.asInstanceOf[Array[AnyRef]]))
       val key = (spark.sparkContext.applicationId, centroids)
       val bc = bcCache.synchronized {
         val cached = bcCache.get(key)
@@ -266,6 +264,12 @@ object VectorOps {
         }
         b
       }
+      // name by broadcast id, NOT content hash: the cache already dedups
+      // identical matrices onto one broadcast (so the name is stable for
+      // them), while distinct matrices get distinct ids — a 32-bit
+      // content-hash collision could otherwise clobber a concurrent
+      // query's registration and silently swap its centroids
+      val name = "nearest_centroid_bc_" + bc.id
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name,
         FnReg.checked(name, 1)(exprs => NearestCentroidBc(exprs.head, bc)),

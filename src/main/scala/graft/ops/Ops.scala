@@ -147,16 +147,22 @@ object Backup {
   def status(spark: SparkSession, backupRoot: String): DataFrame = {
     import spark.implicits._
     val root = Paths.get(backupRoot)
+    // Files.list/walk streams hold directory fds until closed — a
+    // monitoring view gets polled forever, so leak-free matters here
+    def listed[T](stream: java.util.stream.Stream[java.nio.file.Path])(
+        f: Iterator[java.nio.file.Path] => T): T =
+      try f(stream.iterator().asScala) finally stream.close()
     val rows =
       if (!Files.exists(root)) Seq.empty
-      else Files.list(root).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("snapshot_"))
+      else listed(Files.list(root))(_.filter(
+          _.getFileName.toString.startsWith("snapshot_")).toSeq)
         .map { p =>
-          val files = Files.walk(p).iterator().asScala
-            .filter(Files.isRegularFile(_)).toSeq
-          (p.getFileName.toString.stripPrefix("snapshot_"),
-            files.size.toLong, files.map(Files.size).sum)
-        }.toSeq.sortBy(_._1)
+          val (n, bytes) = listed(Files.walk(p))(
+            _.filter(Files.isRegularFile(_))
+              .foldLeft((0L, 0L)) { case ((c, b), f) =>
+                (c + 1, b + Files.size(f)) })
+          (p.getFileName.toString.stripPrefix("snapshot_"), n, bytes)
+        }.sortBy(_._1)
     rows.toDF("stamp", "n_files", "total_bytes")
   }
 

@@ -214,7 +214,8 @@ object ExtQueries {
     // embedding-pipeline reshape — one posexplode, output linear in
     // corpus tokens, chunk digests + token counts hash-checked.
     Q("x_chunk",
-      s"""WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |tok AS (SELECT doc_id, $TOKS AS toks FROM d),
          |c AS (SELECT doc_id, toks,
          |        greatest(1, CAST(ceil((len(toks) - 8) * 1.0 / 24) AS INT)) AS nch
          |      FROM tok),

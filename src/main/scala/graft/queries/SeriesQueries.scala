@@ -99,8 +99,10 @@ object SeriesQueries {
         |         AND p.ts <= v.first_view + INTERVAL 24 HOUR)
         |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
         |       CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
-        |       round((SELECT count(*) FROM conv) * 1.0
-        |             / (SELECT count(*) FROM v) + 1e-7, 4) AS conversion_rate""".stripMargin) {
+        |       round(CASE WHEN (SELECT count(*) FROM v) > 0
+        |             THEN (SELECT count(*) FROM conv) * 1.0
+        |                  / (SELECT count(*) FROM v) END + 1e-7, 4)
+        |         AS conversion_rate""".stripMargin) {
       (s, d) =>
         val e = t(s, d, "events")
         val v = e.filter(col("event_type") === "view")
@@ -114,7 +116,10 @@ object SeriesQueries {
             col("ts") <= col("first_view") + expr("INTERVAL 24 HOURS"))
           .select("user_id").distinct().count()
         import s.implicits._
-        Seq((nViewers, nConverted, nConverted.toDouble / nViewers))
+        // guarded like the marts' pct(): no viewers → NULL rate, not NaN
+        val rate: Option[Double] =
+          if (nViewers > 0) Some(nConverted.toDouble / nViewers) else None
+        Seq((nViewers, nConverted, rate))
           .toDF("n_viewers", "n_converted", "conversion_rate")
           .select(col("n_viewers"), col("n_converted"),
             Fp.r(col("conversion_rate"), 4).as("conversion_rate"))
