@@ -23,7 +23,12 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val jobs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional 3rd arg: comma-separated query names (local iteration aid;
+    // the driver never passes it, so the full dump is the default)
+    val only = args.lift(2).map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val jobs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -506,5 +506,46 @@ object ExtQueries {
           Fp.r(Similarity.cosineCodegen(col("embedding"), q), 4).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id")).limit(20)
     },
+
+    // Corpus heavy hitters: output rows are the EXACT top-10 token counts
+    // (SQL-expressible — that stays the oracle), while `sketch_ok`
+    // certifies the bounded-memory Misra–Gries path: 1 iff every exact
+    // top-10 token survives the k=64 sketch with
+    // true − n/(k+1) <= est <= true. Those bounds are order-independent
+    // guarantees of the sketch, so the flag is deterministic even though
+    // the estimates themselves vary with merge order. At 100 TB the exact
+    // path shuffles one row per distinct token (unbounded); the sketch
+    // holds <= k counters per partial aggregate — that is the scale path
+    // this query certifies against the exact answer.
+    Q("x_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest($LTOKS) AS token FROM documents),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tok GROUP BY 1)
+         |SELECT token, cnt, 1 AS sketch_ok
+         |FROM cnt ORDER BY cnt DESC, token LIMIT 10""".stripMargin) { (s, d) =>
+      graft.functions.FreqItems.register(s)
+      val k = 64
+      val toks = docsSpread(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .persist() // serves the sketch pass and the exact pass once each
+      val agg = toks.agg(
+        graft.functions.FreqItems.freqItems(col("token"), k).as("sk"),
+        count(lit(1)).as("n")).first()
+      val sketch = agg.getMap[String, Long](0)
+      val slack = agg.getLong(1) / (k + 1)
+      val exactRows = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(10).collect()
+      toks.unpersist()
+      val ok = if (exactRows.forall { r =>
+          sketch.get(r.getString(0))
+            .exists(e => e <= r.getLong(1) && r.getLong(1) - e <= slack)
+        }) 1 else 0
+      // local relation: the exact rows were collected ONCE above —
+      // returning the lazy DF would re-run both scans on execute
+      import s.implicits._
+      exactRows.map(r => (r.getString(0), r.getLong(1), ok)).toSeq
+        .toDF("token", "cnt", "sketch_ok")
+        .orderBy(col("cnt").desc, col("token"))
+    },
   )
 }
