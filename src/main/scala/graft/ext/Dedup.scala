@@ -37,6 +37,52 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Duplicate-span removal (the C4 / RefinedWeb "line dedup" shape):
+    * split each document's token stream into consecutive `span`-token
+    * chunks, keep only the globally FIRST occurrence of each distinct
+    * chunk (lowest (id, position) wins — deterministic), and reassemble
+    * the surviving chunks in document order.
+    *
+    * Scale shape: chunking is a pure projection (HOF slice over the token
+    * array — no explode before the chunk strings exist, so the exploded
+    * row count is corpus_tokens/span, not corpus_tokens). The only wide
+    * ops are ONE window keyed by the chunk text (uniformly distributed —
+    * it's content, not a skewed key) and ONE groupBy on the doc id to
+    * reassemble. Both shuffles move chunk strings once; at 100 TB swap
+    * the chunk text for its md5 in the window key to shuffle 16-byte
+    * digests instead of raw spans.
+    *
+    * Output: (id, n_chunks, n_kept, text_dedup) — docs with no tokens
+    * vanish (no chunks), and a fully-duplicated doc keeps an empty
+    * text_dedup.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      span: Int): DataFrame = {
+    require(span > 0, "span must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = ceil(size(toks) / lit(span.toDouble)).cast("int")
+    // guard the empty-token case: sequence(0, -1) would DESCEND ([0,-1])
+    val chunkArr = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * span + 1, lit(span)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val chunks = df.select(col(idCol),
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy(idCol, "chunk_idx")
+    chunks
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(idCol).agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("chunk_idx"), col("chunk"))))),
+            s => s("chunk")),
+          " ").as("text_dedup"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** n-word shingles over the lowercase token stream. Unigram minhash

@@ -507,6 +507,80 @@ object ExtQueries {
           .orderBy(col("cosine").desc, col("vec_id")).limit(20)
     },
 
+    // Duplicate-span removal (C4/RefinedWeb line-dedup shape) — the
+    // corpus has no newlines, so "lines" are consecutive 2-token chunks
+    // (span=2 repeats often in the synthetic word-soup; real pipelines
+    // use ~50-token lines and the identical plan). Keep the globally
+    // first occurrence of each chunk, reassemble docs in order.
+    Q("x_span_dedup",
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |ch0 AS (SELECT doc_id,
+         |  list_transform(range(CAST(ceil(len(toks)/2.0) AS BIGINT)),
+         |                 i -> array_to_string(toks[i*2+1:i*2+2], ' ')) AS chunks
+         |  FROM tok),
+         |ch AS (SELECT doc_id, unnest(chunks) AS chunk,
+         |              generate_subscripts(chunks, 1) AS chunk_idx FROM ch0),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY chunk
+         |        ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+         |SELECT doc_id,
+         |  CAST(count(*) AS INT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+         |                      ORDER BY chunk_idx), '') AS text_dedup
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.spanDedup(docsSpread(s, d), "text", "doc_id", span = 2)
+        .orderBy("doc_id")
+    },
+
+    // int8 scalar quantization of the embedding column: code_sum is an
+    // exact integer checksum of the per-dim codes (bit-for-bit encode
+    // parity with the oracle), mse the reconstruction error. Pure
+    // projection — the 100 TB shape is a scan that rewrites float32
+    // vectors as 4x-smaller int8, no shuffle anywhere.
+    Q("x_emb_sq8",
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, v,
+        |  list_transform(v, x -> CAST(floor(
+        |    least(greatest(x, -1.0), 1.0) / 1.0 * 127 + 0.5) AS BIGINT)) AS codes
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  round(list_sum(list_transform(range(len(v)),
+        |          i -> pow(v[i+1] - codes[i+1] / 127.0 * 1.0, 2)))
+        |        / len(v) + 1e-7, 8) AS mse
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+      embs(s, d).select(col("vec_id"),
+        aggregate(Similarity.sq8Codes(col("embedding")), lit(0L),
+          (a, c) => a + c).as("code_sum"),
+        Fp.r(Similarity.sq8Mse(col("embedding")), 8).as("mse"))
+        .orderBy("vec_id")
+    },
+
+    // Corpus n-gram statistics: top-20 bigrams by occurrence count with
+    // document frequency. The shuffle is keyed by the DISTINCT bigram
+    // (content hash distribution — no skew key), partial map-side agg
+    // absorbs heavy grams, and the global top-k is a TakeOrdered over
+    // per-partition heads, never a full sort. The same plan serves
+    // "top domains / top templates over 100 TB".
+    Q("x_ngram_topk",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |g AS (SELECT doc_id, unnest($SHINGLES2) AS gram
+         |      FROM tok WHERE len(ltoks) >= 2)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM g GROUP BY gram
+         |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+    },
+
     // Corpus heavy hitters: output rows are the EXACT top-10 token counts
     // (SQL-expressible — that stays the oracle), while `sketch_ok`
     // certifies the bounded-memory Misra–Gries path: 1 iff every exact

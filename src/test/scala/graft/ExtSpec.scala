@@ -32,6 +32,39 @@ class ExtSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("spanDedup keeps first occurrence per chunk and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d a b"),  // chunks: "a b", "c d", "a b" (self-dup)
+      (2L, "c d e"),        // "c d" dup of doc1; trailing short chunk "e"
+      (3L, "a b"),          // fully duplicated -> empty text
+      (4L, ""))             // no tokens -> no output row
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "text", "doc_id", span = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out === Array(
+      (1L, 3, 2, "a b c d"),
+      (2L, 2, 1, "e"),
+      (3L, 1, 0, "")))
+  }
+
+  test("sq8: codes bounded, clip saturates, reconstruction error tiny") {
+    val df = Seq((1L, Seq(0.5f, -0.5f, 0.0f, 2.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val r = df.select(
+      Similarity.sq8Codes(col("embedding")).as("codes"),
+      Similarity.sq8Mse(col("embedding")).as("mse")).first()
+    val codes = r.getSeq[Long](0)
+    assert(codes == Seq(64L, -63L, 0L, 127L, -127L)) // floor(x*127+0.5)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    // in-range dims reconstruct to <= half a quantization step each;
+    // the clipped dims dominate the mse
+    assert(r.getDouble(1) > 0.0)
+    val inRange = df.select(Similarity.sq8Mse(array(lit(0.25f), lit(-0.7f))))
+      .first().getDouble(0)
+    assert(inRange < math.pow(1.0 / 127 / 2, 2) + 1e-12)
+  }
+
   test("token entropy: zero for repetition, ln(n) for all-distinct tokens") {
     val out = TextAnalysis.withTokenEntropy(Seq(
       (1L, "spam spam spam spam"),
