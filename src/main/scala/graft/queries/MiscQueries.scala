@@ -196,6 +196,29 @@ object MiscQueries {
         .orderBy("user_id")
     },
 
+    // Stream-static enrichment, batch parity: events enriched with the
+    // customer dimension via Streams.enrich (broadcast hash join — the
+    // static side is re-planned per micro-batch, so at scale a dimension
+    // refresh lands without a query restart; StreamsSpec drives the same
+    // call under readStream). No stream state at all: the only wide op is
+    // the downstream per-segment aggregate.
+    Q("st_static_join",
+      """SELECT c.c_mktsegment AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      graft.streaming.Streams.enrich(t(s, d, "events"), dim, "user_id")
+        .groupBy("segment").agg(
+          count(lit(1)).as("n_events"),
+          Fp.moneySum(col("value")).as("total_value"))
+        .orderBy("segment")
+    },
+
     // ---- multimodal: opaque binary + native metadata ---------------------
     Q("x_mm_binary_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
