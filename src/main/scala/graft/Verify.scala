@@ -28,6 +28,15 @@ object Verify {
     val only = args.lift(2).map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // a typo'd filter would otherwise dump nothing and check.py would
+    // print "0/0 pass" — make the mismatch loud instead of silent
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      if (selected.isEmpty)
+        System.err.println("[verify] filter matched NO queries — nothing will be dumped")
+    }
     val jobs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
