@@ -19,6 +19,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft-engine")
+      // engine extensions: RLS injection (inert until configured), custom
+      // functions, bounded-heap top-k-per-key strategy
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

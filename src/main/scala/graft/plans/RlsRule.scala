@@ -87,6 +87,9 @@ object RlsInjectionRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(session => RlsInjectionRule(session))
+    // bounded-heap top-k-per-key replacing sort-based row_number windows
+    // (no-op unless the plan matches; see TopKPerKey.scala)
+    e.injectPlannerStrategy(session => TopKPerKeyStrategy(session))
     // every builder validates arity up front: wrong arg count from SQL
     // raises a proper AnalysisException (WRONG_NUM_ARGS) naming the
     // function and the expected count, not an IndexOutOfBoundsException

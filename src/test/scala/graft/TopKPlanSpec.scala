@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bounded-heap top-k-per-key strategy: plan rewrite fires on the
+  * row_number pattern, results are identical to Spark's sort-based window
+  * path, and non-matching shapes are left alone. */
+class TopKPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    ("a", 5, 1.0), ("a", 3, 2.0), ("a", 9, 3.0), ("a", 1, 4.0),
+    ("b", 7, 5.0), ("b", 2, 6.0),
+    ("c", 4, 7.0))
+    .toDF("k", "v", "payload")
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def withRewrite[T](on: Boolean)(body: => T): T = {
+    spark.conf.set("spark.graft.topkRewrite.enabled", on.toString)
+    try body finally
+      spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+  }
+
+  private def topk(df: DataFrame, k: Int, desc: Boolean = false) = {
+    val w = Window.partitionBy("k")
+      .orderBy(if (desc) col("v").desc else col("v").asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  test("rewrite fires and matches the window path, asc and desc") {
+    for (desc <- Seq(false, true)) {
+      val fast = topk(events, 2, desc)
+      val got = fast.orderBy("k", "rn").as[(String, Int, Double, Int)].collect()
+      assert(planOf(fast).contains("TopKPerKey"), "strategy did not fire")
+      val expected = withRewrite(false) {
+        val slow = topk(events, 2, desc)
+        val rows = slow.orderBy("k", "rn").as[(String, Int, Double, Int)].collect()
+        assert(!planOf(slow).contains("TopKPerKey"), "flag did not disable")
+        rows
+      }
+      assert(got === expected)
+    }
+  }
+
+  test("rn = 1 form (latest-per-key) rewrites and ranks correctly") {
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    val df = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val got = df.select("k", "v").orderBy("k").as[(String, Int)].collect()
+    assert(planOf(df).contains("TopKPerKey"))
+    assert(got === Array(("a", 9), ("b", 7), ("c", 4)))
+  }
+
+  test("k larger than every group emits all rows with dense ranks") {
+    val df = topk(events, 10)
+    val got = df.orderBy("k", "rn")
+      .select("k", "rn").as[(String, Int)].collect()
+    assert(planOf(df).contains("TopKPerKey"))
+    assert(got === Array(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 1), ("b", 2), ("c", 1)))
+  }
+
+  test("mixed predicates and rank functions keep Spark's plan") {
+    val w = Window.partitionBy("k").orderBy("v")
+    val mixed = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("payload") > 1.0)
+    assert(!planOf(mixed).contains("TopKPerKey"))
+    val ranked = events.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 2)
+    assert(!planOf(ranked).contains("TopKPerKey"))
+    // both still return correct results through Spark's own operators
+    assert(mixed.count() === 5 && ranked.count() === 5)
+  }
+
+  test("survives a pre-partitioned child without an extra exchange") {
+    val pre = events.repartition(col("k"))
+    val df = topk(pre, 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    // the final top-k must reuse the repartition exchange, not add its own:
+    // exactly ONE shuffle in the final plan (the AQE string repeats the
+    // initial plan below — count only the final section)
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size <= 1,
+      plan)
+  }
+
+  test("multi-column keys and order tiebreakers match the window path") {
+    val df = Seq(("x", 1, 10, "p"), ("x", 1, 10, "q"), ("x", 2, 5, "r"),
+      ("y", 1, 10, "s"))
+      .toDF("k1", "k2", "v", "tag")
+    val w = Window.partitionBy("k1", "k2").orderBy(col("v").desc, col("tag"))
+    def run = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select("k1", "k2", "tag").orderBy("k1", "k2")
+      .as[(String, Int, String)].collect()
+    val fast = run
+    val slow = withRewrite(false)(run)
+    assert(fast === slow)
+    assert(fast === Array(("x", 1, "p"), ("x", 2, "r"), ("y", 1, "s")))
+  }
+}
