@@ -256,6 +256,30 @@ object Curation {
     * chars of md5(salt:id) sort below the stratum's threshold ("00".."ff"
     * ≈ rate·256). Thresholds map strata values to 2-hex-char strings;
     * `default` applies to unlisted strata ("00" keeps nothing). */
+  /** Deterministic weighted sampling priority (Efraimidis–Spirtsos A-ES):
+    * rows ranked by `u^(1/w)` descending are a weighted-without-replacement
+    * sample, where `u ∈ (0,1]` derives from a salted md5 of the id —
+    * reproducible across runs AND engines (the hex prefix parses to the
+    * same integer everywhere). Selecting the global top-k is one
+    * TakeOrdered; per-stratum top-k is one window — either way the corpus
+    * is scanned once and never shuffled in full. This is the
+    * mixture-sampling primitive: weight = token count (or domain quota)
+    * and the sample follows the weights exactly in expectation. */
+  def weightedSampleKey(idCol: Column, weight: Column,
+      salt: String = ""): Column = {
+    // u from the first 8 md5 hex chars: (v+1)/(2^32+1) ∈ (0,1], never 0
+    val v = conv(substring(
+      md5(concat(lit(salt), idCol.cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("double")
+    pow((v + 1.0) / 4294967297.0, lit(1.0) / weight.cast("double"))
+  }
+
+  /** Global weighted top-k sample using [[weightedSampleKey]]. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = ""): DataFrame =
+    df.withColumn("__wkey", weightedSampleKey(col(idCol), weight, salt))
+      .orderBy(col("__wkey").desc, col(idCol)).limit(k)
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       thresholds: Map[String, String], default: String = "00",
       salt: String = ""): DataFrame = {

@@ -581,6 +581,28 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("gram")).limit(20)
     },
 
+    // Deterministic weighted sampling (Efraimidis–Spirtsos A-ES):
+    // priority u^(1/w) with u a salted md5-derived uniform — longer docs
+    // (weight = n_chars) are proportionally likelier. One scan + one
+    // TakeOrdered; reproducible across runs and engines, so the mixture
+    // a 100 TB pipeline draws is auditable row-for-row. Both engines
+    // order by the ROUNDED key + id so the cut line is identical.
+    Q("x_weighted_sample",
+      """WITH w AS (SELECT doc_id, n_chars,
+        |  round(pow(
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS UBIGINT) + 1.0) / 4294967297.0,
+        |    1.0 / n_chars) + 1e-7, 8) AS wkey
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, wkey
+        |FROM w ORDER BY wkey DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("weight"),
+        Fp.r(Curation.weightedSampleKey(col("doc_id"), col("n_chars")), 8)
+          .as("wkey"))
+        .orderBy(col("wkey").desc, col("doc_id")).limit(20)
+    },
+
     // Corpus heavy hitters: output rows are the EXACT top-10 token counts
     // (SQL-expressible — that stays the oracle), while `sketch_ok`
     // certifies the bounded-memory Misra–Gries path: 1 iff every exact

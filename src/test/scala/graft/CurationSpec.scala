@@ -204,6 +204,28 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("weightedSample: reproducible, and weights steer inclusion odds") {
+    // 200 ids, half weight 1, half weight 50: the heavy stratum should
+    // dominate a top-40 draw (expectation ~2% light); determinism is
+    // exact — same salt, same sample
+    val df = (0L until 200L).map(i => (i, if (i < 100) 1 else 50))
+      .toDF("id", "w")
+    def draw() = Curation.weightedSample(df, "id", $"w", k = 40)
+      .select("id").as[Long].collect().toSeq
+    val a = draw(); val b = draw()
+    assert(a == b, "same salt must reproduce the same sample")
+    val heavy = a.count(_ >= 100L)
+    assert(heavy >= 35, s"heavy stratum underdrawn: $heavy/40")
+    // a different salt draws a different (still deterministic) sample
+    val c = Curation.weightedSample(df, "id", $"w", k = 40, salt = "s2")
+      .select("id").as[Long].collect().toSeq
+    assert(c != a)
+    // keys live in (0, 1]
+    val keys = df.select(Curation.weightedSampleKey($"id", $"w"))
+      .as[Double].collect()
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+  }
+
   test("redactPii: emails, IPs and phones replaced in fixed order") {
     val df = Seq(
       (1L, "mail alice.smith+x@corp.example.com or 10.1.2.3 or +1-202-555-0134 ok"),
