@@ -274,6 +274,39 @@ object Curation {
     pow((v + 1.0) / 4294967297.0, lit(1.0) / weight.cast("double"))
   }
 
+  /** Rebalance a corpus to a target source mixture by deterministic
+    * downsampling (the "apply the mixture weights" step of
+    * DoReMi-style pipelines). Per source s with target share p_s:
+    * the largest feasible output M = min_s(count_s / p_s), and s keeps
+    * rows with md5-uniform(id) < p_s·M/count_s — so the kept set has
+    * composition ∝ targets in expectation, downsampling only (the
+    * binding source keeps everything). Sources absent from `targets`
+    * are dropped.
+    *
+    * Scale shape: ONE bounded aggregate (one row per source) is
+    * collected to compute rates — #sources is catalog-sized, never
+    * corpus-sized — and the corpus itself is filtered in a single scan
+    * with a literal CASE over sources; no corpus shuffle, no join. The
+    * md5-derived uniform is v/2^32 (exact power-of-two division) so the
+    * keep decision is bit-reproducible across engines and runs. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      targets: Map[String, Double], salt: String = ""): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive shares")
+    val counts = df.groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val present = targets.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no target source present in the data")
+    val cap = present.map { case (s, p) => counts(s) / p }.min
+    val rate = present.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p * cap / counts(s))).otherwise(acc)
+    }
+    val u = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    df.filter(u < rate)
+  }
+
   /** Global weighted top-k sample using [[weightedSampleKey]]. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
       salt: String = ""): DataFrame =

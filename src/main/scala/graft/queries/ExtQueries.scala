@@ -581,6 +581,29 @@ object ExtQueries {
         .orderBy(col("cnt").desc, col("gram")).limit(20)
     },
 
+    // Mixture rebalancing: downsample each source to hit a target
+    // composition (40/30/20/10 over src0..src3, everything else dropped).
+    // Rates come from ONE bounded per-source aggregate; the corpus is
+    // then filtered in a single scan against an exact md5-uniform —
+    // bit-reproducible, so both engines keep the identical row set.
+    Q("x_mixture_sample",
+      """WITH t(source, share) AS (VALUES
+        |  ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+        |c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |      FROM documents GROUP BY 1),
+        |m AS (SELECT min(c.n / t.share) AS cap FROM c JOIN t USING (source)),
+        |r AS (SELECT c.source, t.share * m.cap / c.n AS rate
+        |      FROM c JOIN t USING (source), m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |           AS UBIGINT) / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Curation.mixtureSample(docs(s, d), "doc_id", "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // Deterministic weighted sampling (Efraimidis–Spirtsos A-ES):
     // priority u^(1/w) with u a salted md5-derived uniform — longer docs
     // (weight = n_chars) are proportionally likelier. One scan + one

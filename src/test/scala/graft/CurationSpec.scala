@@ -226,6 +226,26 @@ class CurationSpec extends SparkSpec {
     assert(keys.forall(k => k > 0.0 && k <= 1.0))
   }
 
+  test("mixtureSample rebalances toward targets, binding source kept whole") {
+    // 300 a / 100 b / 600 c; target 50/50 a/b -> cap = min(300/.5, 100/.5)
+    // = 200: b keeps ALL 100 (binding), a keeps ~100 of 300, c dropped
+    val df = ((0L until 300L).map(i => (i, "a")) ++
+      (300L until 400L).map(i => (i, "b")) ++
+      (400L until 1000L).map(i => (i, "c"))).toDF("id", "src")
+    val kept = Curation.mixtureSample(df, "id", "src",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("b") == 100L, "binding source must keep every row")
+    assert(!kept.contains("c"), "untargeted source must be dropped")
+    assert(math.abs(kept("a") - 100L) < 30, s"a kept ${kept("a")}, want ~100")
+    // deterministic: a second run keeps the identical rows
+    val ids1 = Curation.mixtureSample(df, "id", "src", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    val ids2 = Curation.mixtureSample(df, "id", "src", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("redactPii: emails, IPs and phones replaced in fixed order") {
     val df = Seq(
       (1L, "mail alice.smith+x@corp.example.com or 10.1.2.3 or +1-202-555-0134 ok"),
