@@ -417,6 +417,48 @@ object Relational {
           .orderBy("l_returnflag")
     },
 
+    // Quantile SKETCH certified against the exact path: output rows are
+    // the exact per-group medians (the oracle), `sketch_rank_ok` is 1 iff
+    // approx_percentile(0.5, acc=1000)'s answer sits within its GUARANTEED
+    // rank window [0.5·n ± n/1000] — tie-safe (checked against the value's
+    // full [count(<v), count(<=v)] span) and order-independent, so the
+    // flag is deterministic. At 100 TB the sketch is the percentile path
+    // (bounded memory per partial, mergeable); this query pins how far it
+    // can drift from exact.
+    Q("a_approx_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5) + 1e-7, 4) AS median_exact,
+        |       1 AS sketch_rank_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val li = t(s, d, "lineitem").select("l_returnflag", "l_quantity")
+          .persist()
+        val appr = li.groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("apx"),
+            count(lit(1)).as("n"))
+        val bounds = li.join(broadcast(appr), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L)).as("lo"),
+            sum(when(col("l_quantity") <= col("apx"), 1L).otherwise(0L)).as("hi"),
+            first("n").as("n"))
+          .collect()
+        val ok = if (bounds.forall { r =>
+            val (lo, hi, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+            val slack = n / 1000.0
+            lo - slack <= 0.5 * n && 0.5 * n <= hi + slack
+          }) 1 else 0
+        val exact = li.groupBy("l_returnflag")
+          .agg(Fp.r(expr("percentile(l_quantity, 0.5)"), 4).as("median_exact"))
+          .collect()
+        li.unpersist()
+        // local relation: exact rows collected once (see x_sim_ivf_ann)
+        import s.implicits._
+        exact.map(r => (r.getString(0), r.getDouble(1), ok)).toSeq
+          .toDF("l_returnflag", "median_exact", "sketch_rank_ok")
+          .orderBy("l_returnflag")
+    },
+
     // ----- W/O: windows, sorts, top-k [§2.5-§2.6] -----
     // W1 latest-version-per-key (reference load_dimensions.py:183-187).
     Q("w_latest_per_key",
