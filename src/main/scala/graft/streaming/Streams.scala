@@ -108,6 +108,66 @@ object Streams {
         expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
           s"r.ts <= l.ts + interval $withinSec seconds"))
 
+  /** Upsert one batch of changes into a parquet key-value table:
+    * latest-change-wins within the batch (one row_number window — which
+    * the TopKPerKey strategy executes as a bounded heap), anti-join out
+    * the replaced keys, union the survivors in. The rewrite lands via a
+    * hidden staging dir with the compaction swap contract (adopt fresh
+    * files FIRST, then drop old ones — a crash duplicates rows, never
+    * loses them; the dot-prefixed staging dir is invisible to readers).
+    *
+    * At warehouse scale the target would be partitioned and only touched
+    * partitions rewritten (`Etl.writePartitioned` + a key→partition
+    * pruning filter before the anti-join); the single-leaf swap here is
+    * the same contract at demo size. */
+  def upsertBatch(batch: DataFrame, targetDir: String, keys: Seq[String],
+      orderCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    // latest by orderCol; like any CDC feed, (key, orderCol) is assumed
+    // unique — equal versions of the same key have no defined winner
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (latest.isEmpty) return
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
+    val merged = spark.read.parquet(targetDir)
+      .join(latest, keys, "left_anti").unionByName(latest)
+    val staging = new org.apache.hadoop.fs.Path(target.getParent,
+      "." + target.getName + "__upserting")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.parquet(staging.toString)
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")
+      }
+    val old = dataFiles(target)
+    dataFiles(staging).foreach(f => fs.rename(f.getPath,
+      new org.apache.hadoop.fs.Path(target, f.getPath.getName)))
+    old.foreach(p => fs.delete(p.getPath, false))
+    fs.delete(staging, true)
+  }
+
+  /** Streaming upsert sink (the foreachBatch production pattern): every
+    * micro-batch latest-wins-merges into the parquet table at
+    * `targetDir`. Exactly-once lands via the checkpoint + idempotent
+    * merge (re-running a batch re-applies the same keys to the same
+    * values). */
+  def upsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
+      keys: Seq[String], orderCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(b.toDF(), targetDir, keys, orderCol))
+      .start()
+
   /** LEFT-OUTER watermarked interval join — the common enrichment shape
     * (every click, with its conversion if one arrived within the bound):
     * matched pairs emit like [[intervalJoin]]; a left event with no match

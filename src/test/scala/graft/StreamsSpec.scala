@@ -83,6 +83,38 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("upsert sink: micro-batches merge latest-wins into the parquet table") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val src = base.resolve("src").toString
+    val target = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    // batch 1: two keys
+    Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = Streams.upsertSink(
+        spark.readStream.schema(schema).parquet(src),
+        target, ckpt, Seq("k"), "seq")
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(target).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 10L)))
+    // batch 2: update k=1 (two versions in ONE batch — latest wins),
+    // insert k=3; k=2 untouched
+    Seq((1L, "a2", 11L), (1L, "a3", 12L), (3L, "c", 11L))
+      .toDF("k", "v", "seq").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(target).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a3", 12L), (2L, "b", 10L), (3L, "c", 11L)))
+    // restarting with the same checkpoint re-processes nothing
+    runOnce()
+    assert(spark.read.parquet(target).count() == 3)
+  }
+
   test("stream-static enrichment matches the batch broadcast join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     graft.core.Tables.load(spark, sf001, "events")
