@@ -102,6 +102,12 @@ case class TopKPerKeyExec(
     rnAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "groups"))
+
   override def output: Seq[Attribute] = child.output ++ rnAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -118,6 +124,8 @@ case class TopKPerKeyExec(
     val limit = k
     val emitRank = rnAttr.isDefined
     val outAttrs = output
+    val rowsMetric = longMetric("numOutputRows")
+    val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // rows may arrive as any InternalRow; buffered + emitted rows must be
@@ -148,11 +156,13 @@ case class TopKPerKeyExec(
       val rnRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
+      groupsMetric += heaps.size()
       heaps.values().iterator().asScala.flatMap { heap =>
         val rows = new Array[UnsafeRow](heap.size)
         var i = rows.length - 1
         // draining the max-heap yields worst-first: fill back-to-front
         while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+        rowsMetric += rows.length
         if (!emitRank) rows.iterator
         else rows.iterator.zipWithIndex.map { case (r, idx) =>
           rnRow.setInt(0, idx + 1)
