@@ -118,6 +118,50 @@ object Relational {
         .orderBy("r_name", "o_year")
     },
 
+    // Six-table snowflake (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈
+    // supplier with the co-nation constraint, nation/region as broadcast
+    // dims (fixed-cardinality at ANY scale factor), a selective
+    // date-range + region filter that Catalyst pushes to the scans. The
+    // optimizer stress-case: two fact-fact shuffle joins whose order AQE
+    // re-plans from runtime sizes, then one partial-aggregated groupBy.
+    Q("j_snowflake_revenue",
+      """SELECT n_name AS nation,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          Fp.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("nation"))
+    },
+
     // J2 left outer join (reference fait_population ⟕ fait_evenements).
     // Summed doubles go through the moneySum decimal convention (order-
     // independent, exact) so the DuckDB hash compare can't half-boundary
