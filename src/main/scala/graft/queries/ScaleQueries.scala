@@ -212,5 +212,48 @@ object ScaleQueries {
             .as("hll_within_2pct"))
       yearly.unionByName(overall).orderBy("period")
     },
+
+    // Rolling 7-day distinct users: the sliding-window COUNT(DISTINCT)
+    // that is unaffordable exactly at 100 TB (each day would rescan a
+    // week of raw events) but cheap with per-day HLL sketches — ONE scan
+    // builds a bounded sketch per day, a banded join against the day grid
+    // replicates 7 sketch rows per day (sketches, not events), and the
+    // union-merge estimates each window. Output rows are the EXACT
+    // per-window counts (the oracle); `hll_within_5pct` certifies every
+    // window's sketch estimate at once.
+    Q("w_rolling_distinct",
+      """WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events),
+        |g AS (SELECT DISTINCT day FROM e),
+        |r AS (SELECT g.day, count(DISTINCT e.user_id) AS n
+        |      FROM g JOIN e ON e.day BETWEEN g.day - 6 AND g.day
+        |      GROUP BY 1)
+        |SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_users_7d,
+        |       1 AS hll_within_5pct
+        |FROM r ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk")).persist()
+      val grid = daily.select(col("day").as("g"))
+      val est = daily.join(broadcast(grid),
+          col("day").between(date_add(col("g"), -6), col("g")))
+        .groupBy("g")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val exact = ev.join(broadcast(grid),
+          col("day").between(date_add(col("g"), -6), col("g")))
+        .groupBy("g").agg(countDistinct(col("user_id")).as("n"))
+        .collect()
+      daily.unpersist()
+      val ok = if (exact.forall { r =>
+          est.get(r.getDate(0).toString).exists(e =>
+            math.abs(e - r.getLong(1)) <= math.max(3.0, 0.05 * r.getLong(1)))
+        }) 1 else 0
+      import s.implicits._
+      exact.map(r => (r.getDate(0).toString, r.getLong(1), ok)).toSeq
+        .toDF("day", "n_users_7d", "hll_within_5pct")
+        .orderBy("day")
+    },
   )
 }
