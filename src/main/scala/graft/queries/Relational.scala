@@ -162,6 +162,60 @@ object Relational {
         .orderBy(col("revenue").desc, col("nation"))
     },
 
+    // Declarative quality gate: SIX expectations over orders evaluated in
+    // ONE aggregate pass (each rule is an aggregate expression — 100 TB
+    // pays one read for the whole gate) plus the FK orphan anti-join.
+    // The report itself is the output — (check, metric, passed) rows.
+    Q("p_quality_report",
+      """WITH agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / nullif(count(*), 0) AS null_frac,
+        |    count(*) - count(DISTINCT o_orderkey) AS dups,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('O','F','P')
+        |             THEN 1 ELSE 0 END) AS bad_status,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |             AND (o_totalprice < 0 OR o_totalprice > 1e9)
+        |             THEN 1 ELSE 0 END) AS bad_price
+        |  FROM orders),
+        |fk AS (SELECT count(*) AS orphans FROM orders o
+        |       WHERE o_custkey IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey))
+        |SELECT "check", metric, passed FROM (
+        |  SELECT 'accepted:o_orderstatus' AS "check",
+        |         CAST(bad_status AS DOUBLE) AS metric,
+        |         CASE WHEN bad_status = 0 THEN 1 ELSE 0 END AS passed FROM agg
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey', CAST(orphans AS DOUBLE),
+        |         CASE WHEN orphans = 0 THEN 1 ELSE 0 END FROM fk
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice', CAST(bad_price AS DOUBLE),
+        |         CASE WHEN bad_price = 0 THEN 1 ELSE 0 END FROM agg
+        |  UNION ALL
+        |  SELECT 'not_null:o_custkey', round(null_frac + 1e-7, 6),
+        |         CASE WHEN null_frac <= 0.0 THEN 1 ELSE 0 END FROM agg
+        |  UNION ALL
+        |  SELECT 'row_count', CAST(n AS DOUBLE),
+        |         CASE WHEN n >= 1 THEN 1 ELSE 0 END FROM agg
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey', CAST(dups AS DOUBLE),
+        |         CASE WHEN dups = 0 THEN 1 ELSE 0 END FROM agg
+        |) ORDER BY "check"""".stripMargin) { (s, d) =>
+      import graft.ops.Quality
+      val orders = t(s, d, "orders")
+      Quality.report(orders, Seq(
+          Quality.rowCount(min = 1),
+          Quality.notNull("o_custkey"),
+          Quality.unique(Seq("o_orderkey")),
+          Quality.accepted("o_orderstatus", Seq("O", "F", "P")),
+          Quality.inRange("o_totalprice", 0, 1e9)))
+        .unionByName(Quality.fkIntegrity(orders, Seq("o_custkey"),
+          t(s, d, "customer"), Seq("c_custkey")))
+        .orderBy("check")
+    },
+
     // J2 left outer join (reference fait_population ⟕ fait_evenements).
     // Summed doubles go through the moneySum decimal convention (order-
     // independent, exact) so the DuckDB hash compare can't half-boundary
