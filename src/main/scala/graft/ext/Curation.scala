@@ -265,14 +265,20 @@ object Curation {
     * is scanned once and never shuffled in full. This is the
     * mixture-sampling primitive: weight = token count (or domain quota)
     * and the sample follows the weights exactly in expectation. */
-  def weightedSampleKey(idCol: Column, weight: Column,
-      salt: String = ""): Column = {
-    // u from the first 8 md5 hex chars: (v+1)/(2^32+1) ∈ (0,1], never 0
-    val v = conv(substring(
+  /** First 8 hex chars of md5(salt ++ id) as an integer in [0, 2^32) —
+    * the ONE hash-uniform primitive behind weighted sampling and mixture
+    * rebalancing (keep the derivation in one place: the DuckDB oracles
+    * mirror it character-for-character). */
+  private def md5Prefix32(idCol: Column, salt: String): Column =
+    conv(substring(
       md5(concat(lit(salt), idCol.cast("string")).cast("binary")), 1, 8),
       16, 10).cast("double")
-    pow((v + 1.0) / 4294967297.0, lit(1.0) / weight.cast("double"))
-  }
+
+  def weightedSampleKey(idCol: Column, weight: Column,
+      salt: String = ""): Column =
+    // u = (v+1)/(2^32+1) ∈ (0,1], never 0 (0^(1/w) would break ordering)
+    pow((md5Prefix32(idCol, salt) + 1.0) / 4294967297.0,
+      lit(1.0) / weight.cast("double"))
 
   /** Rebalance a corpus to a target source mixture by deterministic
     * downsampling (the "apply the mixture weights" step of
@@ -301,17 +307,20 @@ object Curation {
     val rate = present.foldLeft(lit(0.0)) { case (acc, (s, p)) =>
       when(col(sourceCol) === s, lit(p * cap / counts(s))).otherwise(acc)
     }
-    val u = conv(substring(
-      md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 8),
-      16, 10).cast("double") / 4294967296.0
-    df.filter(u < rate)
+    // u = v/2^32 ∈ [0,1): exact power-of-two division
+    df.filter(md5Prefix32(col(idCol), salt) / 4294967296.0 < rate)
   }
 
-  /** Global weighted top-k sample using [[weightedSampleKey]]. */
+  /** Global weighted top-k sample using [[weightedSampleKey]]; returns
+    * the caller's schema unchanged (the priority key stays internal). */
   def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
-      salt: String = ""): DataFrame =
-    df.withColumn("__wkey", weightedSampleKey(col(idCol), weight, salt))
-      .orderBy(col("__wkey").desc, col(idCol)).limit(k)
+      salt: String = ""): DataFrame = {
+    val keyCol = "__graft_wkey"
+    require(!df.columns.contains(keyCol), s"input already has $keyCol")
+    df.withColumn(keyCol, weightedSampleKey(col(idCol), weight, salt))
+      .orderBy(col(keyCol).desc, col(idCol)).limit(k)
+      .drop(keyCol)
+  }
 
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       thresholds: Map[String, String], default: String = "00",

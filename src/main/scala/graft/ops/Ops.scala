@@ -221,9 +221,33 @@ object Compaction {
   final case class Report(dir: String, filesBefore: Int, filesAfter: Int,
       bytes: Long)
 
-  private def isDataFile(p: HPath): Boolean = {
+  private[ops] def isDataFile(p: HPath): Boolean = {
     val n = p.getName
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+  }
+
+  /** Crash-safe adopt-then-delete swap of a leaf's data files: every
+    * fresh file from `staging` is renamed into `target` FIRST — each
+    * rename's result CHECKED, aborting (old files intact) on the first
+    * failure — and only then are the old files dropped. A crash or a
+    * failed rename can duplicate rows for a racing reader, never lose
+    * them. Shared by the compaction sweep and the streaming upsert sink:
+    * one copy of the durability-critical protocol. */
+  private[graft] def swapDataFiles(fs: FileSystem, staging: HPath,
+      target: HPath): Unit = {
+    val old = fs.listStatus(target)
+      .filter(s => s.isFile && isDataFile(s.getPath))
+    val fresh = fs.listStatus(staging)
+      .filter(s => s.isFile && isDataFile(s.getPath))
+    fresh.foreach { f =>
+      val dest = new HPath(target, f.getPath.getName)
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(
+          s"swap aborted: rename ${f.getPath} -> $dest failed; " +
+            "old files left in place")
+    }
+    old.foreach(p => fs.delete(p.getPath, false))
+    fs.delete(staging, true)
   }
 
   private val TmpSuffix = "__compacting"
@@ -271,15 +295,10 @@ object Compaction {
       else {
         spark.read.parquet(d.toString).coalesce(want)
           .write.mode("overwrite").parquet(tmp.toString)
-        val fresh = fs.listStatus(tmp)
-          .filter(s => s.isFile && isDataFile(s.getPath))
-        // swap: adopt the rewritten files FIRST, then drop the old part
-        // files — a crash in between duplicates rows, never loses them
-        fresh.foreach(f =>
-          fs.rename(f.getPath, new HPath(d, f.getPath.getName)))
-        parts.foreach(p => fs.delete(p.getPath, false))
-        fs.delete(tmp, true)
-        Some(Report(d.toString, parts.length, fresh.length, bytes))
+        val freshCount = fs.listStatus(tmp)
+          .count(s => s.isFile && isDataFile(s.getPath))
+        swapDataFiles(fs, tmp, d)
+        Some(Report(d.toString, parts.length, freshCount, bytes))
       }
     }
   }

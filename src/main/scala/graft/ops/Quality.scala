@@ -32,17 +32,22 @@ object Quality {
       when(frac <= maxFrac, 1).otherwise(0))
   }
 
-  /** No duplicate values of the key tuple (count = distinct count). */
+  /** No duplicate values of the key tuple. SQL COUNT(DISTINCT ...)
+    * semantics: rows with a null in any key column don't participate
+    * (they're the not_null rules' business), so the metric matches
+    * `count(<all keys non-null>) - count(DISTINCT keys)` in any engine. */
   def unique(cols: Seq[String]): Rule = {
-    val dups = count(lit(1)) - count_distinct(struct(cols.map(col): _*))
+    val allSet = cols.map(col(_).isNotNull).reduce(_ && _)
+    val dups = coalesce(sum(when(allSet, 1L).otherwise(0L)), lit(0L)) -
+      count_distinct(cols.map(col).head, cols.map(col).tail: _*)
     Rule(s"unique:${cols.mkString("+")}", dups.cast("double"),
       when(dups === 0, 1).otherwise(0))
   }
 
   /** Every non-null value of `c` is one of `values`. */
   def accepted(c: String, values: Seq[String]): Rule = {
-    val bad = sum(when(col(c).isNotNull && !col(c).isin(values: _*), 1L)
-      .otherwise(0L))
+    val bad = coalesce(sum(when(col(c).isNotNull && !col(c).isin(values: _*),
+      1L).otherwise(0L)), lit(0L))
     Rule(s"accepted:$c", bad.cast("double"), when(bad === 0, 1).otherwise(0))
   }
 
@@ -55,8 +60,10 @@ object Quality {
 
   /** Values of `c` within [lo, hi] when non-null. */
   def inRange(c: String, lo: Double, hi: Double): Rule = {
-    val bad = sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
-      .otherwise(0L))
+    // coalesce: sum over ZERO rows is NULL — an empty table must read as
+    // a vacuous pass (0 violations), not crash report's getDouble
+    val bad = coalesce(sum(when(col(c).isNotNull &&
+      (col(c) < lo || col(c) > hi), 1L).otherwise(0L)), lit(0L))
     Rule(s"in_range:$c", bad.cast("double"), when(bad === 0, 1).otherwise(0))
   }
 

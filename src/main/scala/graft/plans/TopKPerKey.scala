@@ -58,7 +58,7 @@ case class TopKPerKeyStrategy(session: SparkSession)
               case g: logical.WindowGroupLimit => g.child
               case c => c
             }
-            val k = limits.min
+            val k = limits.min.toInt // <= Int literal bounds by construction
             val partial = TopKPerKeyExec(k, w.partitionSpec, w.orderSpec,
               None, planLater(src))
             TopKPerKeyExec(k, w.partitionSpec, w.orderSpec,
@@ -69,18 +69,22 @@ case class TopKPerKeyStrategy(session: SparkSession)
     case _ => Nil
   }
 
-  /** The filter forms that bound row_number from above. */
-  private def rankLimit(e: Expression, rnId: ExprId): Option[Int] = e match {
+  /** The filter forms that bound row_number from above. The strict forms
+    * compute `v - 1` in Long: at `v = Int.MinValue` the Int subtraction
+    * would wrap to Int.MaxValue, turning an always-false filter into
+    * "keep everything". A wrapped/degenerate bound falls through to the
+    * `limits.min <= 0` guard and keeps Spark's plan. */
+  private def rankLimit(e: Expression, rnId: ExprId): Option[Long] = e match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, _))
-        if a.exprId == rnId => Some(v)
+        if a.exprId == rnId => Some(v.toLong)
     case LessThan(a: AttributeReference, Literal(v: Int, _))
-        if a.exprId == rnId => Some(v - 1)
+        if a.exprId == rnId => Some(v.toLong - 1)
     case EqualTo(a: AttributeReference, Literal(1, _))
-        if a.exprId == rnId => Some(1)
+        if a.exprId == rnId => Some(1L)
     case GreaterThanOrEqual(Literal(v: Int, _), a: AttributeReference)
-        if a.exprId == rnId => Some(v)
+        if a.exprId == rnId => Some(v.toLong)
     case GreaterThan(Literal(v: Int, _), a: AttributeReference)
-        if a.exprId == rnId => Some(v - 1)
+        if a.exprId == rnId => Some(v.toLong - 1)
     case _ => None
   }
 }
@@ -144,7 +148,11 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit, reverse)
+          // initial capacity bounded by a small constant: a defensive
+          // huge k must not preallocate k slots per key — the heap grows
+          // on demand, so memory tracks ACTUAL group sizes
+          heap = new java.util.PriorityQueue[UnsafeRow](
+            math.max(1, math.min(limit, 16)), reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.add(toUnsafe(row).copy())

@@ -171,7 +171,7 @@ object Relational {
         |  SELECT count(*) AS n,
         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |      / nullif(count(*), 0) AS null_frac,
-        |    count(*) - count(DISTINCT o_orderkey) AS dups,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS dups,
         |    sum(CASE WHEN o_orderstatus IS NOT NULL
         |             AND o_orderstatus NOT IN ('O','F','P')
         |             THEN 1 ELSE 0 END) AS bad_status,

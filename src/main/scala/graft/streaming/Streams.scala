@@ -128,29 +128,25 @@ object Streams {
     // unique — equal versions of the same key have no defined winner
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc)
+    // persisted: referenced by the emptiness probe, the anti-join AND the
+    // union — without it the window dedup would run three times per batch
     val latest = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    if (latest.isEmpty) return
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
-    val merged = spark.read.parquet(targetDir)
-      .join(latest, keys, "left_anti").unionByName(latest)
-    val staging = new org.apache.hadoop.fs.Path(target.getParent,
-      "." + target.getName + "__upserting")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    merged.write.parquet(staging.toString)
-    def dataFiles(d: org.apache.hadoop.fs.Path) =
-      fs.listStatus(d).filter { s =>
-        val n = s.getPath.getName
-        s.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
-          !n.startsWith("_")
-      }
-    val old = dataFiles(target)
-    dataFiles(staging).foreach(f => fs.rename(f.getPath,
-      new org.apache.hadoop.fs.Path(target, f.getPath.getName)))
-    old.foreach(p => fs.delete(p.getPath, false))
-    fs.delete(staging, true)
+      .filter(col("__rn") === 1).drop("__rn").persist()
+    try {
+      if (latest.isEmpty) return
+      val target = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
+      val merged = spark.read.parquet(targetDir)
+        .join(latest, keys, "left_anti").unionByName(latest)
+      val staging = new org.apache.hadoop.fs.Path(target.getParent,
+        "." + target.getName + "__upserting")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      merged.write.parquet(staging.toString)
+      // shared crash-safe protocol (rename results checked; see
+      // Compaction.swapDataFiles)
+      graft.ops.Compaction.swapDataFiles(fs, staging, target)
+    } finally latest.unpersist()
   }
 
   /** Streaming upsert sink (the foreachBatch production pattern): every

@@ -33,6 +33,31 @@ class QualitySpec extends SparkSpec {
     assert(loose._3 == 1)
   }
 
+  test("report is null-safe: empty table and null keys") {
+    // empty input: every violation-counting rule passes vacuously,
+    // row_count(min=1) is the one that fails — no NPE
+    val empty = df.filter($"id" < 0)
+    val out = Quality.report(empty, Seq(
+        Quality.rowCount(min = 1),
+        Quality.accepted("name", Seq("a")),
+        Quality.inRange("v", 0.0, 1.0),
+        Quality.unique(Seq("id")),
+        Quality.notNull("name")))
+      .as[(String, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("row_count") == ((0.0, 0)))
+    assert(out("accepted:name") == ((0.0, 1)))
+    assert(out("in_range:v") == ((0.0, 1)))
+    assert(out("unique:id") == ((0.0, 1)))
+    assert(out("not_null:name")._1 <= 1e-6 && out("not_null:name")._2 == 1)
+    // null keys follow COUNT(DISTINCT) semantics: they are NOT dups
+    val nulls = Seq((Some(1L), "x"), (None, "y"), (None, "z"))
+      .toDF("id", "name")
+    val u = Quality.report(nulls, Seq(Quality.unique(Seq("id"))))
+      .as[(String, Double, Int)].collect().head
+    assert(u == (("unique:id", 0.0, 1)))
+  }
+
   test("fkIntegrity counts orphans, ignores null keys, passes when clean") {
     val parent = Seq(1L, 2L).toDF("pk")
     val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
