@@ -18,6 +18,45 @@ object SeriesQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Rolling z-score anomaly detection: per event type, each day's count
+    // against the TRAILING week's mean/std (frame ends at 1 PRECEDING so
+    // the tested point never contaminates its own baseline). One shuffle
+    // keyed by series id, one sorted window — the per-series state at
+    // 100 TB is 7 numbers, and a skewed series is still one partition of
+    // daily aggregates, not raw events.
+    Q("w_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0)
+        |          + 1e-7, 4) AS zscore
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+        |       zscore,
+        |       CASE WHEN zscore > 3 OR zscore < -3 THEN 1 ELSE 0 END
+        |         AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("zscore",
+          Fp.r((col("n") - avg("n").over(w)) /
+            nullif(stddev_samp(col("n")).over(w), lit(0)), 4))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("n"), col("zscore"),
+          when(col("zscore") > 3 || col("zscore") < -3, 1).otherwise(0)
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // Moving-frame window aggregates: 3-row trailing average + per-key
     // first value. One shuffle (partition by key), sort within partition.
     Q("w_moving_avg",
