@@ -216,6 +216,76 @@ object Relational {
         .orderBy("check")
     },
 
+    // Market-basket co-occurrence: top part-brand pairs appearing in the
+    // same order. The self-join is keyed by the ORDER (bounded fan-out:
+    // items per order is small and fixed by the domain, so the pair
+    // explosion is |orders|·avg_items², never corpus²); a < b halves the
+    // pairs and the distinct-pair aggregate absorbs them map-side.
+    Q("j_cooccurrence",
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey, p.p_brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+        |SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 15""".stripMargin) {
+      (s, d) =>
+        val items = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+          .join(t(s, d, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .select("l_orderkey", "p_brand").distinct()
+        val a = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+        val b = items.select(col("l_orderkey"), col("p_brand").as("brand_b"))
+        a.join(b, Seq("l_orderkey")).filter(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+          .limit(15)
+    },
+
+    // RFM segmentation: per-customer recency (days since last order,
+    // against the corpus max date so the query is deterministic),
+    // frequency, monetary — then quintile scores. Two aggregates + one
+    // ntile window; the window input is one row per CUSTOMER, already
+    // 1000× smaller than the fact table.
+    Q("a_rfm",
+      """WITH mx AS (SELECT max(o_orderdate) AS d1 FROM orders),
+        |per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate), (SELECT d1 FROM mx)) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+        |FROM per ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      // o_orderdate is TIMESTAMP_NTZ → LocalDateTime on the driver
+      val d1 = orders.agg(max("o_orderdate")).first()
+        .getAs[java.time.LocalDateTime](0).toLocalDate.toString
+      val per = orders.groupBy("o_custkey").agg(
+        datediff(lit(d1).cast("date"), to_date(max("o_orderdate")))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Fp.moneySum(col("o_totalprice")).as("monetary"))
+      per.select(col("o_custkey"),
+          col("recency_days").cast("int").as("recency_days"),
+          col("frequency"), col("monetary"),
+          ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+            .as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+            .as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+            .as("m_score"))
+        .orderBy("o_custkey")
+    },
+
     // J2 left outer join (reference fait_population ⟕ fait_evenements).
     // Summed doubles go through the moneySum decimal convention (order-
     // independent, exact) so the DuckDB hash compare can't half-boundary
