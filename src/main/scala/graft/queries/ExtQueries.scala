@@ -626,6 +626,34 @@ object ExtQueries {
         .orderBy(col("wkey").desc, col("doc_id")).limit(20)
     },
 
+    // Per-stratum weighted sampling: top-3 A-ES priorities per language —
+    // one window per stratum, which the TopKPerKey strategy executes as a
+    // bounded heap (no per-stratum sort), so drawing a per-domain quota
+    // from a 100 TB corpus is one scan + one output-sized shuffle.
+    Q("x_weighted_stratum_topk",
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+        |  round(pow(
+        |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS UBIGINT) + 1.0) / 4294967297.0,
+        |    1.0 / n_chars) + 1e-7, 8) AS wkey
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY wkey DESC, doc_id) AS rn FROM w)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight, wkey
+        |FROM r WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("wkey").desc, col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("weight"),
+          Fp.r(Curation.weightedSampleKey(col("doc_id"), col("n_chars")), 8)
+            .as("wkey"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3).drop("__rn")
+        .select("lang", "doc_id", "weight", "wkey")
+        .orderBy("lang", "doc_id")
+    },
+
     // Corpus heavy hitters: output rows are the EXACT top-10 token counts
     // (SQL-expressible — that stays the oracle), while `sketch_ok`
     // certifies the bounded-memory Misra–Gries path: 1 iff every exact
