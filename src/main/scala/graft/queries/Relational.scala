@@ -245,6 +245,24 @@ object Relational {
           .limit(15)
     },
 
+    // Typed-Aggregator UDAF surface (§2.11): quantity-weighted mean price
+    // per return flag via the public Aggregator + udaf() API. Partial
+    // aggregation works like any built-in — the shuffle moves one
+    // (sum, weight) pair per group per task.
+    Q("a_weighted_mean",
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+        |             AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |        + 1e-7, 4) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.functions.WeightedMean.register(s)
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(Fp.r(expr("weighted_mean(l_extendedprice, l_quantity)"), 4)
+          .as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
+
     // RFM segmentation: per-customer recency (days since last order,
     // against the corpus max date so the query is deterministic),
     // frequency, monetary — then quintile scores. Two aggregates + one

@@ -23,6 +23,26 @@ class CatalystSpec extends SparkSpec {
     assert(sql.toSeq == Seq("Jerome Lefevre", "Edith"))
   }
 
+  test("weighted_mean Aggregator: decimal-exact, null-safe, partition-stable") {
+    import graft.functions.WeightedMean
+    WeightedMean.register(spark)
+    val df = Seq(
+      ("a", Some(10.0), Some(2.0)),
+      ("a", Some(40.0), Some(1.0)),
+      ("a", None, Some(9.0)),       // null value ignored
+      ("a", Some(99.0), None),      // null weight ignored
+      ("b", None, None))            // all-null group -> null
+      .toDF("g", "v", "w")
+    def run(parts: Int) = df.repartition(parts).groupBy("g")
+      .agg(WeightedMean.weightedMean($"v", $"w").as("wm"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val one = run(1)
+    assert(one("a").contains(20.0)) // (10*2 + 40*1) / 3
+    assert(one("b").isEmpty)
+    // decimal accumulation: identical result under any partitioning
+    assert(run(7) == one)
+  }
+
   test("wrong function arity raises AnalysisException, not IndexOutOfBounds") {
     AccentFold.register(spark)
     graft.functions.VectorOps.register(spark)
