@@ -238,5 +238,56 @@ object ScdQueries {
           count(lit(1)).as("n_orders"))
         .orderBy("o_year", "segment")
     },
+
+    // Temporal snapshot diff: the same SCD2 dimension read as-of TWO
+    // dates, joined on the business key, keeping keys whose tracked
+    // attribute changed — the "what moved between last quarter and now"
+    // audit. Each snapshot is a pure validity-interval filter (partition-
+    // prunable when the dim is written partitioned by est_actif/debut);
+    // the join is key-to-key between two same-sized snapshots, and the
+    // transition matrix groups it down to segments².
+    Q("m_scd2_snapshot_diff",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, 1 AS version,
+        |         DATE '1990-01-01' AS date_debut_validite,
+        |         DATE '1996-01-01' AS date_fin_validite
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |         CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END,
+        |         2, DATE '1996-01-01', CAST(NULL AS DATE)
+        |  FROM customer),
+        |s1 AS (SELECT c_custkey, c_mktsegment AS seg_before FROM dim
+        |       WHERE date_debut_validite <= DATE '1995-06-01'
+        |         AND (date_fin_validite IS NULL
+        |              OR date_fin_validite > DATE '1995-06-01')),
+        |s2 AS (SELECT c_custkey, c_mktsegment AS seg_after FROM dim
+        |       WHERE date_debut_validite <= DATE '1997-06-01'
+        |         AND (date_fin_validite IS NULL
+        |              OR date_fin_validite > DATE '1997-06-01'))
+        |SELECT seg_before, seg_after, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM s1 JOIN s2 USING (c_custkey)
+        |WHERE seg_before <> seg_after
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val cust = customer(s, d)
+      val v1 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit("1990-01-01").cast("date").as("date_debut_validite"),
+        lit("1996-01-01").cast("date").as("date_fin_validite"))
+      val v2 = cust.select(col("c_custkey"),
+        when(col("c_acctbal") > 5000, "PREMIUM").otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"),
+        lit("1996-01-01").cast("date").as("date_debut_validite"),
+        lit(null).cast("date").as("date_fin_validite"))
+      val dim = v1.unionByName(v2)
+      val before = Scd.asOf(dim, "1995-06-01")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg_before"))
+      val after = Scd.asOf(dim, "1997-06-01")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg_after"))
+      before.join(after, "c_custkey")
+        .filter(col("seg_before") =!= col("seg_after"))
+        .groupBy("seg_before", "seg_after")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("seg_before", "seg_after")
+    },
   )
 }
