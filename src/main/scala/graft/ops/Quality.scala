@@ -82,6 +82,23 @@ object Quality {
     }.toDF("check", "metric", "passed").orderBy("check")
   }
 
+  /** Order-independent 64-bit digest of selected columns: per row,
+    * md5 of the '|'-joined canonical strings truncated to 60 bits, then
+    * bit_xor across rows — XOR commutes, so ANY partitioning/ordering of
+    * the same logical content yields the same digest, and two
+    * environments can compare a 100 TB table by exchanging ONE long.
+    * (Columns must have engine-canonical string forms — keys, strings,
+    * integers; floats format differently across engines.) */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val rowHash = conv(substring(
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    df.agg(
+      coalesce(bit_xor(rowHash), lit(0L)).as("digest"),
+      count(lit(1)).as("n_rows"))
+  }
+
   /** Referential integrity: count of child rows whose key tuple has no
     * match in `parent` (nulls in the key don't count — they're the
     * not_null rules' business). Anti-join on the parent's distinct keys;

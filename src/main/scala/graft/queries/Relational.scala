@@ -245,6 +245,59 @@ object Relational {
           .limit(15)
     },
 
+    // Order-independent table digest: one 64-bit xor of per-row md5
+    // hashes — two environments compare a 100 TB table by exchanging one
+    // long (the cross-engine "is your copy identical" primitive; this
+    // oracle row IS that comparison, DuckDB vs Spark).
+    Q("s_table_digest",
+      """SELECT bit_xor(CAST(concat('0x', substr(md5(
+        |         CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+        |         c_mktsegment), 1, 15)) AS BIGINT)) AS digest,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer""".stripMargin) { (s, d) =>
+      graft.ops.Quality.tableDigest(t(s, d, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"))
+    },
+
+    // Pareto / cumulative-share analysis: brands ranked by revenue with
+    // running share of total; `in_top80` marks the head that covers 80%.
+    // One aggregate to brand grain (map-side partials over the fact),
+    // then windows over the BRAND-sized result — the fact table is never
+    // window-sorted.
+    Q("a_pareto",
+      """WITH per AS (
+        |  SELECT p.p_brand,
+        |         CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |              AS DOUBLE) AS revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT p_brand, revenue,
+        |    sum(revenue) OVER (ORDER BY revenue DESC, p_brand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(revenue) OVER () AS total
+        |  FROM per)
+        |SELECT p_brand, revenue,
+        |  round(cum / total + 1e-7, 4) AS cum_share,
+        |  CASE WHEN round(cum / total + 1e-7, 4) <= 0.8 THEN 1 ELSE 0 END
+        |    AS in_top80
+        |FROM w ORDER BY revenue DESC, p_brand""".stripMargin) { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .join(t(s, d, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(Fp.moneySum(col("l_extendedprice")).as("revenue"))
+      val ord = Window.orderBy(col("revenue").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      val cumShare = Fp.r(sum("revenue").over(ord) /
+        sum("revenue").over(all), 4)
+      per.select(col("p_brand"), col("revenue"),
+          cumShare.as("cum_share"),
+          when(cumShare <= 0.8, 1).otherwise(0).as("in_top80"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+    },
+
     // Typed-Aggregator UDAF surface (§2.11): quantity-weighted mean price
     // per return flag via the public Aggregator + udaf() API. Partial
     // aggregation works like any built-in — the shuffle moves one
