@@ -99,6 +99,20 @@ object Quality {
       count(lit(1)).as("n_rows"))
   }
 
+  /** Per-group digests — the incremental-sync primitive: compare two
+    * copies of a table at partition grain and re-ship ONLY the groups
+    * whose digest drifted, instead of diffing rows. Same xor-of-md5
+    * construction as [[tableDigest]], one aggregate pass. */
+  def groupDigest(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && cols.nonEmpty)
+    val rowHash = conv(substring(
+      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bit_xor(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+  }
+
   /** Referential integrity: count of child rows whose key tuple has no
     * match in `parent` (nulls in the key don't count — they're the
     * not_null rules' business). Anti-join on the parent's distinct keys;

@@ -259,6 +259,21 @@ object Relational {
         Seq("c_custkey", "c_name", "c_mktsegment"))
     },
 
+    // Partition-grain digests (incremental sync): per-segment xor
+    // digests — two table copies re-ship only the groups whose digest
+    // drifted. One aggregate pass, digest column per group.
+    Q("s_partition_digest",
+      """SELECT c_mktsegment,
+        |       bit_xor(CAST(concat('0x', substr(md5(
+        |         CAST(c_custkey AS VARCHAR) || '|' || c_name), 1, 15))
+        |         AS BIGINT)) AS digest,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Quality.groupDigest(t(s, d, "customer"),
+        Seq("c_mktsegment"), Seq("c_custkey", "c_name"))
+        .orderBy("c_mktsegment")
+    },
+
     // Pareto / cumulative-share analysis: brands ranked by revenue with
     // running share of total; `in_top80` marks the head that covers 80%.
     // One aggregate to brand grain (map-side partials over the fact),

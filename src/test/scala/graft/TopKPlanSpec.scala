@@ -92,6 +92,28 @@ class TopKPlanSpec extends SparkSpec {
       plan)
   }
 
+  test("property: random data, random k — operator ≡ window path") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200 + rng.nextInt(300)
+      val data = (1 to n).map { _ =>
+        (s"k${rng.nextInt(12)}", rng.nextInt(1000), rng.nextLong())
+      }
+      // unique total order: (v, uid) — ties in v resolved deterministically
+      val df = data.toDF("k", "v", "uid")
+      val k = 1 + rng.nextInt(8)
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("uid"))
+      def run = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .orderBy("k", "rn").as[(String, Int, Long, Int)].collect().toSeq
+      val fast = run
+      assert(planOf(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)).contains("TopKPerKey"))
+      val slow = withRewrite(false)(run)
+      assert(fast == slow, s"trial $trial (n=$n, k=$k) diverged")
+    }
+  }
+
   test("multi-column keys and order tiebreakers match the window path") {
     val df = Seq(("x", 1, 10, "p"), ("x", 1, 10, "q"), ("x", 2, 5, "r"),
       ("y", 1, 10, "s"))
