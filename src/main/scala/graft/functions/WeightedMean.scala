@@ -37,7 +37,13 @@ object WeightedMean
 
   override def reduce(b: (JBigDecimal, JBigDecimal),
       a: (java.lang.Double, java.lang.Double)): (JBigDecimal, JBigDecimal) =
-    if (a._1 == null || a._2 == null) b
+    // non-finite contributions are skipped like nulls: NaN/Infinity have
+    // no decimal form (BigDecimal("NaN") throws) and would otherwise
+    // poison the exact sum — built-in aggregates never abort on them
+    if (a._1 == null || a._2 == null ||
+      java.lang.Double.isNaN(a._1 * a._2) ||
+      java.lang.Double.isInfinite(a._1 * a._2) ||
+      java.lang.Double.isNaN(a._2) || java.lang.Double.isInfinite(a._2)) b
     else (b._1.add(dec4(a._1 * a._2)), b._2.add(dec4(a._2)))
 
   override def merge(x: (JBigDecimal, JBigDecimal),
@@ -52,10 +58,14 @@ object WeightedMean
     Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
   override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 
+  // one UserDefinedFunction instance: udaf() runs encoder reflection,
+  // no reason to repeat it per call site
+  private lazy val fn = udaf(this)
+
   /** Register as SQL function `weighted_mean(value, weight)`. */
   def register(spark: SparkSession): Unit =
-    spark.udf.register("weighted_mean", udaf(this))
+    spark.udf.register("weighted_mean", fn)
 
   def weightedMean(value: Column, weight: Column): Column =
-    udaf(this).apply(value, weight)
+    fn.apply(value, weight)
 }

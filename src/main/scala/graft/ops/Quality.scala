@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative data-quality expectations — the warehouse "quality gate"
   * pattern (the reference's load steps assert orphan keys and null
@@ -82,35 +83,53 @@ object Quality {
     }.toDF("check", "metric", "passed").orderBy("check")
   }
 
-  /** Order-independent 64-bit digest of selected columns: per row,
-    * md5 of the '|'-joined canonical strings truncated to 60 bits, then
-    * bit_xor across rows — XOR commutes, so ANY partitioning/ordering of
-    * the same logical content yields the same digest, and two
-    * environments can compare a 100 TB table by exchanging ONE long.
-    * (Columns must have engine-canonical string forms — keys, strings,
-    * integers; floats format differently across engines.) */
+  /** The per-row hash behind [[tableDigest]]/[[groupDigest]] — ONE copy
+    * of the canonicalization any fix must touch. Each column is
+    * length-prefixed (`"3:a|b"`), so a value CONTAINING the delimiter
+    * cannot collide with a column split, and NULL encodes as a literal
+    * `_` distinct from every real value (a plain concat_ws would
+    * silently SKIP nulls, colliding (1,NULL,'B') with (1,'B',NULL)).
+    * Columns must have engine-canonical string forms — keys, strings,
+    * integers; floats format differently across engines. */
+  private def rowDigest(cols: Seq[String]): Column = {
+    val canon = cols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("_"))
+    }
+    conv(substring(md5(concat_ws("|", canon: _*).cast("binary")), 1, 15),
+      16, 10).cast("long")
+  }
+
+  /** 2^62: digest sums are reduced mod this so both engines stay inside
+    * a positive BIGINT with exact (decimal) intermediate arithmetic. */
+  private val DigestMod = 4611686018427387904L
+
+  /** Order-independent 64-bit digest of selected columns: per row, md5
+    * of the length-prefixed canonical strings truncated to 60 bits, then
+    * an exact decimal SUM mod 2^62 — addition commutes, so ANY
+    * partitioning/ordering of the same logical content yields the same
+    * digest, and two environments can compare a 100 TB table by
+    * exchanging ONE long. A SUM (not xor) is multiplicity-sensitive:
+    * {X,X} vs {Y,Y} differ, where xor would cancel both to zero. */
   def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    val rowHash = conv(substring(
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
-        .cast("binary")), 1, 15), 16, 10).cast("long")
     df.agg(
-      coalesce(bit_xor(rowHash), lit(0L)).as("digest"),
+      coalesce(pmod(sum(rowDigest(cols).cast(DecimalType(38, 0))),
+        lit(DigestMod)), lit(0)).cast("long").as("digest"),
       count(lit(1)).as("n_rows"))
   }
 
   /** Per-group digests — the incremental-sync primitive: compare two
     * copies of a table at partition grain and re-ship ONLY the groups
-    * whose digest drifted, instead of diffing rows. Same xor-of-md5
-    * construction as [[tableDigest]], one aggregate pass. */
+    * whose digest drifted, instead of diffing rows. Same construction
+    * as [[tableDigest]], one aggregate pass. */
   def groupDigest(df: DataFrame, groupCols: Seq[String],
       cols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && cols.nonEmpty)
-    val rowHash = conv(substring(
-      md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
-        .cast("binary")), 1, 15), 16, 10).cast("long")
     df.groupBy(groupCols.map(col): _*)
-      .agg(bit_xor(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+      .agg(pmod(sum(rowDigest(cols).cast(DecimalType(38, 0))),
+        lit(DigestMod)).cast("long").as("digest"),
+        count(lit(1)).as("n_rows"))
   }
 
   /** Referential integrity: count of child rows whose key tuple has no

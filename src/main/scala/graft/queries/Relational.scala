@@ -250,11 +250,17 @@ object Relational {
     // long (the cross-engine "is your copy identical" primitive; this
     // oracle row IS that comparison, DuckDB vs Spark).
     Q("s_table_digest",
-      """SELECT bit_xor(CAST(concat('0x', substr(md5(
-        |         CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
-        |         c_mktsegment), 1, 15)) AS BIGINT)) AS digest,
+      """WITH h AS (SELECT CAST(concat('0x', substr(md5(
+        |    coalesce(CAST(length(CAST(c_custkey AS VARCHAR)) AS VARCHAR)
+        |             || ':' || CAST(c_custkey AS VARCHAR), '_') || '|' ||
+        |    coalesce(CAST(length(c_name) AS VARCHAR) || ':' || c_name, '_')
+        |    || '|' ||
+        |    coalesce(CAST(length(c_mktsegment) AS VARCHAR) || ':'
+        |             || c_mktsegment, '_')), 1, 15)) AS BIGINT) AS rh
+        |  FROM customer)
+        |SELECT CAST(sum(rh) % 4611686018427387904 AS BIGINT) AS digest,
         |       CAST(count(*) AS BIGINT) AS n_rows
-        |FROM customer""".stripMargin) { (s, d) =>
+        |FROM h""".stripMargin) { (s, d) =>
       graft.ops.Quality.tableDigest(t(s, d, "customer"),
         Seq("c_custkey", "c_name", "c_mktsegment"))
     },
@@ -263,12 +269,16 @@ object Relational {
     // digests — two table copies re-ship only the groups whose digest
     // drifted. One aggregate pass, digest column per group.
     Q("s_partition_digest",
-      """SELECT c_mktsegment,
-        |       bit_xor(CAST(concat('0x', substr(md5(
-        |         CAST(c_custkey AS VARCHAR) || '|' || c_name), 1, 15))
-        |         AS BIGINT)) AS digest,
+      """WITH h AS (SELECT c_mktsegment, CAST(concat('0x', substr(md5(
+        |    coalesce(CAST(length(CAST(c_custkey AS VARCHAR)) AS VARCHAR)
+        |             || ':' || CAST(c_custkey AS VARCHAR), '_') || '|' ||
+        |    coalesce(CAST(length(c_name) AS VARCHAR) || ':' || c_name, '_')),
+        |    1, 15)) AS BIGINT) AS rh
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |       CAST(sum(rh) % 4611686018427387904 AS BIGINT) AS digest,
         |       CAST(count(*) AS BIGINT) AS n_rows
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       graft.ops.Quality.groupDigest(t(s, d, "customer"),
         Seq("c_mktsegment"), Seq("c_custkey", "c_name"))
         .orderBy("c_mktsegment")
@@ -352,14 +362,16 @@ object Relational {
         |  CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
         |FROM per ORDER BY o_custkey""".stripMargin) { (s, d) =>
       val orders = t(s, d, "orders")
-      // o_orderdate is TIMESTAMP_NTZ → LocalDateTime on the driver
-      val d1 = orders.agg(max("o_orderdate")).first()
-        .getAs[java.time.LocalDateTime](0).toLocalDate.toString
+      // in-plan scalar (mirrors the oracle's mx CTE): no driver action,
+      // no timestamp-class assumption, null-safe on an empty table
+      val mx = orders.agg(to_date(max("o_orderdate")).as("__d1"))
       val per = orders.groupBy("o_custkey").agg(
-        datediff(lit(d1).cast("date"), to_date(max("o_orderdate")))
-          .as("recency_days"),
+        to_date(max("o_orderdate")).as("__last"),
         count(lit(1)).as("frequency"),
         Fp.moneySum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days", datediff(col("__d1"), col("__last")))
+        .drop("__d1", "__last")
       per.select(col("o_custkey"),
           col("recency_days").cast("int").as("recency_days"),
           col("frequency"), col("monetary"),

@@ -19,23 +19,26 @@ object SeriesQueries {
   val all: Seq[Q] = Seq(
 
     // Rolling z-score anomaly detection: per event type, each day's count
-    // against the TRAILING week's mean/std (frame ends at 1 PRECEDING so
-    // the tested point never contaminates its own baseline). One shuffle
-    // keyed by series id, one sorted window — the per-series state at
-    // 100 TB is 7 numbers, and a skewed series is still one partition of
-    // daily aggregates, not raw events.
+    // against the trailing CALENDAR week's mean/std — a RANGE frame over
+    // epoch-days, so a sparse series with gap days still gets a true
+    // 7-day baseline (a ROWS frame would silently reach weeks back); the
+    // frame ends at 1 PRECEDING so the tested point never contaminates
+    // its own baseline. One shuffle keyed by series id, one sorted
+    // window — the per-series state at 100 TB is 7 numbers, and a skewed
+    // series is still one partition of daily aggregates, not raw events.
     Q("w_anomaly_zscore",
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dnum,
         |         CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events GROUP BY 1, 2, 3),
         |z AS (
         |  SELECT event_type, day, n,
         |    round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0)
         |          + 1e-7, 4) AS zscore
         |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, CAST(day AS VARCHAR) AS day, n,
         |       zscore,
         |       CASE WHEN zscore > 3 OR zscore < -3 THEN 1 ELSE 0 END
@@ -44,8 +47,9 @@ object SeriesQueries {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-7, -1)
+        .withColumn("dnum", unix_date(col("day")))
+      val w = Window.partitionBy("event_type").orderBy("dnum")
+        .rangeBetween(-7, -1)
       daily
         .withColumn("zscore",
           Fp.r((col("n") - avg("n").over(w)) /

@@ -31,6 +31,8 @@ class CatalystSpec extends SparkSpec {
       ("a", Some(40.0), Some(1.0)),
       ("a", None, Some(9.0)),       // null value ignored
       ("a", Some(99.0), None),      // null weight ignored
+      ("a", Some(Double.NaN), Some(5.0)),  // non-finite skipped, no crash
+      ("a", Some(1.0), Some(Double.PositiveInfinity)),
       ("b", None, None))            // all-null group -> null
       .toDF("g", "v", "w")
     def run(parts: Int) = df.repartition(parts).groupBy("g")
