@@ -233,13 +233,20 @@ object Relational {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 15""".stripMargin) {
       (s, d) =>
-        val items = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        // ONE shuffle to order grain (distinct brand-set per order), then
+        // pairs expand as a pure HOF projection — no self-join, and the
+        // exploded volume is pairs-per-order, bounded by basket size
+        val sets = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
           .join(t(s, d, "part").select("p_partkey", "p_brand"),
             col("l_partkey") === col("p_partkey"))
-          .select("l_orderkey", "p_brand").distinct()
-        val a = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-        val b = items.select(col("l_orderkey"), col("p_brand").as("brand_b"))
-        a.join(b, Seq("l_orderkey")).filter(col("brand_a") < col("brand_b"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        val pairs = sets.select(explode(flatten(
+          transform(col("bs"), (a, i) =>
+            transform(slice(col("bs"), i + 2, size(col("bs"))),
+              b => struct(a.as("brand_a"), b.as("brand_b"))))))
+          .as("p"))
+        pairs.select(col("p.brand_a"), col("p.brand_b"))
           .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
           .limit(15)
