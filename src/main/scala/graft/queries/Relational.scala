@@ -860,6 +860,59 @@ object Relational {
         .orderBy("o_orderkey").limit(500)
     },
 
+    // Three-valued-logic torture: null-safe equality, coalesce chains,
+    // nullif round-trips, NULL propagation through comparisons, and
+    // explicit NULLS FIRST ordering — the semantics every merge/dedup
+    // operator in the engine leans on (P11's <=> in the SCD merges).
+    Q("f_null_semantics",
+      """WITH v(id, a, b) AS (VALUES
+        |  (1, 10, 10), (2, 10, 20), (3, NULL, 10),
+        |  (4, NULL, NULL), (5, 20, NULL)),
+        |r AS (SELECT id, a, b,
+        |  CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END AS nseq,
+        |  CASE WHEN a = b THEN 1 WHEN NOT (a = b) THEN 0 ELSE -1 END AS tvl,
+        |  coalesce(a, b, -1) AS first_set,
+        |  nullif(a, 10) AS a_not10,
+        |  CASE WHEN a > b THEN 'gt' WHEN a <= b THEN 'le'
+        |       ELSE 'unknown' END AS cmp3
+        |FROM v)
+        |SELECT * FROM r ORDER BY a NULLS FIRST, id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val v = Seq(
+        (1, Some(10), Some(10)), (2, Some(10), Some(20)),
+        (3, None, Some(10)), (4, None, None), (5, Some(20), None))
+        .toDF("id", "a", "b")
+      v.select(col("id"), col("a"), col("b"),
+          (col("a") <=> col("b")).cast("int").as("nseq"),
+          when(col("a") === col("b"), 1)
+            .when(!(col("a") === col("b")), 0).otherwise(-1).as("tvl"),
+          coalesce(col("a"), col("b"), lit(-1)).as("first_set"),
+          nullif(col("a"), lit(10)).as("a_not10"),
+          when(col("a") > col("b"), "gt")
+            .when(col("a") <= col("b"), "le")
+            .otherwise("unknown").as("cmp3"))
+        .orderBy(col("a").asc_nulls_first, col("id"))
+    },
+
+    // Fuzzy matching (entity resolution): nation-name pairs within edit
+    // distance 1 (one typo apart) — the dim-grain dedup shape (candidate
+    // pairs from a bounded dim cross, exact Levenshtein only on
+    // survivors; at corpus scale the candidate set comes from LSH
+    // banding, see ext.Dedup).
+    Q("f_fuzzy_match",
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY dist, name_a, name_b""".stripMargin) { (s, d) =>
+      val a = t(s, d, "nation").select(col("n_name").as("name_a"))
+      val b = t(s, d, "nation").select(col("n_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .orderBy("dist", "name_a", "name_b")
+    },
+
     // Array explode + word count (reference codesPostaux explode → bridge
     // table, data_preparation.ipynb#cell9).
     Q("f_explode_wordcount",
