@@ -217,10 +217,11 @@ object Relational {
     },
 
     // Market-basket co-occurrence: top part-brand pairs appearing in the
-    // same order. The self-join is keyed by the ORDER (bounded fan-out:
-    // items per order is small and fixed by the domain, so the pair
-    // explosion is |orders|·avg_items², never corpus²); a < b halves the
-    // pairs and the distinct-pair aggregate absorbs them map-side.
+    // same order. One shuffle to order grain builds each basket's
+    // distinct brand set; pairs then expand as a pure projection
+    // (a < b ordering halves them), so pair volume is
+    // |orders|·basket_size², never corpus², and the pair aggregate
+    // absorbs duplicates map-side.
     Q("j_cooccurrence",
       """WITH items AS (
         |  SELECT DISTINCT l.l_orderkey, p.p_brand

@@ -6,11 +6,8 @@ package graft
   * ACTUAL registered queries (SparkEntry), not re-built lookalikes. */
 class PlanAuditSpec extends SparkSpec {
 
-  private def planOf(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf001)
-    df.collect() // finalize AQE
-    df.queryExecution.executedPlan.toString
-  }
+  private def planOf(name: String): String =
+    finalPlanOf(SparkEntry.queries(name)(spark, sf001))
 
   private def formattedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf001)

@@ -12,4 +12,11 @@ object TestSession {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   def sf001 = "/root/testdata/sf0.001"
+
+  /** Finalized (post-AQE) physical plan string of `df` — collect() first
+    * so AdaptiveSparkPlan prints the final plan, not the initial one. */
+  def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
 }

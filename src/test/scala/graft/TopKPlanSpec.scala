@@ -16,10 +16,7 @@ class TopKPlanSpec extends SparkSpec {
     ("c", 4, 7.0))
     .toDF("k", "v", "payload")
 
-  private def planOf(df: DataFrame): String = {
-    df.collect() // force AQE to finalize
-    df.queryExecution.executedPlan.toString
-  }
+  private def planOf(df: DataFrame): String = finalPlanOf(df)
 
   private def withRewrite[T](on: Boolean)(body: => T): T = {
     spark.conf.set("spark.graft.topkRewrite.enabled", on.toString)
