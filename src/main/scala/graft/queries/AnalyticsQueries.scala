@@ -153,8 +153,14 @@ object AnalyticsQueries {
         |       CAST(rank() OVER wt AS INT) AS rnk,
         |       CAST(dense_rank() OVER wt AS INT) AS drnk,
         |       round(percent_rank() OVER wt + 1e-7, 6) AS prnk,
+        |       round(cume_dist() OVER wt + 1e-7, 6) AS cdist,
         |       CAST(ntile(4) OVER wu AS INT) AS quartile,
-        |       CAST(row_number() OVER wu AS INT) AS rn
+        |       CAST(row_number() OVER wu AS INT) AS rn,
+        |       CAST(nth_value(o_orderkey, 2) OVER
+        |         (PARTITION BY o_orderstatus
+        |          ORDER BY o_orderpriority, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS BIGINT) AS second_key
         |FROM orders
         |WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority),
         |       wu AS (PARTITION BY o_orderstatus
@@ -167,8 +173,12 @@ object AnalyticsQueries {
           rank().over(wt).as("rnk"),
           dense_rank().over(wt).as("drnk"),
           Fp.r(percent_rank().over(wt), 6).as("prnk"),
+          Fp.r(cume_dist().over(wt), 6).as("cdist"),
           ntile(4).over(wu).as("quartile"),
-          row_number().over(wu).as("rn"))
+          row_number().over(wu).as("rn"),
+          nth_value(col("o_orderkey"), 2).over(
+            wu.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("second_key"))
         .orderBy("o_orderkey")
     },
   )
