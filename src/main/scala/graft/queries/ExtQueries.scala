@@ -654,6 +654,54 @@ object ExtQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Corpus health dashboard: the per-source monitoring artifact every
+    // curation pipeline ships — volume, token stats, repetition, keep
+    // rate under the standard rules, language spread. ONE fused TextStats
+    // pass per row, one source-grain aggregate; at 100 TB this is a scan
+    // plus a catalog-sized shuffle.
+    Q("x_corpus_health",
+      s"""WITH tok AS (SELECT source, lang, text, $TOKS AS toks
+         |            FROM documents),
+         |feat AS (SELECT source, lang, len(toks) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks),0) AS ttr,
+         |  CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g'))
+         |       AS DOUBLE) / nullif(length(text),0) AS pr,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |    / nullif(len(toks),0) AS mwl
+         |  FROM tok),
+         |r AS (SELECT source, lang, nt, ttr,
+         |  CASE WHEN nt < 20 THEN 0 WHEN nt > 500 THEN 0
+         |       WHEN pr > 0.1 THEN 0
+         |       WHEN mwl < 3.0 OR mwl > 9.0 THEN 0 ELSE 1 END AS kept
+         |  FROM feat)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(nt) + 1e-7, 2) AS avg_tokens,
+         |  round(avg(ttr) + 1e-7, 4) AS avg_ttr,
+         |  round(avg(kept) + 1e-7, 4) AS keep_rate,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.functions.TextStats.register(s)
+      val st = docsSpread(s, d)
+        .withColumn("__st", graft.functions.TextStats.textStats(col("text")))
+      val nt = col("__st.n_tokens")
+      val ttr = col("__st.n_distinct").cast("double") / nullif(nt, lit(0))
+      val pr = col("__st.n_punct").cast("double") /
+        nullif(col("__st.n_chars"), lit(0))
+      val mwl = col("__st.sum_len").cast("double") / nullif(nt, lit(0))
+      val kept = when(nt < 20, 0).when(nt > 500, 0)
+        .when(pr > 0.1, 0)
+        .when(mwl < 3.0 || mwl > 9.0, 0).otherwise(1)
+      st.select(col("source"), col("lang"), nt.as("nt"),
+          ttr.as("ttr"), kept.as("kept"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          Fp.r(avg("nt"), 2).as("avg_tokens"),
+          Fp.r(avg("ttr"), 4).as("avg_ttr"),
+          Fp.r(avg("kept"), 4).as("keep_rate"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    },
+
     // Corpus heavy hitters: output rows are the EXACT top-10 token counts
     // (SQL-expressible — that stays the oracle), while `sketch_ok`
     // certifies the bounded-memory Misra–Gries path: 1 iff every exact
