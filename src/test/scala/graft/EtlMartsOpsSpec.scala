@@ -284,6 +284,31 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("file swap aborts on a failed rename, old files intact") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-swap")
+    val target = new java.io.File(base.toFile, "table")
+    val staging = new java.io.File(base.toFile, ".table__upserting")
+    Seq((1L, "old")).toDF("id", "v").write.parquet(target.toString)
+    Seq((2L, "new")).toDF("id", "v").write.parquet(staging.toString)
+    // force a rename collision: the target already holds a file with the
+    // SAME name as a staged part file (HDFS-semantics rename -> false)
+    val staged = staging.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(staged.nonEmpty)
+    val collide = new java.io.File(target, staged.head.getName)
+    java.nio.file.Files.write(collide.toPath, Array[Byte]()) // 0-byte decoy
+    val oldFiles = target.listFiles().map(_.getName).toSet
+    val fs = new HPath(target.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.io.IOException] {
+      Compaction.swapDataFiles(fs,
+        new HPath(staging.toString), new HPath(target.toString))
+    }
+    assert(e.getMessage.contains("swap aborted"))
+    // nothing was deleted: every pre-swap target file still present
+    assert(oldFiles.subsetOf(target.listFiles().map(_.getName).toSet))
+  }
+
   test("statistics refresh records table + column stats for the CBO") {
     import graft.ops.Stats
     spark.sql("DROP TABLE IF EXISTS stats_probe")
