@@ -275,10 +275,16 @@ object Curation {
       16, 10).cast("double")
 
   def weightedSampleKey(idCol: Column, weight: Column,
-      salt: String = ""): Column =
+      salt: String = ""): Column = {
     // u = (v+1)/(2^32+1) ∈ (0,1], never 0 (0^(1/w) would break ordering)
-    pow((md5Prefix32(idCol, salt) + 1.0) / 4294967297.0,
+    val priority = pow((md5Prefix32(idCol, salt) + 1.0) / 4294967297.0,
       lit(1.0) / weight.cast("double"))
+    // A-ES is defined for w > 0 only: pow(u, 1/w) at w <= 0 yields
+    // NaN/degenerate priorities that would silently corrupt the sample
+    // order — null them instead (desc sort puts nulls last, so invalid-
+    // weight rows lose to every valid row rather than beating them)
+    when(weight.cast("double") > 0.0, priority)
+  }
 
   /** Rebalance a corpus to a target source mixture by deterministic
     * downsampling (the "apply the mixture weights" step of

@@ -226,28 +226,110 @@ object Compaction {
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
   }
 
-  /** Crash-safe adopt-then-delete swap of a leaf's data files: every
-    * fresh file from `staging` is renamed into `target` FIRST — each
-    * rename's result CHECKED, aborting (old files intact) on the first
-    * failure — and only then are the old files dropped. A crash or a
-    * failed rename can duplicate rows for a racing reader, never lose
-    * them. Shared by the compaction sweep and the streaming upsert sink:
-    * one copy of the durability-critical protocol. */
+  /** Name of the swap manifest — the COMMIT RECORD of a file swap, living
+    * dot-prefixed inside the target leaf (invisible to Spark's FileIndex).
+    * Line 1 names the staging dir (resolved against the target's parent);
+    * the remaining lines name the old data files to drop. Its atomic
+    * rename into place is the commit point: before it, a swap aborts
+    * clean; after it, the swap ROLLS FORWARD via [[recoverSwap]]. */
+  private val ManifestName = "._graft_swap_manifest"
+
+  /** Crash-safe swap of a leaf's data files, with roll-forward recovery:
+    *
+    *  1. verify no staged name collides with an existing target file —
+    *     abort otherwise, nothing touched;
+    *  2. COMMIT: write the manifest (staging dir + old-file list) to a
+    *     temp name and rename it into the target;
+    *  3. adopt every fresh file from `staging` into `target`;
+    *  4. drop the old files; 5. drop the manifest and the staging dir.
+    *
+    * A crash before (2) leaves the target bit-identical (the orphaned
+    * staging dir is swept by the next run); a crash after (2) leaves a
+    * manifest that [[recoverSwap]] — called by the compaction sweep and
+    * by every upsert batch before it reads the target — completes: adopt
+    * what's still staged, drop what the manifest lists, clean up. So
+    * duplicates from a mid-swap crash are TRANSIENT: visible only to a
+    * reader racing the window between (2) and (4), healed before the next
+    * merge reads the table. Shared by the compaction sweep and the
+    * streaming upsert sink: one copy of the durability-critical
+    * protocol. */
   private[graft] def swapDataFiles(fs: FileSystem, staging: HPath,
       target: HPath): Unit = {
     val old = fs.listStatus(target)
       .filter(s => s.isFile && isDataFile(s.getPath))
     val fresh = fs.listStatus(staging)
       .filter(s => s.isFile && isDataFile(s.getPath))
+    // collision check BEFORE the commit point: an abort here is clean
     fresh.foreach { f =>
       val dest = new HPath(target, f.getPath.getName)
-      if (!fs.rename(f.getPath, dest))
+      if (fs.exists(dest))
         throw new java.io.IOException(
           s"swap aborted: rename ${f.getPath} -> $dest failed; " +
             "old files left in place")
     }
+    commitManifest(fs, staging, target, old.map(_.getPath.getName))
+    fresh.foreach { f =>
+      val dest = new HPath(target, f.getPath.getName)
+      if (!fs.rename(f.getPath, dest))
+        // past the commit point the swap must not un-happen: leave the
+        // manifest in place so the next recoverSwap retries the adoption
+        throw new java.io.IOException(
+          s"swap interrupted: rename ${f.getPath} -> $dest failed; " +
+            "manifest left for roll-forward recovery")
+    }
     old.foreach(p => fs.delete(p.getPath, false))
+    fs.delete(new HPath(target, ManifestName), false)
     fs.delete(staging, true)
+  }
+
+  /** Write + atomically rename the swap commit record (see
+    * [[swapDataFiles]]); `private[graft]` so tests can stage a simulated
+    * crash between commit and completion. */
+  private[graft] def commitManifest(fs: FileSystem, staging: HPath,
+      target: HPath, oldNames: Seq[String]): Unit = {
+    val tmp = new HPath(target, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((staging.getName +: oldNames).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val manifest = new HPath(target, ManifestName)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"could not commit swap manifest $manifest")
+  }
+
+  /** Roll an interrupted swap forward (no-op without a manifest): adopt
+    * any file still in the manifest's staging dir, drop every old file
+    * the manifest lists, then drop manifest + staging. Idempotent —
+    * crashing inside recovery just means recovering again. Returns true
+    * when a manifest was found and completed. */
+  private[graft] def recoverSwap(fs: FileSystem, target: HPath): Boolean = {
+    val manifest = new HPath(target, ManifestName)
+    if (!fs.exists(manifest)) return false
+    val in = fs.open(manifest)
+    val content = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = content.split("\n").toSeq.filter(_.nonEmpty)
+    val staging = new HPath(target.getParent, lines.head)
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).filter(s => s.isFile && isDataFile(s.getPath))
+        .foreach { f =>
+          val dest = new HPath(target, f.getPath.getName)
+          // a same-name dest can only be this swap's own adoption (names
+          // were collision-checked pre-commit): drop the staged copy
+          if (fs.exists(dest)) fs.delete(f.getPath, false)
+          else if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"swap recovery: rename ${f.getPath} -> $dest failed")
+        }
+    }
+    lines.tail.foreach { n =>
+      val p = new HPath(target, n)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.delete(manifest, false)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    true
   }
 
   private val TmpSuffix = "__compacting"
@@ -285,7 +367,9 @@ object Compaction {
     val root = new HPath(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leafDirs(fs, root).flatMap { d =>
-      // a crashed earlier sweep may have left its hidden rewrite dir
+      // a swap that crashed past its commit point rolls FORWARD first...
+      recoverSwap(fs, d)
+      // ...then any uncommitted hidden rewrite dir is plain abort debris
       val tmp = tmpDirFor(d)
       if (fs.exists(tmp)) fs.delete(tmp, true)
       val parts = fs.listStatus(d).filter(s => s.isFile && isDataFile(s.getPath))

@@ -253,10 +253,11 @@ object Relational {
           .limit(15)
     },
 
-    // Order-independent table digest: one 64-bit xor of per-row md5
-    // hashes — two environments compare a 100 TB table by exchanging one
-    // long (the cross-engine "is your copy identical" primitive; this
-    // oracle row IS that comparison, DuckDB vs Spark).
+    // Order-independent table digest: the SUM of per-row md5 hashes mod
+    // 2^62 (not xor — xor is multiplicity-insensitive, see
+    // Quality.tableDigest) — two environments compare a 100 TB table by
+    // exchanging one long (the cross-engine "is your copy identical"
+    // primitive; this oracle row IS that comparison, DuckDB vs Spark).
     Q("s_table_digest",
       """WITH h AS (SELECT CAST(concat('0x', substr(md5(
         |    coalesce(CAST(length(CAST(c_custkey AS VARCHAR)) AS VARCHAR)
@@ -273,9 +274,9 @@ object Relational {
         Seq("c_custkey", "c_name", "c_mktsegment"))
     },
 
-    // Partition-grain digests (incremental sync): per-segment xor
-    // digests — two table copies re-ship only the groups whose digest
-    // drifted. One aggregate pass, digest column per group.
+    // Partition-grain digests (incremental sync): per-segment sums of
+    // per-row md5 hashes mod 2^62 — two table copies re-ship only the
+    // groups whose digest drifted. One aggregate pass, digest per group.
     Q("s_partition_digest",
       """WITH h AS (SELECT c_mktsegment, CAST(concat('0x', substr(md5(
         |    coalesce(CAST(length(CAST(c_custkey AS VARCHAR)) AS VARCHAR)

@@ -112,9 +112,10 @@ object Streams {
     * latest-change-wins within the batch (one row_number window — which
     * the TopKPerKey strategy executes as a bounded heap), anti-join out
     * the replaced keys, union the survivors in. The rewrite lands via a
-    * hidden staging dir with the compaction swap contract (adopt fresh
-    * files FIRST, then drop old ones — a crash duplicates rows, never
-    * loses them; the dot-prefixed staging dir is invisible to readers).
+    * hidden staging dir with the compaction swap contract (manifest
+    * commit, then adopt fresh files, then drop old ones — a mid-swap
+    * crash rolls FORWARD at the next batch via `Compaction.recoverSwap`;
+    * the dot-prefixed staging dir is invisible to readers).
     *
     * At warehouse scale the target would be partitioned and only touched
     * partitions rewritten (`Etl.writePartitioned` + a key→partition
@@ -137,6 +138,10 @@ object Streams {
       val target = new org.apache.hadoop.fs.Path(targetDir)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
+      // a swap that crashed past its commit point left old+new file sets
+      // coexisting — roll it forward BEFORE reading, or the duplicates of
+      // every key absent from this batch would be baked into the merge
+      graft.ops.Compaction.recoverSwap(fs, target)
       val merged = spark.read.parquet(targetDir)
         .join(latest, keys, "left_anti").unionByName(latest)
       val staging = new org.apache.hadoop.fs.Path(target.getParent,
@@ -151,9 +156,15 @@ object Streams {
 
   /** Streaming upsert sink (the foreachBatch production pattern): every
     * micro-batch latest-wins-merges into the parquet table at
-    * `targetDir`. Exactly-once lands via the checkpoint + idempotent
-    * merge (re-running a batch re-applies the same keys to the same
-    * values). */
+    * `targetDir`. Exactly-once for the DURABLE table state: the
+    * checkpoint makes batch replay idempotent (same keys re-merge to the
+    * same values), and a crash inside the file swap rolls forward via the
+    * swap manifest — the next batch (or compaction sweep) completes the
+    * interrupted adoption before reading, so no duplicate survives into a
+    * merge. The one caveat is visibility, not durability: a reader racing
+    * the swap window itself can transiently observe old+new files
+    * together (point-in-time isolation needs a transactional table
+    * format, out of scope). */
   def upsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
       keys: Seq[String], orderCol: String):
       org.apache.spark.sql.streaming.StreamingQuery =

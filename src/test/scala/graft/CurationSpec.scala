@@ -224,6 +224,17 @@ class CurationSpec extends SparkSpec {
     val keys = df.select(Curation.weightedSampleKey($"id", $"w"))
       .as[Double].collect()
     assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    // zero/negative/null weights yield NULL priorities (never NaN), so
+    // invalid rows lose every desc-ordered draw instead of corrupting it
+    val bad = Seq((1L, Some(0)), (2L, Some(-3)), (3L, None), (4L, Some(5)))
+      .toDF("id", "w")
+    val pri = bad.select(Curation.weightedSampleKey($"id", $"w"))
+      .as[Option[Double]].collect().toSeq
+    assert(pri.take(3).forall(_.isEmpty), s"invalid weights not nulled: $pri")
+    assert(pri(3).exists(k => k > 0.0 && k <= 1.0))
+    val drawn = Curation.weightedSample(bad, "id", $"w", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(drawn.head == 4L, "valid-weight row must outrank invalid ones")
   }
 
   test("mixtureSample rebalances toward targets, binding source kept whole") {

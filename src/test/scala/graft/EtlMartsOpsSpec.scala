@@ -309,6 +309,66 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(oldFiles.subsetOf(target.listFiles().map(_.getName).toSet))
   }
 
+  test("a swap crashed past its commit point rolls forward on recovery") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-rec")
+    val target = new java.io.File(base.toFile, "table")
+    val staging = new java.io.File(base.toFile, ".table__upserting")
+    Seq((1L, "old"), (2L, "old")).toDF("id", "v").coalesce(1)
+      .write.parquet(target.toString)
+    Seq((1L, "new"), (2L, "new")).toDF("id", "v").coalesce(1)
+      .write.parquet(staging.toString)
+    val fs = new HPath(target.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldNames = target.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    val stagedNames = staging.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    // simulate a crash: manifest committed, ONE fresh file adopted, then
+    // nothing — old and new rows coexist for a racing reader
+    Compaction.commitManifest(fs, new HPath(staging.toString),
+      new HPath(target.toString), oldNames)
+    fs.rename(new HPath(staging.toString, stagedNames.head),
+      new HPath(target.toString, stagedNames.head))
+    assert(spark.read.parquet(target.toString).count() == 4) // transient dupes
+    // recovery completes the swap: adopt the rest, drop the old set
+    assert(Compaction.recoverSwap(fs, new HPath(target.toString)))
+    val healed = spark.read.parquet(target.toString)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(healed == Seq((1L, "new"), (2L, "new")))
+    assert(!staging.exists())
+    // idempotent: nothing left to recover
+    assert(!Compaction.recoverSwap(fs, new HPath(target.toString)))
+  }
+
+  test("upsert after a crashed swap heals keys absent from the batch") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-rec")
+    val target = new java.io.File(base.toFile, "kv")
+    val staging = new java.io.File(base.toFile, ".kv__upserting")
+    // durable table: keys 1..3 at version 1
+    Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1")).toDF("id", "ver", "v")
+      .coalesce(1).write.parquet(target.toString)
+    // the crashed batch was upserting key 1 -> version 2
+    Seq((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")).toDF("id", "ver", "v")
+      .coalesce(1).write.parquet(staging.toString)
+    val fs = new HPath(target.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Compaction.commitManifest(fs, new HPath(staging.toString),
+      new HPath(target.toString),
+      target.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq)
+    // crash before any adoption: old files + manifest, staging intact.
+    // The NEXT batch only touches key 3 — without roll-forward, keys 1/2
+    // would keep their stale versions (the ADVICE r6 failure mode).
+    graft.streaming.Streams.upsertBatch(
+      Seq((3L, 2L, "c2")).toDF("id", "ver", "v"),
+      target.toString, Seq("id"), "ver")
+    val rows = spark.read.parquet(target.toString)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 2L, "c2")),
+      s"crashed swap not healed: $rows")
+  }
+
   test("statistics refresh records table + column stats for the CBO") {
     import graft.ops.Stats
     spark.sql("DROP TABLE IF EXISTS stats_probe")

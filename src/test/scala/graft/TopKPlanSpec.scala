@@ -111,6 +111,68 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("commuted and BETWEEN spellings rewrite too") {
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    def ranked = events.withColumn("rn", row_number().over(w))
+    // 1 = rn (commuted equality)
+    val eq = ranked.filter(lit(1) === col("rn"))
+    assert(planOf(eq).contains("TopKPerKey"), "EqualTo(1, rn) did not fire")
+    assert(eq.select("k", "v").orderBy("k").as[(String, Int)].collect()
+      === Array(("a", 9), ("b", 7), ("c", 4)))
+    // k >= rn (commuted upper bound)
+    val ge = ranked.filter(lit(2) >= col("rn"))
+    assert(planOf(ge).contains("TopKPerKey"), "GreaterThanOrEqual(2, rn) did not fire")
+    // rn BETWEEN 1 AND 2 — the >= 1 conjunct is a tautology, not a blocker
+    val btw = ranked.filter(col("rn").between(1, 2))
+    assert(planOf(btw).contains("TopKPerKey"), "BETWEEN 1 AND k did not fire")
+    val expected = withRewrite(false) {
+      ranked.filter(col("rn") <= 2).orderBy("k", "rn")
+        .as[(String, Int, Double, Int)].collect()
+    }
+    assert(ge.orderBy("k", "rn").as[(String, Int, Double, Int)].collect()
+      === expected)
+    assert(btw.orderBy("k", "rn").as[(String, Int, Double, Int)].collect()
+      === expected)
+    // a REAL lower bound is not expressible by the operator: falls back
+    val lower = ranked.filter(col("rn").between(2, 3))
+    assert(!planOf(lower).contains("TopKPerKey"))
+    assert(lower.select("k", "v").orderBy("k", "v").as[(String, Int)].collect()
+      === Array(("a", 3), ("a", 5), ("b", 2)))
+  }
+
+  test("maxKeys guard: partial flush + final sort fallback stay exact") {
+    val n = 5000
+    val many = (0 until n).map(i => (i % 997, i, i.toLong)).toDF("k", "v", "uid")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("uid"))
+    def run = many.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("k", "rn").as[(Int, Int, Long, Int)].collect().toSeq
+    val expected = withRewrite(false)(run)
+    // force both fallbacks: every task's key map overflows at 16 keys
+    spark.conf.set("spark.graft.topkRewrite.maxKeys", "16")
+    try {
+      val df = many.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(planOf(df).contains("TopKPerKey"))
+      assert(run == expected, "fallback paths diverged from the window path")
+    } finally spark.conf.unset("spark.graft.topkRewrite.maxKeys")
+  }
+
+  test("final mode declares its output ordering: downstream sort elided") {
+    val df = topk(events, 2)
+    val sorted = df.sortWithinPartitions("k", "rn")
+    sorted.collect()
+    val plan = sorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the declared outputOrdering (keys ASC, rn ASC, order) must satisfy
+    // the per-partition sort, so RemoveRedundantSorts drops the SortExec
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort ["), s"expected no sort in:\n$plan")
+    // and the emitted order really is (k, rn) within each partition
+    val parts = sorted.select("k", "rn").as[(String, Int)]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect()
+    parts.foreach(p => assert(p == p.sorted, s"partition not key-ordered: $p"))
+  }
+
   test("multi-column keys and order tiebreakers match the window path") {
     val df = Seq(("x", 1, 10, "p"), ("x", 1, 10, "q"), ("x", 2, 5, "r"),
       ("y", 1, 10, "s"))
