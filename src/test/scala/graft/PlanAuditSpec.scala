@@ -47,4 +47,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowGroupLimit"),
       "rewrite should replace Spark's sort-based group-limit path")
   }
+
+  test("j_dpp_prune: scan carries a dynamic pruning filter, reads < all partitions") {
+    val df = SparkEntry.queries("j_dpp_prune")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in:\n${plan.take(3000)}")
+    // the partitioned fact scan must have read fewer year-partitions than
+    // the table holds (runtime metric, not a plan-string claim)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps finished stages in leaf QueryStageExec nodes: descend
+    // explicitly or collect() never reaches the scans
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves)
+    }
+    val scans = leaves(df.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("o_totalprice"))
+      .filter(_.metrics.contains("numPartitions"))
+    assert(scans.nonEmpty, s"no partitioned scan found in:\n${plan.take(3000)}")
+    val totalYears = queries.ScaleQueries.partitionedOrders(spark, sf001)
+      .select("annee").distinct().count()
+    val read = scans.map(_.metrics("numPartitions").value).min
+    assert(read > 0 && read < totalYears,
+      s"expected a pruned read, got $read of $totalYears partitions")
+  }
 }
