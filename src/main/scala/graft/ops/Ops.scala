@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Operational layer: ETL logging, monitoring views, snapshot backup with
@@ -123,45 +122,117 @@ object ErrorLedger {
           .cast("int"))
 }
 
-/** Snapshot backup + retention sweep: copy the warehouse directory to a
-  * timestamped snapshot, delete snapshots older than the retention window
-  * (reference BACPAC export + 30-day cleanup). */
+/** Snapshot backup + retention sweep + restore — the reference's BACPAC
+  * export / 30-day cleanup / documented RPO-24h-RTO-4h restore procedure
+  * (`analytics/etl/backup_to_datalake.py:93-190`,
+  * `docs/E6_MAINTENANCE_METHODOLOGY.md` §8) re-expressed for a
+  * distributed warehouse:
+  *
+  *  - All metadata operations use the Hadoop FileSystem API, so backups
+  *    run unchanged on local disk, HDFS, or an object store behind an
+  *    s3a/abfs connector — same posture as the compaction sweep.
+  *  - The byte movement is a DISTRIBUTED Spark job: the driver lists the
+  *    file inventory (metadata only — one recursive listing), and the
+  *    copies fan out one task per file across the cluster. At 100 TB a
+  *    driver-side walk+copy would be a single-threaded, days-long
+  *    bottleneck; per-file tasks make the copy scale with the cluster
+  *    (and an object-store connector can turn each task's copy into a
+  *    server-side COPY with no data through the executor).
+  */
 object Backup {
-  def snapshot(warehouseDir: String, backupRoot: String,
-      stamp: String): String = {
-    val dest = Paths.get(backupRoot, s"snapshot_$stamp")
-    val src = Paths.get(warehouseDir)
-    Files.walk(src).iterator().asScala.foreach { p =>
-      val t = dest.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
+
+  /** Relative paths of every regular file under `root` (driver-side
+    * metadata listing; hidden entries are NOT skipped — a backup must be
+    * byte-faithful, including _SUCCESS markers). */
+  private def inventory(fs: FileSystem, root: HPath): Seq[String] = {
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      out += p.stripPrefix(rootUri).stripPrefix("/")
     }
+    out.result()
+  }
+
+  /** Distributed tree copy `srcRoot/rel -> destRoot/rel` for every file
+    * in the inventory: one Spark task per file, Hadoop conf shipped as
+    * plain key-value pairs (executors rebuild it — Configuration itself
+    * is not serializable). Returns the number of files copied. */
+  private def copyTree(spark: SparkSession, srcRoot: HPath,
+      destRoot: HPath): Long = {
+    val sc = spark.sparkContext
+    val fs = srcRoot.getFileSystem(sc.hadoopConfiguration)
+    val files = inventory(fs, srcRoot)
+    destRoot.getFileSystem(sc.hadoopConfiguration).mkdirs(destRoot)
+    if (files.isEmpty) return 0L
+    val confKv = sc.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    val (srcStr, destStr) = (fs.makeQualified(srcRoot).toString,
+      destRoot.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(destRoot).toString)
+    val slices = math.min(files.size, sc.defaultParallelism * 2).max(1)
+    sc.parallelize(files, slices).foreach { rel =>
+      val conf = new Configuration(false)
+      confKv.foreach { case (k, v) => conf.set(k, v) }
+      val src = new HPath(s"$srcStr/$rel")
+      val dst = new HPath(s"$destStr/$rel")
+      FileUtil.copy(src.getFileSystem(conf), src,
+        dst.getFileSystem(conf), dst,
+        /*deleteSource*/ false, /*overwrite*/ true, conf)
+    }
+    files.size.toLong
+  }
+
+  def snapshot(spark: SparkSession, warehouseDir: String, backupRoot: String,
+      stamp: String): String = {
+    val dest = new HPath(backupRoot, s"snapshot_$stamp")
+    copyTree(spark, new HPath(warehouseDir), dest)
     dest.toString
+  }
+
+  /** The restore inverse (RTO path): replace `warehouseDir` with the
+    * contents of `snapshotDir`. The old warehouse is moved aside, the
+    * snapshot copied in by the same distributed job as [[snapshot]], and
+    * the aside dir dropped only after the copy lands — a failed restore
+    * leaves the aside dir to roll back by hand rather than a half-empty
+    * warehouse and no original. */
+  def restore(spark: SparkSession, snapshotDir: String,
+      warehouseDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = new HPath(snapshotDir)
+    val wh = new HPath(warehouseDir)
+    val fs = wh.getFileSystem(conf)
+    require(snap.getFileSystem(conf).exists(snap),
+      s"snapshot not found: $snapshotDir")
+    val aside = new HPath(wh.getParent, "." + wh.getName + "__pre_restore")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(wh) && !fs.rename(wh, aside))
+      throw new java.io.IOException(s"restore aborted: could not move $wh aside")
+    copyTree(spark, snap, wh)
+    fs.delete(aside, true)
   }
 
   /** Backup-state view (reference `analytics.v_etat_backup_azure`,
     * `009_configure_backup.sql:37-53`, which reads a server DMV; the
     * engine equivalent inventories the snapshot directory): one row per
-    * snapshot with stamp, file count and total bytes — driver-side
-    * metadata walk over a path set bounded by the retention window. */
+    * snapshot with stamp, file count and total bytes — one
+    * getContentSummary RPC per snapshot, over a path set bounded by the
+    * retention window. */
   def status(spark: SparkSession, backupRoot: String): DataFrame = {
     import spark.implicits._
-    val root = Paths.get(backupRoot)
-    // Files.list/walk streams hold directory fds until closed — a
-    // monitoring view gets polled forever, so leak-free matters here
-    def listed[T](stream: java.util.stream.Stream[java.nio.file.Path])(
-        f: Iterator[java.nio.file.Path] => T): T =
-      try f(stream.iterator().asScala) finally stream.close()
+    val root = new HPath(backupRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows =
-      if (!Files.exists(root)) Seq.empty
-      else listed(Files.list(root))(_.filter(
-          _.getFileName.toString.startsWith("snapshot_")).toSeq)
-        .map { p =>
-          val (n, bytes) = listed(Files.walk(p))(
-            _.filter(Files.isRegularFile(_))
-              .foldLeft((0L, 0L)) { case ((c, b), f) =>
-                (c + 1, b + Files.size(f)) })
-          (p.getFileName.toString.stripPrefix("snapshot_"), n, bytes)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot_"))
+        .map { s =>
+          val sum = fs.getContentSummary(s.getPath)
+          (s.getPath.getName.stripPrefix("snapshot_"),
+            sum.getFileCount, sum.getLength)
         }.sortBy(_._1)
     rows.toDF("stamp", "n_files", "total_bytes")
   }
@@ -173,17 +244,19 @@ object Backup {
     log.filter(col("etape").isin(stages.map(x => x: Any): _*))
 
   /** Remove snapshots whose lexicographic stamp is older than `cutoffStamp`
-    * (stamps are yyyyMMdd_HHmmss so string order = time order). */
-  def sweep(backupRoot: String, cutoffStamp: String): Seq[String] = {
-    val root = Paths.get(backupRoot)
-    if (!Files.exists(root)) return Nil
-    val victims = Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snapshot_"))
-      .filter(p => p.getFileName.toString.stripPrefix("snapshot_") < cutoffStamp)
-      .toSeq
-    victims.foreach { v =>
-      Files.walk(v).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    * (stamps are yyyyMMdd_HHmmss so string order = time order).
+    * Metadata-only driver work: one listing + one recursive delete per
+    * expired snapshot. */
+  def sweep(spark: SparkSession, backupRoot: String,
+      cutoffStamp: String): Seq[String] = {
+    val root = new HPath(backupRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val victims = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot_"))
+      .filter(_.getPath.getName.stripPrefix("snapshot_") < cutoffStamp)
+      .map(_.getPath)
+    victims.foreach(v => fs.delete(v, true))
     victims.map(_.toString)
   }
 }

@@ -163,7 +163,7 @@ class EndToEndSpec extends SparkSpec {
         Compaction.compact(spark, s"$wh/stg_population")
           .map(_.filesBefore.toLong).sum),
       Stage("backup", Seq("facts"), () => {
-        Backup.snapshot(s"$wh/stg_population", cfg("backup_root"),
+        Backup.snapshot(spark, s"$wh/stg_population", cfg("backup_root"),
           "20260812_000000")
         1L
       })),

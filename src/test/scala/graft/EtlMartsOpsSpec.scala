@@ -224,9 +224,9 @@ class EtlMartsOpsSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
     java.nio.file.Files.writeString(wh.resolve("t.parquet"), "x")
     val root = java.nio.file.Files.createTempDirectory("graft-bk").toString
-    Backup.snapshot(wh.toString, root, "20240101_000000")
-    Backup.snapshot(wh.toString, root, "20240601_000000")
-    val swept = Backup.sweep(root, "20240301_000000")
+    Backup.snapshot(spark, wh.toString, root, "20240101_000000")
+    Backup.snapshot(spark, wh.toString, root, "20240601_000000")
+    val swept = Backup.sweep(spark, root, "20240301_000000")
     assert(swept.size == 1 && swept.head.contains("20240101"))
     assert(new java.io.File(root).list().toSeq == Seq("snapshot_20240601_000000"))
     // backup-state view: one row per surviving snapshot with size stats
@@ -239,6 +239,37 @@ class EtlMartsOpsSpec extends SparkSpec {
       ("RESTAURATION", "ERREUR")).toDF("etape", "statut")
     assert(Backup.history(log).select("etape").as[String]
       .collect().toSet == Set("BACKUP", "RESTAURATION"))
+  }
+
+  test("backup restore round-trips: snapshot → mutate → restore → digest-equal") {
+    import graft.ops.Quality
+    val base = java.nio.file.Files.createTempDirectory("graft-restore")
+    val wh = s"$base/warehouse"
+    def digest() = Quality.tableDigest(
+      spark.read.parquet(s"$wh/fact"), Seq("id", "v")).first().toSeq
+    // a small partitioned warehouse table (multiple files, _SUCCESS marker)
+    (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$wh/fact")
+    val before = digest()
+    val snap = Backup.snapshot(spark, wh, s"$base/backup", "20260813_000000")
+    // mutate the warehouse: drop rows AND add a stray table
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$wh/fact")
+    (1 to 3).map(i => (i, i)).toDF("a", "b").write.parquet(s"$wh/stray")
+    assert(digest() != before)
+    // restore replaces the warehouse with the snapshot state exactly
+    Backup.restore(spark, snap, wh)
+    assert(digest() == before)
+    assert(!new java.io.File(s"$wh/stray").exists(),
+      "restore must remove tables created after the snapshot")
+    // the aside dir is cleaned up after a successful restore
+    assert(new java.io.File(base.toFile, ".warehouse__pre_restore")
+      .listFiles() == null)
+    // restoring from a missing snapshot refuses cleanly
+    intercept[IllegalArgumentException] {
+      Backup.restore(spark, s"$base/backup/snapshot_nope", wh)
+    }
+    assert(digest() == before)
   }
 
   test("compaction shrinks fragmented partitions, preserves contents") {
