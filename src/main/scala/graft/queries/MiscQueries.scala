@@ -53,6 +53,55 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- RBAC role→schema scoping (reference 006:16-120) ----------------
+    // The 4-role grant matrix composed with RLS: every role probes a dwh
+    // fact and a dm mart (nation-as-departements). Read grants come from
+    // the ACTUAL Rbac.scopedView gate — analyst/etl/admin see everything
+    // they're granted, the consultant is denied dwh outright (0 rows) and
+    // RLS-filtered on dm; the oracle re-states the expected matrix as
+    // literal grants. Authorization itself is a driver map lookup; the
+    // consultant path costs one pushed-down IN filter.
+    Q("sec_rbac_scope",
+      """WITH grants(role_name, schema_name, can_read, rls) AS (VALUES
+        |  ('role_admin',       'dwh', 1, 0), ('role_admin',       'dm', 1, 0),
+        |  ('role_etl_process', 'dwh', 1, 0), ('role_etl_process', 'dm', 1, 0),
+        |  ('role_analyst',     'dwh', 1, 0), ('role_analyst',     'dm', 1, 0),
+        |  ('role_consultant',  'dwh', 0, 0), ('role_consultant',  'dm', 1, 1)),
+        |geo AS (SELECT n_nationkey, n_regionkey AS departement_code FROM nation),
+        |full_n AS (SELECT count(*) AS n FROM geo),
+        |rls_n AS (SELECT count(*) AS n FROM geo WHERE departement_code = 0)
+        |SELECT role_name, schema_name,
+        |       CAST(CASE WHEN can_read = 0 THEN 0
+        |                 WHEN rls = 1 THEN (SELECT n FROM rls_n)
+        |                 ELSE (SELECT n FROM full_n) END AS BIGINT) AS n_visible
+        |FROM grants ORDER BY role_name, schema_name""".stripMargin) { (s, d) =>
+      import graft.security.{Rbac, Rls}
+      val geo = t(s, d, "nation").select(col("n_nationkey"),
+        col("n_regionkey").as("departement_code"))
+      val zones = s.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row("consultant1", Integer.valueOf(0))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("login",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("departement_code",
+            org.apache.spark.sql.types.IntegerType))))
+      Rbac.roles.flatMap { role =>
+        Seq("dwh", "dm").map { schema =>
+          val user = Rbac.User(s"${role}_probe", role)
+          val visible = Rbac.scopedView(geo, user.copy(login = "consultant1"),
+            schema, zones)
+          visible match {
+            case None => s.range(1).select(lit(role).as("role_name"),
+              lit(schema).as("schema_name"), lit(0L).as("n_visible"))
+            case Some(df) => df.agg(count(lit(1)).as("n_visible"))
+              .select(lit(role).as("role_name"), lit(schema).as("schema_name"),
+                col("n_visible"))
+          }
+        }
+      }.reduce(_ unionByName _).orderBy("role_name", "schema_name")
+    },
+
     // ---- RLS (reference SECURITY POLICY semantics, 011:165-214) ----------
     // Three users: dept-scoped, wildcard zone (NULL), unregistered.
     Q("sec_rls_visibility",
