@@ -7,20 +7,29 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, batched per-partition feature extraction.
   *
-  * The actual codec step (JPEG decode, resample, frame sample) is STUBBED —
-  * media libraries are not in this environment — behind
-  * `decodeStub`, a deterministic fake that derives "features" from the
-  * bytes. Everything Spark-cares-about is real: the schema contract, the
-  * mapPartitions batching (one buffer reuse per partition, the Scala
-  * analogue of `mapInPandas` batch shape), partition sizing, and the
-  * metadata columns computed as native expressions.
+  * The image codec is REAL: `javax.imageio` (in every JDK — PNG, JPEG,
+  * GIF, BMP readers) decodes, measures and resizes inside the existing
+  * mapPartitions batch shape. Payloads no installed reader understands
+  * (exotic codecs, audio/video containers — their libraries are not in
+  * this environment) fall back to `decodeStub`/`resizeStub`, a
+  * deterministic fake that derives "features" from the raw bytes, so the
+  * pipeline stays TOTAL: every row yields a feature row, and the `codec`
+  * column says which path produced it. Everything Spark-cares-about is
+  * identical on both paths: the schema contract, the mapPartitions
+  * batching (the Scala analogue of `mapInPandas` batch shape), partition
+  * sizing, and the metadata columns computed as native expressions.
   *
   * Scale posture: binary payloads stay in executor space end-to-end
   * (no collect); partition size is controlled upstream by
   * `spark.sql.files.maxPartitionBytes`, and the per-partition iterator
-  * keeps memory at one record batch.
+  * keeps memory at one record batch (decode buffers are per-row,
+  * row-strided — never a whole-partition pixel buffer).
   */
 object Multimodal {
+
+  // decode from memory: ImageIO's default disk cache would write a temp
+  // file per decode on every executor
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Canonical media record schema. */
   val mediaSchema: StructType = StructType(Seq(
@@ -42,10 +51,56 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, n_bytes: Int,
       byte_entropy: Double, feature: Array[Float])
 
-  /** DECODE STUB — deterministic fake standing in for a real codec.
-    * Derives an 8-dim "feature vector" from a byte histogram. A real
-    * deployment swaps only this function (same signature: bytes → floats);
-    * the surrounding batching/schema/partitioning is production-shaped. */
+  /** Decoded-image record: dimensions + which codec path produced the
+    * feature ("imageio" = real decode, "stub" = byte-derived fallback). */
+  final case class DecodedMedia(media_id: Long, codec: String,
+      width: Option[Int], height: Option[Int], feature: Array[Float])
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP in every
+    * JDK): (width, height, 8-bin normalized luminance histogram) — the
+    * same 8-dim feature shape as the stub, but computed from pixels.
+    * Returns None when no installed reader accepts the payload (or it is
+    * truncated/corrupt) so callers can fall back without dropping the
+    * row. Pixels are read ROW-STRIDED (one int row reused), never a
+    * whole-image buffer beyond what the JDK decoder itself allocates. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Int](8)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            // integer Rec.601 luma in [0, 255] -> 8 bins
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        Some((w, h, hist.map(_ / n)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Total codec: real decode when a reader exists, byte-stub otherwise. */
+  def decodeAuto(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes).map(_._3).getOrElse(decodeStub(bytes))
+
+  /** DECODE STUB — deterministic fallback for payloads without an
+    * installed codec (and the audio/video stand-in). Derives an 8-dim
+    * "feature vector" from a byte histogram: same signature and shape as
+    * the real path, so the two are interchangeable per row. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Int](8)
     var i = 0
@@ -65,8 +120,10 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction (the `mapInPandas` shape in
-    * Scala: one iterator pass per partition, no per-row task overhead). */
-  def extractFeatures(df: DataFrame, idCol: String, binCol: String):
+    * Scala: one iterator pass per partition, no per-row task overhead).
+    * `codec` defaults to the real-image-then-stub total codec. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+      codec: Array[Byte] => Array[Float] = decodeAuto):
       Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -74,14 +131,81 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        MediaFeatures(id, b.length, entropy(b), decodeStub(b))
+        MediaFeatures(id, b.length, entropy(b), codec(b))
       })
   }
 
-  /** RESIZE STUB — deterministic fake for an image/audio resample:
-    * stride-subsample the payload down to ~targetBytes. A real deployment
-    * swaps this function for a codec call; the per-partition batching in
-    * [[resized]] is the production contract. */
+  /** Batched decode with dimensions: one [[DecodedMedia]] row per input,
+    * real-decoded rows carry (width, height) and codec="imageio",
+    * fallback rows carry None and codec="stub" — the total-pipeline
+    * contract downstream filters/joins can rely on. */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String):
+      Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        decodeImage(b) match {
+          case Some((w, h, f)) => DecodedMedia(id, "imageio", Some(w), Some(h), f)
+          case None => DecodedMedia(id, "stub", None, None, decodeStub(b))
+        }
+      })
+  }
+
+  /** REAL image resize: decode, scale the long edge to `maxDim`
+    * (aspect-preserving, bilinear), re-encode as PNG. None when the
+    * payload doesn't decode; unchanged bytes when already small enough. */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    require(maxDim >= 1, "maxDim must be positive")
+    decodeImage(bytes) match {
+      case None => None
+      case Some((w, h, _)) if math.max(w, h) <= maxDim => Some(bytes)
+      case Some((w, h, _)) =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val scale = maxDim.toDouble / math.max(w, h)
+          val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some(baos.toByteArray)
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Batched image resize (same mapPartitions contract as [[resized]]):
+    * decodable payloads come back re-encoded with the long edge at
+    * `maxDim`; non-decodable payloads pass through UNCHANGED (a byte
+    * subsample of a non-image has no meaning — the stub path is for the
+    * feature extractor, not the resizer). */
+  def resizedImages(df: DataFrame, idCol: String, binCol: String,
+      maxDim: Int): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        (id, resizeImage(b, maxDim).getOrElse(b))
+      })
+  }
+
+  /** RESIZE STUB — deterministic byte-level resample for codec-less
+    * payloads: stride-subsample the payload down to ~targetBytes. Kept as
+    * the fallback contract for environments without media readers; the
+    * per-partition batching in [[resized]] is the production shape. */
   def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
     if (bytes.length <= targetBytes) bytes
     else {

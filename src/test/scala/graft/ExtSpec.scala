@@ -327,6 +327,50 @@ class ExtSpec extends SparkSpec {
       .first()._2.sameElements(Array[Byte](1, 2, 3)))
   }
 
+  test("multimodal: real imageio decode on a PNG, stub fallback elsewhere") {
+    // a real 64x48 PNG rendered in-test: left half black, right half white
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (0L, png(64, 48)),
+      (1L, Array.tabulate[Byte](100)(i => (i * 7 % 251).toByte))) // not an image
+      .toDF("media_id", "content")
+    val decoded = Multimodal.decodeImages(rows, "media_id", "content")
+      .collect().map(d => d.media_id -> d).toMap
+    val img = decoded(0L)
+    assert(img.codec == "imageio" &&
+      img.width.contains(64) && img.height.contains(48))
+    // half black (bin 0), half white (bin 7): pixel-derived, not bytes
+    assert(math.abs(img.feature(0) - 0.5f) < 1e-4)
+    assert(math.abs(img.feature(7) - 0.5f) < 1e-4)
+    val fake = decoded(1L)
+    assert(fake.codec == "stub" && fake.width.isEmpty)
+    assert(fake.feature.sameElements(Multimodal.decodeStub(
+      Array.tabulate[Byte](100)(i => (i * 7 % 251).toByte))))
+    // the default extractFeatures codec takes the real path for the PNG
+    val feats = Multimodal.extractFeatures(rows, "media_id", "content")
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats(0L).sameElements(img.feature))
+
+    // real resize: long edge down to 16, aspect preserved, still a PNG
+    val resizedOut = Multimodal.resizedImages(rows, "media_id", "content", 16)
+      .collect().toMap
+    val back = Multimodal.decodeImage(resizedOut(0L))
+    assert(back.exists { case (w, h, _) => w == 16 && h == 12 })
+    // non-image passes through unchanged
+    assert(resizedOut(1L).length == 100)
+    // already-small images pass through byte-identical
+    val small = png(8, 8)
+    assert(Multimodal.resizeImage(small, 16).exists(_.sameElements(small)))
+  }
+
   test("multimodal: frameSample emits evenly-spaced distinct frames") {
     // 64..127-byte payloads, 16-byte frames → 4-8 frames, sample 4
     val media = Multimodal.syntheticMedia(spark, 5)
