@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling pass — the engine-side analogue of the reference's
@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * row/null/distinct counts and numeric ranges, plus fixed-width
   * histograms for distribution eyeballing.
   *
-  * Shapes: [[describe]] runs ONE single-column aggregate job per
-  * profiled column — several exact distincts in a single multi-agg make
-  * Catalyst plan an Expand (cols× row multiplication over the full row
-  * width); per-column jobs keep each pass a column-pruned scan with a
-  * plain two-phase distinct, which is both cheaper and exactly the
-  * UNION-per-column shape external engines use. Swap in
-  * approx_count_distinct when profiling hundreds of columns.
+  * Shapes: the DEFAULT [[describe]] is ONE aggregate job over every
+  * profiled column — `approx_count_distinct` is a plain declarative
+  * aggregate, so a wide multi-agg stays a single column-pruned scan (one
+  * pass over a 100-column table, not 100). `exactDistinct = true` opts
+  * into exact cardinalities, which run one single-column job per column
+  * instead: several exact distincts in one multi-agg make Catalyst plan
+  * an Expand (cols× row multiplication over the full row width), so the
+  * per-column UNION shape is the cheaper exact plan — pay it only when
+  * the ±~2% sketch error actually matters.
   * [[histogram]] is one groupBy on a computed bucket — the bucket
   * expression is portable arithmetic (no engine-specific width_bucket),
   * so external engines reproduce it bit-for-bit.
@@ -23,24 +25,40 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Long-format numeric profile: one row per column with count, nulls,
-    * exact distincts, min/max/mean. */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * distincts (HLL-approximate by default, exact on request),
+    * min/max/mean. */
+  def describe(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    cols.map { c =>
-      val row = df.select(col(c)).agg(
-        count(lit(1)), count(when(col(c).isNull, 1)), countDistinct(col(c)),
-        min(col(c)).cast("double"), max(col(c)).cast("double"),
-        avg(col(c).cast("double"))).first()
-      // min/max/mean aggregate to NULL on an empty table or an all-null
-      // (or non-numeric-castable) column — exactly what a profiler must
-      // report, not crash on
-      def opt(i: Int): Option[Double] =
-        if (row.isNullAt(i)) None else Some(row.getDouble(i))
-      (c, row.getLong(0), row.getLong(1), row.getLong(2),
-        opt(3), opt(4), opt(5))
-    }.toDF("column", "n", "n_null", "n_distinct", "mn", "mx", "mean")
+    // min/max/mean aggregate to NULL on an empty table or an all-null
+    // (or non-numeric-castable) column — exactly what a profiler must
+    // report, not crash on
+    def opt(row: Row, i: Int): Option[Double] =
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    val rows: Seq[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])] =
+      if (exactDistinct) cols.map { c =>
+        val row = df.select(col(c)).agg(
+          count(lit(1)), count(when(col(c).isNull, 1)), countDistinct(col(c)),
+          min(col(c)).cast("double"), max(col(c)).cast("double"),
+          avg(col(c).cast("double"))).first()
+        (c, row.getLong(0), row.getLong(1), row.getLong(2),
+          opt(row, 3), opt(row, 4), opt(row, 5))
+      } else {
+        val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)), approx_count_distinct(col(c)),
+          min(col(c)).cast("double"), max(col(c)).cast("double"),
+          avg(col(c).cast("double"))))
+        val row = df.agg(aggs.head, aggs.tail: _*).first()
+        cols.zipWithIndex.map { case (c, i) =>
+          val base = 1 + i * 5
+          (c, row.getLong(0), row.getLong(base), row.getLong(base + 1),
+            opt(row, base + 2), opt(row, base + 3), opt(row, base + 4))
+        }
+      }
+    rows.toDF("column", "n", "n_null", "n_distinct", "mn", "mx", "mean")
   }
 
   /** Fixed-width histogram bucket index in [0, bins-1] over [lo, hi];

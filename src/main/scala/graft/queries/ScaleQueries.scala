@@ -219,7 +219,8 @@ object ScaleQueries {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     }) { (s, d) =>
       graft.ops.Profile.describe(t(s, d, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount"))
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exactDistinct = true)
         .select(col("column").as("col_name"), col("n"), col("n_null"),
           col("n_distinct"), col("mn"), col("mx"),
           Fp.r(col("mean"), 4).as("mean"))

@@ -428,6 +428,59 @@ class EtlMartsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
   }
 
+  test("profile default is one pass: 50 columns, a handful of jobs") {
+    import graft.ops.Profile
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val colNames = (0 until 50).map(i => s"c$i")
+    val wide = spark.range(2000).select(
+      colNames.zipWithIndex.map { case (c, i) =>
+        (col("id") % (i + 2)).as(c)
+      }: _*)
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener events are async: wait until the count stops moving
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    var approx: Map[String, (String, Long, Long, Long)] = Map.empty
+    val approxJobs = countJobs {
+      approx = Profile.describe(wide, colNames)
+        .select("column", "n", "n_null", "n_distinct")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    }
+    val exactJobs = countJobs {
+      Profile.describe(wide, colNames, exactDistinct = true).collect()
+    }
+    // one aggregate pass (AQE may materialize its stages as 2-3 jobs)
+    // versus one-plus jobs per column on the exact path
+    assert(approxJobs <= 5, s"approx path ran $approxJobs jobs")
+    assert(exactJobs >= colNames.size,
+      s"exact path unexpectedly cheap: $exactJobs jobs")
+    // counts/nulls exact; sketch cardinality lands near truth (c_i has
+    // i+2 distinct values; HLL is exact in sparse range, allow 10%)
+    colNames.zipWithIndex.foreach { case (c, i) =>
+      val (_, n, nNull, nd) = approx(c)
+      assert(n == 2000L && nNull == 0L)
+      assert(math.abs(nd - (i + 2)) <= math.max(1, (i + 2) / 10),
+        s"$c distinct $nd vs ${i + 2}")
+    }
+  }
+
   test("profile describes columns and histograms clamp to the bin range") {
     import graft.ops.Profile
     val df = Seq[(java.lang.Double, java.lang.Long)](
