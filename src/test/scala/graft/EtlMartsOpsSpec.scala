@@ -428,6 +428,61 @@ class EtlMartsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableApi.read(spark, cfg, "allowed_t", 5000))
   }
 
+  test("incremental mart refresh rebuilds only drifted partitions") {
+    import graft.marts.Refresh
+    val base = java.nio.file.Files.createTempDirectory("graft-increfresh")
+    val martDir = s"$base/mart"
+    def fact(rows: Seq[(Int, String, Double)]) =
+      rows.toDF("annee", "departement_code", "valeur")
+    val build = (src: org.apache.spark.sql.DataFrame) =>
+      src.groupBy("annee", "departement_code")
+        .agg(round(sum("valeur"), 2).as("total"),
+          count(lit(1)).as("n"))
+    val v1 = fact(Seq(
+      (2023, "59", 10.0), (2023, "59", 5.0), (2023, "62", 7.0),
+      (2024, "59", 1.0), (2024, "62", 2.0), (2024, "80", 9.0)))
+    // first refresh: full materialization, every group reported rebuilt
+    val r1 = Refresh.refreshIncremental(spark, v1,
+      Seq("annee", "departement_code"), Seq("valeur"), build, martDir)
+    assert(r1.rebuilt.size == 5 && r1.removed.isEmpty)
+    def files(rel: String): Map[String, Long] = {
+      val d = new java.io.File(s"$martDir/$rel")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched59_2023 = files("annee=2023/departement_code=59")
+    val untouched62_2024 = files("annee=2024/departement_code=62")
+    assert(untouched59_2023.nonEmpty)
+    // v2: (2024,59) changes, (2024,95) appears, (2024,80) disappears
+    val v2 = fact(Seq(
+      (2023, "59", 10.0), (2023, "59", 5.0), (2023, "62", 7.0),
+      (2024, "59", 4.0), (2024, "62", 2.0), (2024, "95", 3.0)))
+    val r2 = Refresh.refreshIncremental(spark, v2,
+      Seq("annee", "departement_code"), Seq("valeur"), build, martDir)
+    assert(r2.rebuilt.toSet == Set(
+      Map("annee" -> "2024", "departement_code" -> "59"),
+      Map("annee" -> "2024", "departement_code" -> "95")), r2.toString)
+    assert(r2.removed == Seq(Map("annee" -> "2024", "departement_code" -> "80")))
+    assert(r2.unchanged == 3)
+    // unchanged partitions: SAME files, same mtimes — never rewritten
+    assert(files("annee=2023/departement_code=59") == untouched59_2023)
+    assert(files("annee=2024/departement_code=62") == untouched62_2024)
+    // removed group's directory is gone
+    assert(!new java.io.File(s"$martDir/annee=2024/departement_code=80").exists())
+    // and the mart now equals a from-scratch build of v2
+    val got = spark.read.parquet(martDir)
+      .select("annee", "departement_code", "total", "n")
+      .as[(Int, String, Double, Long)].collect().toSet
+    val want = build(v2).as[(Int, String, Double, Long)].collect().toSet
+    assert(got == want)
+    // a no-change refresh rebuilds nothing and touches no files
+    val before59 = files("annee=2024/departement_code=59")
+    val r3 = Refresh.refreshIncremental(spark, v2,
+      Seq("annee", "departement_code"), Seq("valeur"), build, martDir)
+    assert(r3.rebuilt.isEmpty && r3.removed.isEmpty && r3.unchanged == 5)
+    assert(files("annee=2024/departement_code=59") == before59)
+  }
+
   test("profile default is one pass: 50 columns, a handful of jobs") {
     import graft.ops.Profile
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
