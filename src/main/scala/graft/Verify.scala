@@ -15,7 +15,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // oracle_sql.json goes FIRST: if the dump dies mid-way (host OOM /
-    // timeout) the driver can still compare every query that finished
+    // timeout) the driver can still compare every query that finished.
     writeOracles(outDir)
     // 4 concurrent dump jobs (SparkSession is thread-safe; jobs queue
     // FIFO) overlap per-query scheduling/commit gaps — roughly halves the
@@ -37,37 +37,58 @@ object Verify {
       if (selected.isEmpty)
         System.err.println("[verify] filter matched NO queries — nothing will be dumped")
     }
+    // A query that throws must NOT silently vanish from the gate (a
+    // missing output dir makes the driver's "N/N pass" shrink instead of
+    // fail). _declared.json fixes the expected set up front (post-filter,
+    // so local `only` runs stay usable; the driver passes no filter →
+    // all queries), and every dump failure lands in _failed.json —
+    // check.py treats a non-empty manifest, or any declared query with no
+    // output, as a hard FAIL.
+    Files.writeString(Paths.get(s"$outDir/_declared.json"),
+      selected.map(_._1).sorted.map(q).mkString("[", ",", "]"))
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val jobs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(jobs),
       scala.concurrent.duration.Duration.Inf)
+    import scala.jdk.CollectionConverters._
+    writeJsonMap(s"$outDir/_failed.json", failed.asScala.toMap)
     pool.shutdown()
     spark.stop()
+    // exit 0 even on failures: the driver must still compare the queries
+    // that DID dump — the manifest (and check.py) carry the failure signal
+    if (!failed.isEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+        failed.keySet.asScala.toSeq.sorted.mkString(", "))
   }
 
-  private def writeOracles(outDir: String): Unit = {
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-  }
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeJsonMap(path: String, m: Map[String, String]): Unit =
+    Files.writeString(Paths.get(path),
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+
+  private def writeOracles(outDir: String): Unit =
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
 }

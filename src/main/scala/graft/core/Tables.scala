@@ -28,14 +28,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-    // (microsecond) cannot represent. With
-    // spark.sql.legacy.parquet.nanosAsLong=true the column arrives as
-    // nanos-since-epoch LongType; convert with integer division (a double
-    // division would lose precision at 1e18 magnitudes).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The testdata's `events.ts` parquet annotation has changed across
+    * generator versions — TIMESTAMP(NANOS, adjustedToUTC) in some, plain
+    * TIMESTAMP(MICROS) without UTC adjustment (→ TIMESTAMP_NTZ) in others.
+    * The engine's contract is a session-zoned TimestampType: every
+    * downstream consumer (numeric casts, `withWatermark`, window functions)
+    * assumes it. Normalize all three arrival shapes here so no query or
+    * operator has to care:
+    *   - TIMESTAMP(NANOS) + `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     arrives as nanos-since-epoch LongType; integer-divide to micros
+    *     (double division would lose precision at 1e18 magnitudes).
+    *   - TIMESTAMP_NTZ: cast to TimestampType. The session is pinned UTC
+    *     (GraftSession), as is the DuckDB oracle, so the wall-clock values
+    *     are identical and result hashes are unaffected.
+    *   - TimestampType: already the contract, pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    case _ => df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -93,12 +93,7 @@ object Refresh {
         .partitionBy(groupCols: _*)
         .parquet(martDir)
     } else if (driftKeys.nonEmpty) {
-      // literal OR-of-ANDs over the bounded drifted key set; on a
-      // co-partitioned source this prunes to the touched partitions
-      val pred = driftKeys.map(k =>
-        groupCols.map(c => col(c) === lit(k(c))).reduce(_ && _))
-        .reduce(_ || _)
-      build(source.filter(pred))
+      build(driftedSlice(spark, source, groupCols, driftKeys))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(groupCols: _*)
@@ -117,4 +112,38 @@ object Refresh {
       .write.mode("overwrite").parquet(digestPath(martDir))
     Report(driftKeys, removedKeys, unchanged)
   }
+
+  /** Above this many drifted groups the literal predicate switches to a
+    * broadcast semi-join. ~64 keeps the OR-of-ANDs well inside what the
+    * analyzer and parquet filter pushdown handle comfortably. */
+  private[graft] val MaxLiteralDriftKeys = 64
+
+  /** Restrict `source` to the drifted groups.
+    *
+    * Small drift sets (the common incremental case) become a literal
+    * OR-of-ANDs predicate — it pushes to the parquet scan and prunes
+    * partitions on a co-partitioned source. But the expression tree grows
+    * linearly in keys×cols: past ~100 disjuncts the analyzer cost climbs
+    * and pushdown degrades, so a large drift set (a backfill touching
+    * thousands of groups) instead left-semi-joins a broadcast key frame.
+    * The key frame is driver-held and catalog-grain-bounded (digest rows,
+    * never fact rows); keys are compared as strings on both sides because
+    * digest keys round-trip through the partition-directory encoding. */
+  private[graft] def driftedSlice(spark: SparkSession, source: DataFrame,
+      groupCols: Seq[String], driftKeys: Seq[Map[String, String]]): DataFrame =
+    if (driftKeys.size <= MaxLiteralDriftKeys) {
+      val pred = driftKeys.map(k =>
+        groupCols.map(c => col(c) === lit(k(c))).reduce(_ && _))
+        .reduce(_ || _)
+      source.filter(pred)
+    } else {
+      import spark.implicits._
+      val keyDf = driftKeys.map(k => groupCols.map(k))
+        .toDF("__k")
+        .select(groupCols.zipWithIndex.map { case (c, i) =>
+          col("__k").getItem(i).as(s"__key_$c") }: _*)
+      val cond = groupCols.map(c =>
+        source(c).cast("string") === keyDf(s"__key_$c")).reduce(_ && _)
+      source.join(broadcast(keyDf), cond, "left_semi")
+    }
 }

@@ -15,12 +15,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** `withWatermark` requires a session-zoned TimestampType event-time
+    * column and rejects TIMESTAMP_NTZ outright
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Sources can legitimately
+    * deliver NTZ — a parquet file written without the UTC-adjusted
+    * annotation infers it — so the watermark entry points below own the
+    * normalization rather than pushing it onto every caller. The session
+    * is pinned UTC, so the cast changes the type, not the instant. */
+  private def watermarkable(df: DataFrame, timeCol: String): DataFrame =
+    df.schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(timeCol, col(timeCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling-window counts per event type; works on batch and streaming
     * inputs alike. For streaming append-mode output, the input must carry
     * `withWatermark("ts", ...)` — applied here when `watermark` is set. */
   def windowedEventCounts(events: DataFrame, windowLen: String,
       watermark: Option[String] = None): DataFrame = {
-    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    val evs = watermarkable(events, "ts")
+    val src = watermark.map(w => evs.withWatermark("ts", w)).getOrElse(evs)
     src.groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("window_start"),
@@ -35,7 +50,7 @@ object Streams {
     val raw = spark.readStream.schema(batchSchema).parquet(dir)
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    else watermarkable(raw, "ts")
   }
 
   final case class SessionEvent(user_id: Long, ts_micros: Long, value: Double)
@@ -85,7 +100,7 @@ object Streams {
   /** Streaming exact dedup on a key with watermarked state eviction. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
       watermark: String): DataFrame =
-    events.withWatermark("ts", watermark)
+    watermarkable(events, "ts").withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
   /** Stream-static enrichment: each micro-batch joins the (small) static
@@ -103,8 +118,8 @@ object Streams {
     * project. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       watermark: String, withinSec: Long): DataFrame =
-    left.withWatermark("ts", watermark).alias("l")
-      .join(right.withWatermark("ts", watermark).alias("r"),
+    watermarkable(left, "ts").withWatermark("ts", watermark).alias("l")
+      .join(watermarkable(right, "ts").withWatermark("ts", watermark).alias("r"),
         expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
           s"r.ts <= l.ts + interval $withinSec seconds"))
 
@@ -185,8 +200,8 @@ object Streams {
     * a plain left outer join, which is what the oracle checks. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
       watermark: String, withinSec: Long): DataFrame =
-    left.withWatermark("ts", watermark).alias("l")
-      .join(right.withWatermark("ts", watermark).alias("r"),
+    watermarkable(left, "ts").withWatermark("ts", watermark).alias("l")
+      .join(watermarkable(right, "ts").withWatermark("ts", watermark).alias("r"),
         expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
           s"r.ts <= l.ts + interval $withinSec seconds"),
         "leftOuter")

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator: builds an ~Nx copy of a testdata scale
+  * factor (default 10x sf0.1 → "sf1") so the bench can record one more
+  * scaling decade than the driver ships. Only the four big tables are
+  * scaled; dimensions are byte-copied (a warehouse's dims don't grow 10x
+  * when its facts do).
+  *
+  * Scaling must not distort the WORKLOAD SHAPE, so each copy is made
+  * distinct rather than duplicated:
+  *   - orders/lineitem: order keys shift by the same span per copy, so
+  *     FK validity and the orders→lineitem fan-out are preserved exactly
+  *     (10x orders with the same lines-per-order, not 10x lines on the
+  *     same orders).
+  *   - events: event_id AND user_id shift per copy — 10x users with the
+  *     same per-user activity, so sessionization / per-key state grows
+  *     linearly in keys, not quadratically in per-key events.
+  *   - documents: text goes through a per-copy Caesar rotation
+  *     (`translate`) — length, token boundaries, and per-copy vocabulary
+  *     structure are preserved, but shingles never collide across copies,
+  *     so near-dup pair counts scale linearly instead of exploding 100x
+  *     on artificial cross-copy near-duplicates.
+  *   - embeddings: a deterministic per-copy sign-flip pattern on the
+  *     dimensions — WITHIN a copy every vector gets the same pattern, so
+  *     dot products and cluster structure are untouched; ACROSS copies
+  *     similarity is scrambled, so ANN candidate sets grow linearly.
+  *
+  * Raw parquet is read/written directly (NOT Tables.load): the scaled set
+  * mirrors the driver's annotations byte-for-byte, NTZ timestamps
+  * included, so the sf1 bench also exercises the load-shim path at scale.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/root/repo/testdata_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.core.GraftSession
+      .builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    new java.io.File(outDir).mkdirs()
+    // dims: straight byte copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1
+
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val documents = spark.read.parquet(s"$srcDir/documents.parquet")
+    val embeddings = spark.read.parquet(s"$srcDir/embeddings.parquet")
+
+    val orderSpan = span(orders, "o_orderkey")
+    val eidSpan = span(events, "event_id")
+    val uidSpan = span(events, "user_id")
+    val didSpan = span(documents, "doc_id")
+    val vidSpan = span(embeddings, "vec_id")
+
+    def scaled(base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => tf(base, i)).reduce(_ unionByName _)
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+
+    write(scaled(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))
+    }, s"$outDir/orders.parquet", 8)
+
+    write(scaled(lineitem) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderSpan))
+    }, s"$outDir/lineitem.parquet", 32)
+
+    write(scaled(events) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eidSpan))
+        .withColumn("user_id", col("user_id") + lit(i * uidSpan))
+    }, s"$outDir/events.parquet", 16)
+
+    write(scaled(documents) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * didSpan))
+        .withColumn("text",
+          translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i)))
+    }, s"$outDir/documents.parquet", 16)
+
+    write(scaled(embeddings) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vidSpan))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
+    }, s"$outDir/embeddings.parquet", 16)
+
+    println(s"[genscale] wrote ${copies}x of $srcDir to $outDir")
+    spark.stop()
+  }
+
+  private def write(df: DataFrame, path: String, parts: Int): Unit =
+    df.repartition(parts).write.mode("overwrite").parquet(path)
+}

@@ -483,6 +483,46 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(files("annee=2024/departement_code=59") == before59)
   }
 
+  test("large drift sets refresh via broadcast semi-join, small via literal filter") {
+    import graft.marts.Refresh
+    val src = spark.range(5000)
+      .select((col("id") % 1200).cast("int").as("grp"),
+        (col("id") * 3).cast("double").as("valeur"))
+    // small set → literal OR-of-ANDs, pushdown-friendly
+    val fewKeys = (0 until 10).map(i => Map("grp" -> i.toString))
+    val small = Refresh.driftedSlice(spark, src, Seq("grp"), fewKeys)
+    assert(small.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(!small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(small.count() == src.filter(col("grp") < 10).count())
+    // 1k drifted groups → must NOT build a 1000-disjunct expression tree;
+    // plan is a broadcast left-semi join and analysis stays instant
+    val manyKeys = (0 until 1000).map(i => Map("grp" -> i.toString))
+    val t0 = System.nanoTime()
+    val big = Refresh.driftedSlice(spark, src, Seq("grp"), manyKeys)
+    val planStr = big.queryExecution.executedPlan.toString
+    val analysisSec = (System.nanoTime() - t0) / 1e9
+    assert(analysisSec < 10, f"analysis took $analysisSec%.1f s")
+    assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftSemi"),
+      planStr.take(500))
+    assert(big.count() == src.filter(col("grp") < 1000).count())
+    // end-to-end: a refresh where 1k groups drift completes sanely
+    val base = java.nio.file.Files.createTempDirectory("graft-bigdrift")
+    val martDir = s"$base/mart"
+    val build = (s: org.apache.spark.sql.DataFrame) =>
+      s.groupBy("grp").agg(sum("valeur").as("total"))
+    val r1 = Refresh.refreshIncremental(spark, src,
+      Seq("grp"), Seq("valeur"), build, martDir)
+    assert(r1.rebuilt.size == 1200)
+    val src2 = src.withColumn("valeur",
+      when(col("grp") < 1000, col("valeur") * 2).otherwise(col("valeur")))
+    val r2 = Refresh.refreshIncremental(spark, src2,
+      Seq("grp"), Seq("valeur"), build, martDir)
+    assert(r2.rebuilt.size == 1000 && r2.unchanged == 200, r2.rebuilt.size)
+    val got = spark.read.parquet(martDir).agg(sum("total")).head.getDouble(0)
+    val want = build(src2).agg(sum("total")).head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
   test("profile default is one pass: 50 columns, a handful of jobs") {
     import graft.ops.Profile
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -16,6 +16,26 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
 names = sorted({p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith('.json')})
+
+# Gate-shrink detection: every DECLARED query must have an output dir, and
+# the dump's failure manifest must be empty. A query that errored during the
+# dump previously just vanished — "N/N pass" with a smaller N.
+import os
+total = len(names)
+dump_errors = {}
+if os.path.exists(f"{out_dir}/_failed.json"):
+    dump_errors = json.load(open(f"{out_dir}/_failed.json"))
+if os.path.exists(f"{out_dir}/_declared.json"):
+    declared = set(json.load(open(f"{out_dir}/_declared.json")))
+    total = len(declared | set(names) | set(dump_errors))
+    for missing in sorted(declared - set(names) - set(dump_errors)):
+        print(f"FAIL {missing}: declared but produced NO output (gate shrink)")
+        fail += 1
+for name, msg in sorted(dump_errors.items()):
+    print(f"FAIL {name}: dump error: {msg[:200]}")
+    if name in names:  # errored after partial write; don't double-count below
+        names.remove(name)
+    fail += 1
 for name in names:
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
@@ -53,5 +73,5 @@ for name in names:
         fail += 1
     else:
         print(f"OK   {name}: {len(grows)} rows")
-print(f"\n{len(names)-fail}/{len(names)} pass")
+print(f"\n{total-fail}/{total} pass")
 sys.exit(1 if fail else 0)
