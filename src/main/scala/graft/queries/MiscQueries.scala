@@ -301,6 +301,45 @@ object MiscQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---- multimodal decode honesty: the oracle distinguishes the REAL
+    // imageio path from the byte-stub fallback by row counts. The corpus
+    // text payloads can never decode as images (no reader accepts them →
+    // codec="stub"); a deterministic in-engine PNG fixture set MUST come
+    // back codec="imageio" with the known pixel dimensions. If the real
+    // codec ever silently degrades to the stub (or vice versa), the codec
+    // partition counts and width sum shift and the hash compare fails —
+    // the stub can't masquerade as a decode. Fixture constants (8 PNGs,
+    // widths 2..9 → sum 44) are engine-embedded like the LSH hyperplanes
+    // below, so the oracle states them literally.
+    Q("x_mm_decode_codecs",
+      """SELECT codec, n, total_width FROM (
+        |  SELECT 'imageio' AS codec, CAST(8 AS BIGINT) AS n,
+        |         CAST(44 AS BIGINT) AS total_width
+        |  UNION ALL
+        |  SELECT 'stub', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM documents)
+        |ORDER BY codec""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val fixtures = (0 until 8).map { i =>
+        val (w, h) = (i + 2, i + 3)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (x * 37 + y * 101 + i * 13) & 0xffffff)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (1000000000L + i, baos.toByteArray)
+      }
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bin"))
+      val all = docs.unionByName(fixtures.toDF("media_id", "bin"))
+      Multimodal.decodeImages(all, "media_id", "bin").toDF()
+        .groupBy("codec")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("width"), lit(0)).cast("long").as("total_width"))
+        .orderBy("codec")
+    },
+
     // ---- ANN: random-hyperplane LSH bucket + exact cosine in-bucket ------
     Q("x_sim_ann_lsh", {
       val planes = Similarity.hyperplanes(4, 64)
