@@ -42,7 +42,13 @@ object GenScale {
     val spark = graft.core.GraftSession
       .builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, copies)
+    println(s"[genscale] wrote ${copies}x of $srcDir to $outDir")
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
     new java.io.File(outDir).mkdirs()
     // dims: straight byte copies
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -98,9 +104,6 @@ object GenScale {
         .withColumn("embedding", expr(
           s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
     }, s"$outDir/embeddings.parquet", 16)
-
-    println(s"[genscale] wrote ${copies}x of $srcDir to $outDir")
-    spark.stop()
   }
 
   private def write(df: DataFrame, path: String, parts: Int): Unit =

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the invariants of the synthetic scale-up generator
+  * (`tools.GenScale`) that make the sf1 scaling benchmark honest:
+  * exact Nx row growth, preserved FK validity and fan-out, and
+  * copy-distinct text/embeddings so dedup/ANN workloads scale linearly
+  * instead of drowning in artificial cross-copy duplicates. */
+class GenScaleSpec extends SparkSpec {
+
+  private lazy val outDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("genscale").toString
+    graft.tools.GenScale.run(spark, sf001, dir, 3)
+    dir
+  }
+
+  test("facts grow exactly Nx; dims are byte-identical") {
+    Seq("orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val base = spark.read.parquet(s"$sf001/$t.parquet").count()
+      val scaled = spark.read.parquet(s"$outDir/$t.parquet").count()
+      assert(scaled == base * 3, s"$t: $base -> $scaled")
+    }
+    Seq("region", "nation", "customer").foreach { t =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$sf001/$t.parquet")),
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/$t.parquet"))),
+        s"$t dim should be byte-copied")
+    }
+  }
+
+  test("FK validity and fan-out preserved: every lineitem joins an order") {
+    val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$outDir/orders.parquet")
+    val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").count()
+    assert(orphans == 0)
+    // fan-out distribution identical to the base (10x orders with the
+    // same lines-per-order, not 10x lines on the same orders)
+    def fanout(liDf: org.apache.spark.sql.DataFrame) =
+      liDf.groupBy("l_orderkey").count()
+        .groupBy("count").agg(count(lit(1)).as("n_orders"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = fanout(spark.read.parquet(s"$sf001/lineitem.parquet"))
+    val scaled = fanout(li)
+    assert(scaled == base.map { case (k, v) => k -> v * 3 })
+  }
+
+  test("copies are distinct: no cross-copy duplicate keys, text, or vectors") {
+    val ev = spark.read.parquet(s"$outDir/events.parquet")
+    assert(ev.select("event_id").distinct().count() == ev.count())
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    // Caesar rotation: distinct text per copy, length preserved
+    val baseDocs = spark.read.parquet(s"$sf001/documents.parquet")
+    assert(docs.select("text").distinct().count() ==
+      baseDocs.select("text").distinct().count() * 3)
+    val lenDrift = docs.withColumn("l", length(col("text")))
+      .filter(col("l") =!= col("n_chars")).count()
+    val baseLenDrift = baseDocs.withColumn("l", length(col("text")))
+      .filter(col("l") =!= col("n_chars")).count()
+    assert(lenDrift == baseLenDrift * 3, "translate must preserve lengths")
+    // embeddings: sign-flip preserves norms, scrambles cross-copy equality
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    assert(emb.select("vec_id").distinct().count() == emb.count())
+    val norms = emb.select(round(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")), 4).as("n2"))
+      .groupBy("n2").count()
+    val baseNorms = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(round(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")), 4).as("n2"))
+      .groupBy("n2").count()
+    val nm = norms.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val bm = baseNorms.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(nm == bm.map { case (k, v) => k -> v * 3 }, "norms must be preserved")
+  }
+}

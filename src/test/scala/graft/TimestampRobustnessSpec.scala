@@ -82,10 +82,20 @@ class TimestampRobustnessSpec extends SparkSpec {
     }
   }
 
-  test("timestamp-sensitive st_* family executes identically under both") {
-    val stQueries = SparkEntry.queries.filter(_._1.startsWith("st_"))
-    assert(stQueries.nonEmpty)
-    stQueries.foreach { case (name, fn) =>
+  test("every events-touching query executes identically under both") {
+    // detect events consumers from the analyzed plan (scan paths), so a
+    // new query over events is covered automatically, not by a hand list
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val touching = SparkEntry.queries.filter { case (_, fn) =>
+      fn(spark, variantDirs("ltz")).queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+      }.exists(_.contains("events.parquet"))
+    }
+    assert(touching.size >= 15, s"expected many events consumers, got ${touching.keys}")
+    touching.foreach { case (name, fn) =>
       val results = variantDirs.map { case (tag, dir) =>
         tag -> fn(spark, dir).collect().map(_.toString).sorted.toSeq
       }
