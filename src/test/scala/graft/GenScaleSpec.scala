@@ -45,6 +45,18 @@ class GenScaleSpec extends SparkSpec {
     assert(scaled == base.map { case (k, v) => k -> v * 3 })
   }
 
+  test("text stays distinct past 26 copies (affine family, not just rotation)") {
+    // regression guard for the measured 100-copy collapse: rotation-only
+    // transforms cap at 26 distinct copies on a digit-free corpus
+    val dir = java.nio.file.Files.createTempDirectory("genscale30").toString
+    graft.tools.GenScale.run(spark, sf001, dir, 30)
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("text").distinct().count()
+    val scaled = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").distinct().count()
+    assert(scaled == base * 30, s"expected ${base * 30} distinct texts, got $scaled")
+  }
+
   test("copies are distinct: no cross-copy duplicate keys, text, or vectors") {
     val ev = spark.read.parquet(s"$outDir/events.parquet")
     assert(ev.select("event_id").distinct().count() == ev.count())
