@@ -25,6 +25,16 @@ object Ivf {
   /** Fixed salt for the deterministic init sample. */
   private[ext] val InitSalt = "graft-kmeans-init"
 
+  /** Cell count sized to the corpus: nlist ≈ √n (the standard IVF rule)
+    * balances Lloyd's assignment cost (n·k per pass — k centroids
+    * compared per row) against per-probe scan size (n/k per cell), so
+    * both grow as √n instead of one of them going linear. The gate
+    * queries pin small demo cell counts for oracle parity; at warehouse
+    * scale derive n from table statistics and pass this to `build`. */
+  def autoCells(n: Long, minCells: Int = 4, maxCells: Int = 65536): Int =
+    math.min(maxCells, math.max(minCells,
+      math.round(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
   /** Deterministic corpus-spanning pick of k seed rows: ordering by the
     * FIRST k ids would start all centroids inside one ingest slice at
     * warehouse scale (ids correlate with load batches), and Lloyd's may

@@ -11,6 +11,18 @@ class IvfSpec extends SparkSpec {
   private lazy val corpus =
     graft.core.Tables.load(spark, sf001, "embeddings").cache()
 
+  test("autoCells follows the sqrt(n) rule with clamps") {
+    assert(Ivf.autoCells(0) == 4)
+    assert(Ivf.autoCells(10) == 4)           // floor
+    assert(Ivf.autoCells(10000) == 100)
+    assert(Ivf.autoCells(1000000) == 1000)
+    assert(Ivf.autoCells(100L * 1000 * 1000 * 1000) == 65536) // ceiling
+    // build accepts the auto-sized count end-to-end
+    val k = Ivf.autoCells(corpus.count())
+    val cs = Ivf.train(corpus, "embedding", "vec_id", k = k, iters = 1)
+    assert(cs.size == k)
+  }
+
   test("training produces k centroids and stable assignments") {
     val cs = Ivf.train(corpus, "embedding", "vec_id", k = 8, iters = 3)
     assert(cs.size == 8 && cs.forall(_.size == 64))
