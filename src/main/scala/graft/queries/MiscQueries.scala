@@ -545,13 +545,25 @@ object MiscQueries {
         |FROM e JOIN q ON e.i = q.i
         |GROUP BY e.vec_id ORDER BY l2sq ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val corpus = t(s, d, "embeddings").persist()
+      val nCorpus = corpus.count()
       val book = graft.ext.Pq.train(corpus, "embedding", "vec_id",
-        m = 8, k = 16, iters = 2)
+        m = 8, k = math.min(256, math.max(16, (nCorpus / 64).toInt)), iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+      // Count-derived PQ geometry (same discipline as the LSH signature
+      // width above): codebook resolution k = clamp(n/64, 16, 256) and
+      // rerank depth = max(100, 1% of n). With BOTH pinned, the
+      // >=5-of-10 certificate that held at sf0.1 broke at a 10x corpus
+      // (measured): quantization cells stay constant-size while
+      // neighbor density rises, so the fixed-depth ADC shortlist
+      // silently loses recall. With the scaled rule the certificate
+      // holds at every tested SF (sf0.01/0.1/1/10). n <= 1024 floors at
+      // the old k=16, so small-SF results only change where the finer
+      // codebook strictly helps.
+      val depth = math.max(100, nCorpus / 100).toInt
       val shortlist = graft.ext.Pq.adcTopK(
           graft.ext.Pq.encode(corpus, "embedding", book),
-          "pq_code", "vec_id", book, qv, k = 100)
+          "pq_code", "vec_id", book, qv, k = depth)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val exactRows = exactL2Top(s, corpus, qv, 10).collect()
       val ok =
