@@ -43,10 +43,49 @@ object Refresh {
     * table, rebuild only drifted groups via `build`, drop vanished
     * groups, store the new digests. First call (no digest table yet)
     * materializes everything. */
+  /** Group-key types that survive the string round-trip used by the drift
+    * machinery (collect as Spark-cast string → compare/delete by that
+    * string). Binary and nested types do not — fail fast instead of
+    * silently never matching. */
+  private def requireRoundTrippableKeys(source: DataFrame,
+      groupCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    groupCols.foreach { c =>
+      source.schema(c).dataType match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+          throw new IllegalArgumentException(
+            s"group column '$c' has type ${source.schema(c).dataType.sql}, " +
+              "which does not round-trip through partition-key strings; " +
+              "use string/numeric/date/timestamp group columns")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Collect the group-key tuples of `df` as STRINGS RENDERED BY SPARK'S
+    * OWN CAST — the one canonical form shared by the literal filter, the
+    * broadcast semi-join and the partition-directory encoding. Driver-side
+    * `String.valueOf` disagrees with the SQL cast for timestamp
+    * ("…00:00:00.0" vs "…00:00:00") and some decimal/float renderings, so
+    * keys must never be stringified outside this function. */
+  private def collectKeyStrings(df: DataFrame,
+      groupCols: Seq[String]): Seq[Map[String, String]] =
+    df.select(groupCols.map(c => col(c).cast("string").as(c)): _*)
+      .collect()
+      .map { r =>
+        groupCols.zipWithIndex.map { case (c, i) =>
+          require(!r.isNullAt(i),
+            s"NULL group key in column '$c' — null partition keys are not " +
+              "supported by the incremental refresh (reject them upstream)")
+          c -> r.getString(i)
+        }.toMap
+      }.toSeq
+
   def refreshIncremental(spark: SparkSession, source: DataFrame,
       groupCols: Seq[String], digestCols: Seq[String],
       build: DataFrame => DataFrame, martDir: String): Report = {
     require(groupCols.nonEmpty, "need at least one partition column")
+    requireRoundTrippableKeys(source, groupCols)
     val fresh = Quality.groupDigest(source, groupCols, digestCols)
       .withColumnRenamed("digest", "__new_digest")
       .withColumnRenamed("n_rows", "__new_rows")
@@ -57,10 +96,8 @@ object Refresh {
     val (driftKeys, removedKeys, unchanged) =
       if (!havePrior) {
         // first materialization: everything drifts, nothing to remove
-        val keys = fresh.select(groupCols.map(col): _*).collect()
-          .map(r => groupCols.zipWithIndex
-            .map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap)
-        (keys.toSeq, Seq.empty[Map[String, String]], 0L)
+        (collectKeyStrings(fresh, groupCols),
+          Seq.empty[Map[String, String]], 0L)
       } else {
         val stored = spark.read.parquet(digestPath(martDir))
           .withColumnRenamed("digest", "__old_digest")
@@ -68,11 +105,7 @@ object Refresh {
         // full outer: catches changed, brand-new AND vanished groups
         val cmp = fresh.join(stored, groupCols, "full_outer").persist()
         try {
-          def keysOf(df: DataFrame) =
-            df.select(groupCols.map(col): _*).collect()
-              .map(r => groupCols.zipWithIndex
-                .map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap)
-              .toSeq
+          def keysOf(df: DataFrame) = collectKeyStrings(df, groupCols)
           val drift = keysOf(cmp.filter(col("__old_digest").isNull ||
             !(col("__new_digest") === col("__old_digest") &&
               col("__new_rows") === col("__old_rows"))))
@@ -99,9 +132,15 @@ object Refresh {
         .partitionBy(groupCols: _*)
         .parquet(martDir)
     }
-    // dynamic overwrite never deletes: drop vanished groups' directories
+    // dynamic overwrite never deletes: drop vanished groups' directories.
+    // Directory values use the same Hive path escaping Spark's writer
+    // applies (':' in timestamps, '/' etc.), so escape before matching.
     removedKeys.foreach { k =>
-      val rel = groupCols.map(c => s"$c=${k(c)}").mkString("/")
+      val rel = groupCols.map { c =>
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(k(c))
+        s"$c=$v"
+      }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(s"$martDir/$rel"), true)
     }
     // store the digest table for the next refresh (hidden from readers:
@@ -127,13 +166,20 @@ object Refresh {
     * and pushdown degrades, so a large drift set (a backfill touching
     * thousands of groups) instead left-semi-joins a broadcast key frame.
     * The key frame is driver-held and catalog-grain-bounded (digest rows,
-    * never fact rows); keys are compared as strings on both sides because
-    * digest keys round-trip through the partition-directory encoding. */
+    * never fact rows). Keys arrive as Spark-cast strings (the one
+    * canonical form — see `collectKeyStrings`); BOTH branches compare by
+    * casting the KEY side back to the source column's type, so the source
+    * column stays typed (pushdown/pruning intact) and timestamp/decimal
+    * keys round-trip exactly instead of diverging on Java-vs-SQL string
+    * renderings. */
   private[graft] def driftedSlice(spark: SparkSession, source: DataFrame,
-      groupCols: Seq[String], driftKeys: Seq[Map[String, String]]): DataFrame =
+      groupCols: Seq[String], driftKeys: Seq[Map[String, String]]): DataFrame = {
+    requireRoundTrippableKeys(source, groupCols)
+    val keyTypes = groupCols.map(c => c -> source.schema(c).dataType).toMap
     if (driftKeys.size <= MaxLiteralDriftKeys) {
       val pred = driftKeys.map(k =>
-        groupCols.map(c => col(c) === lit(k(c))).reduce(_ && _))
+        groupCols.map(c => col(c) === lit(k(c)).cast(keyTypes(c)))
+          .reduce(_ && _))
         .reduce(_ || _)
       source.filter(pred)
     } else {
@@ -141,9 +187,10 @@ object Refresh {
       val keyDf = driftKeys.map(k => groupCols.map(k))
         .toDF("__k")
         .select(groupCols.zipWithIndex.map { case (c, i) =>
-          col("__k").getItem(i).as(s"__key_$c") }: _*)
+          col("__k").getItem(i).cast(keyTypes(c)).as(s"__key_$c") }: _*)
       val cond = groupCols.map(c =>
-        source(c).cast("string") === keyDf(s"__key_$c")).reduce(_ && _)
+        source(c) === keyDf(s"__key_$c")).reduce(_ && _)
       source.join(broadcast(keyDf), cond, "left_semi")
     }
+  }
 }

@@ -525,14 +525,15 @@ object MiscQueries {
         .orderBy("q_id", "nbr_id")
     },
 
-    // Product-quantized ANN — now FULLY oracle-checked: output rows are
-    // the exact L2 top-10; `adc_recall100_ok` certifies the two-stage
-    // search contract (ADC shortlist → exact re-rank): 1 iff the ADC
-    // top-100 shortlist contains ≥ 5 of the true top-10 (measured 7 at
-    // sf0.01 and 6 at sf0.1 with the m=8, k=16 byte-code book — the
-    // threshold holds at every tested scale with margin). The scale
-    // story: 4·dim bytes/vector compress to m code bytes, ADC is m table
-    // lookups, and the exact re-rank touches only the 100-row shortlist.
+    // Product-quantized ANN — FULLY oracle-checked: output rows are the
+    // exact L2 top-10; `adc_recall100_ok` certifies the two-stage search
+    // contract (ADC shortlist → exact re-rank): 1 iff the ADC shortlist
+    // contains ≥ 5 of the true top-10. Codebook size and shortlist depth
+    // are corpus-derived — k = clamp(n/64, 16, 256) sub-codewords and
+    // depth = max(100, n/100) — see the in-body comment for why the fixed
+    // m=8/k=16/top-100 geometry broke at a 10× corpus. The scale story:
+    // 4·dim bytes/vector compress to m code bytes, ADC is m table
+    // lookups, and the exact re-rank touches only the shortlist.
     Q("x_sim_pq_ann",
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |                  generate_subscripts(embedding, 1) AS i FROM embeddings),

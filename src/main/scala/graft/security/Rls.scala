@@ -1,6 +1,6 @@
 package graft.security
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Row-level security — the reference's SECURITY POLICY on
@@ -88,7 +88,16 @@ object SecurityGenerators {
     s"${fold(prenom)}.${fold(nom)}"
   }
 
-  val foldLoginUdf = udf((p: String, n: String) => foldLogin(p, n))
+  /** Column form of [[foldLogin]], composed from the codegen
+    * [[graft.functions.AccentFold]] expression + built-ins instead of a
+    * Scala UDF, so login derivation stays inside whole-stage codegen.
+    * Requires `accent_fold` in the session registry (GraftExtensions or
+    * `AccentFold.register`). */
+  def foldLoginCol(prenom: Column, nom: Column): Column = {
+    def fold(c: Column): Column = regexp_replace(
+      lower(graft.functions.AccentFold.accentFold(c)), "[^a-z0-9]", "")
+    concat_ws(".", fold(prenom), fold(nom))
+  }
 
   /** Agency size class by commune population (reference thresholds). */
   def agencyClass(population: Int): (String, Int) =

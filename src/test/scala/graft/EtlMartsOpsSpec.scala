@@ -523,6 +523,67 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-6)
   }
 
+  test("incremental refresh round-trips date/timestamp group keys (both branches)") {
+    import graft.marts.Refresh
+    // Java Timestamp.toString ("…00:00:00.0") disagrees with Spark's SQL
+    // cast ("…00:00:00"); before keys were canonicalized through the SQL
+    // cast, a >64-key drift on a timestamp column matched NOTHING in the
+    // semi-join branch and the drifted slices were silently never rebuilt.
+    val base = java.nio.file.Files.createTempDirectory("graft-tsrefresh")
+    val martDir = s"$base/mart"
+    val build = (s: org.apache.spark.sql.DataFrame) =>
+      s.groupBy("ts").agg(sum("valeur").as("total"))
+    val src = spark.range(400)
+      .select((col("id") % 100).as("h"), col("id").cast("double").as("valeur"))
+      .select(to_timestamp(format_string("2024-03-01 %02d:00:00", col("h") % 24))
+        .as("ts"), col("valeur"))
+      .union(spark.range(80).select(
+        to_timestamp(format_string("2024-04-%02d 06:30:00", col("id") % 28 + 1))
+          .as("ts"), lit(1.0).as("valeur")))
+    val r1 = Refresh.refreshIncremental(spark, src,
+      Seq("ts"), Seq("valeur"), build, martDir)
+    assert(r1.rebuilt.size == 52, r1.rebuilt.size) // 24 march hours + 28 april days
+    // drift ALL groups → >64? 52 groups only; force the semi-join branch by
+    // checking driftedSlice directly with the canonical strings instead
+    val canon = src.select(col("ts").cast("string").as("k"))
+      .distinct().as[String].collect().sorted
+    assert(canon.length == 52)
+    val manyKeys = canon.map(k => Map("ts" -> k)).toSeq
+    // literal branch (<=64) on timestamp keys selects every row
+    assert(Refresh.driftedSlice(spark, src, Seq("ts"), manyKeys).count() == 480)
+    // semi-join branch: replicate keys past the literal threshold
+    val padded = manyKeys ++ (0 until 40).map(i =>
+      Map("ts" -> f"2030-01-01 ${i % 24}%02d:00:00"))
+    assert(padded.size > Refresh.MaxLiteralDriftKeys)
+    val sliced = Refresh.driftedSlice(spark, src, Seq("ts"), padded)
+    assert(sliced.count() == 480,
+      "timestamp keys must round-trip through the broadcast semi-join branch")
+    // now a real incremental pass: one group changes, one vanishes
+    val src2 = src
+      .filter(col("ts") =!= to_timestamp(lit("2024-04-03 06:30:00")))
+      .withColumn("valeur", when(
+        col("ts") === to_timestamp(lit("2024-03-01 05:00:00")),
+        col("valeur") * 10).otherwise(col("valeur")))
+    val r2 = Refresh.refreshIncremental(spark, src2,
+      Seq("ts"), Seq("valeur"), build, martDir)
+    assert(r2.rebuilt == Seq(Map("ts" -> "2024-03-01 05:00:00")), r2.toString)
+    assert(r2.removed == Seq(Map("ts" -> "2024-04-03 06:30:00")), r2.toString)
+    assert(r2.unchanged == 50)
+    // the vanished group's escaped partition directory is actually gone
+    assert(!new java.io.File(
+      s"$martDir/ts=2024-04-03 06%3A30%3A00").exists())
+    val got = spark.read.parquet(martDir).agg(sum("total")).head.getDouble(0)
+    val want = build(src2).agg(sum("total")).head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+    // binary group keys fail fast instead of silently matching nothing
+    val bin = spark.range(3).select(col("id").cast("string").cast("binary")
+      .as("k"), col("id").cast("double").as("valeur"))
+    intercept[IllegalArgumentException] {
+      Refresh.refreshIncremental(spark, bin, Seq("k"), Seq("valeur"),
+        (s: org.apache.spark.sql.DataFrame) => s, s"$base/binmart")
+    }
+  }
+
   test("profile default is one pass: 50 columns, a handful of jobs") {
     import graft.ops.Profile
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -61,6 +61,15 @@ class RlsSpec extends SparkSpec {
     assert(SecurityGenerators.foldLogin("Édith", "D'Amboise") == "edith.damboise")
   }
 
+  test("foldLoginCol (codegen AccentFold composition) ≡ foldLogin") {
+    val names = Seq(("Jérôme", "Lefèvre"), ("Édith", "D'Amboise"),
+      ("Anne-Sophie", "van Höuten"), ("ALAIN", "N°7"))
+    val got = names.toDF("prenom", "nom")
+      .select(SecurityGenerators.foldLoginCol($"prenom", $"nom").as("login"))
+      .as[String].collect().toSeq
+    assert(got == names.map { case (p, n) => SecurityGenerators.foldLogin(p, n) })
+  }
+
   // ---- RBAC: the reference's 4-role grant matrix (006:16-120) ----
 
   test("RBAC matrix: the four reference roles and their schema grants") {

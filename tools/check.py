@@ -25,16 +25,19 @@ names = sorted({p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if not p.end
 # the dump's failure manifest must be empty. A query that errored during the
 # dump previously just vanished — "N/N pass" with a smaller N.
 import os
-total = len(names)
 dump_errors = {}
 if os.path.exists(f"{out_dir}/_failed.json"):
     dump_errors = json.load(open(f"{out_dir}/_failed.json"))
+declared = set()
 if os.path.exists(f"{out_dir}/_declared.json"):
     declared = set(json.load(open(f"{out_dir}/_declared.json")))
-    total = len(declared | set(names) | set(dump_errors))
-    for missing in sorted(declared - set(names) - set(dump_errors)):
-        print(f"FAIL {missing}: declared but produced NO output (gate shrink)")
-        fail += 1
+# total counts every query we know about, whether or not the declaration
+# manifest exists — a _failed.json-only dump dir must still widen the
+# denominator so "N/N pass" can't undercount.
+total = len(declared | set(names) | set(dump_errors))
+for missing in sorted(declared - set(names) - set(dump_errors)):
+    print(f"FAIL {missing}: declared but produced NO output (gate shrink)")
+    fail += 1
 for name, msg in sorted(dump_errors.items()):
     print(f"FAIL {name}: dump error: {msg[:200]}")
     if name in names:  # errored after partial write; don't double-count below
