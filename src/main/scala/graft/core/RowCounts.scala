@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import java.util.concurrent.ConcurrentHashMap
+
+/** Row-count HINTS without a distributed job.
+  *
+  * The adaptive-geometry operators (LSH signature width, IVF cell count,
+  * PQ codebook size) need the corpus cardinality n to size themselves, and
+  * n is a *configuration* input — deriving it with a full `df.count()`
+  * job per query is a needless round of cluster I/O (and at 100 TB an
+  * object-store listing storm). Resolution order:
+  *
+  *  1. Catalyst statistics on the optimized plan — exact when the table
+  *     was ANALYZEd ([[graft.ops.Stats.refreshStatistics]]) and CBO
+  *     propagates a `rowCount`.
+  *  2. Parquet footer metadata, summed on the driver — every parquet
+  *     footer records its exact row count, so a plain scan's cardinality
+  *     is a handful of metadata reads, zero Spark jobs. Only taken when
+  *     the plan is a pure scan (column pruning allowed, no filters — a
+  *     filter changes cardinality) over few enough files that driver-side
+  *     footer reads stay trivial.
+  *  3. `df.count()` — always correct, costs a job.
+  *
+  * Results from the footer path are memoized on the file list fingerprint
+  * (path, length, mtime per file), so a session running many queries over
+  * the same immutable tables pays the metadata read once.
+  */
+object RowCounts {
+
+  /** Past this many files, footer-summing on the driver is itself a
+    * metadata storm — use catalog statistics (path 1) or accept the
+    * distributed count. */
+  private val MaxFooterFiles = 4096
+
+  private val cache = new ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def clearCacheForTesting(): Unit = cache.clear()
+
+  def hint(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None =>
+        pureParquetScan(plan) match {
+          case Some(files) if files.nonEmpty && files.size <= MaxFooterFiles =>
+            val key = files.map(f =>
+              s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+              .sorted.mkString("\n")
+            Option(cache.get(key)) match {
+              case Some(n) => n.longValue()
+              case None =>
+                val conf = df.sparkSession.sessionState.newHadoopConf()
+                val n = files.map { f =>
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(f.getPath, conf)
+                  val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try reader.getRecordCount finally reader.close()
+                }.sum
+                cache.put(key, n)
+                n
+            }
+          case _ => df.count()
+        }
+    }
+  }
+
+  /** The plan's parquet files iff the plan is cardinality-preserving over
+    * a single parquet relation: Project/alias wrappers are fine, anything
+    * else (Filter, Join, Aggregate, non-parquet source) disqualifies. */
+  private def pureParquetScan(plan: LogicalPlan)
+      : Option[Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]] =
+    plan match {
+      case Project(_, child) => pureParquetScan(child)
+      case SubqueryAlias(_, child) => pureParquetScan(child)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          Some(fs.location.listFiles(Nil, Nil).flatMap(_.files))
+        case _ => None
+      }
+      case _ => None
+    }
+}

@@ -224,9 +224,9 @@ object Similarity {
   }
 
   /** [[knnJoin]] with the signature width auto-sized from the corpus
-    * count (one count() job — at warehouse scale use table statistics
-    * instead and call [[knnJoin]] directly). Smaller buckets trade
-    * recall for the linear-in-n bound; recover recall with `probes`
+    * cardinality ([[graft.core.RowCounts.hint]]: catalog stats or parquet
+    * footer metadata — no count job for a plain scan). Smaller buckets
+    * trade recall for the linear-in-n bound; recover recall with `probes`
     * (multiprobe widens the query side only) rather than fewer bits. */
   def knnJoinAuto(corpus: DataFrame, embCol: String, idCol: String, k: Int,
       dim: Int, targetBucketSize: Int = 512,
@@ -234,7 +234,8 @@ object Similarity {
       cosineTransform: Column => Column = identity,
       probes: Int = 1): DataFrame =
     knnJoin(corpus, embCol, idCol, k,
-      bits = autoBits(corpus.count(), targetBucketSize), dim = dim,
+      bits = autoBits(graft.core.RowCounts.hint(corpus), targetBucketSize),
+      dim = dim,
       maxBucketCandidates = maxBucketCandidates,
       cosineTransform = cosineTransform, probes = probes)
 
@@ -275,7 +276,8 @@ object Similarity {
   def nearDupEmbeddingsAuto(corpus: DataFrame, embCol: String, idCol: String,
       threshold: Double, dim: Int, targetBucketSize: Int = 512): DataFrame =
     nearDupEmbeddings(corpus, embCol, idCol, threshold,
-      bits = autoBits(corpus.count(), targetBucketSize), dim = dim)
+      bits = autoBits(graft.core.RowCounts.hint(corpus), targetBucketSize),
+      dim = dim)
 
   // ---- scalar quantization ----------------------------------------------
 

@@ -546,7 +546,8 @@ object MiscQueries {
         |FROM e JOIN q ON e.i = q.i
         |GROUP BY e.vec_id ORDER BY l2sq ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val corpus = t(s, d, "embeddings").persist()
-      val nCorpus = corpus.count()
+      // geometry from footer/catalog metadata, not a count job (RowCounts)
+      val nCorpus = graft.core.RowCounts.hint(corpus)
       val book = graft.ext.Pq.train(corpus, "embedding", "vec_id",
         m = 8, k = math.min(256, math.max(16, (nCorpus / 64).toInt)), iters = 2)
       val qv = corpus.filter(col("vec_id") === 0)
@@ -651,7 +652,7 @@ object MiscQueries {
          |FROM rk WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
     }) { (s, d) =>
       val corpus = t(s, d, "embeddings")
-      val bits = Similarity.autoBits(corpus.count(), 512, maxBits = 12)
+      val bits = Similarity.autoBits(graft.core.RowCounts.hint(corpus), 512, maxBits = 12)
       Similarity.knnJoin(corpus, "embedding", "vec_id",
           k = 3, bits = bits, dim = 64, cosineTransform = Fp.r(_, 4))
         .orderBy("vec_id", "rank")
@@ -683,7 +684,7 @@ object MiscQueries {
          |FROM cs WHERE c >= 0.4 ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
       val corpus = t(s, d, "embeddings")
-      val bits = Similarity.autoBits(corpus.count(), 512, maxBits = 12)
+      val bits = Similarity.autoBits(graft.core.RowCounts.hint(corpus), 512, maxBits = 12)
       Similarity.nearDupEmbeddings(corpus, "embedding", "vec_id",
         threshold = 0.4, bits = bits, dim = 64)
         .select(col("a_id"), col("b_id"), Fp.r(col("cosine"), 4).as("cosine"))

@@ -76,4 +76,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(read > 0 && read < totalYears,
       s"expected a pruned read, got $read of $totalYears partitions")
   }
+
+  test("RowCounts.hint answers from parquet footers: zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.col
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener events are async: wait until the count stops moving
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val truth = emb.count()
+    graft.core.RowCounts.clearCacheForTesting()
+    var n1 = -1L
+    val jobs = countJobs { n1 = graft.core.RowCounts.hint(emb) }
+    assert(n1 == truth, s"footer count $n1 != count() $truth")
+    assert(jobs == 0, s"hint on a plain parquet scan launched $jobs jobs")
+    // a Project wrapper is cardinality-preserving → still job-free
+    var n2 = -1L
+    val jobs2 = countJobs {
+      n2 = graft.core.RowCounts.hint(emb.select(col("vec_id")))
+    }
+    assert(n2 == truth && jobs2 == 0, s"projected hint: $n2, jobs=$jobs2")
+    // a Filter changes cardinality → falls back to a real count, correct
+    val filtered = emb.filter(col("vec_id") < 10)
+    assert(graft.core.RowCounts.hint(filtered) == filtered.count())
+    // the adaptive-geometry gate path goes through hint: the ANN family
+    // must not issue a standalone count job for a plain corpus scan
+    graft.core.RowCounts.clearCacheForTesting()
+    // the dataframe construction itself may run a listing/schema job —
+    // build both frames first, then count only the hint calls
+    val load1 = graft.core.Tables.load(spark, sf001, "embeddings")
+    val load2 = graft.core.Tables.load(spark, sf001, "embeddings")
+    val warm = graft.core.RowCounts.hint(load1)
+    val jobs3 = countJobs {
+      assert(graft.core.RowCounts.hint(load2) == warm)
+    }
+    assert(jobs3 == 0, s"memoized hint launched $jobs3 jobs")
+  }
 }
