@@ -45,12 +45,15 @@ object Dedup {
     *
     * Scale shape: chunking is a pure projection (HOF slice over the token
     * array — no explode before the chunk strings exist, so the exploded
-    * row count is corpus_tokens/span, not corpus_tokens). The only wide
-    * ops are ONE window keyed by the chunk text (uniformly distributed —
-    * it's content, not a skewed key) and ONE groupBy on the doc id to
-    * reassemble. Both shuffles move chunk strings once; at 100 TB swap
-    * the chunk text for its md5 in the window key to shuffle 16-byte
-    * digests instead of raw spans.
+    * row count is corpus_tokens/span, not corpus_tokens). The wide window
+    * that decides global first-occurrence is keyed on md5(chunk), so its
+    * shuffle moves (id, chunk_idx, 16-byte digest) — NEVER the raw span
+    * text. The survivor index sets (ints) group by doc id and join back
+    * to the documents, which is the single place chunk text crosses the
+    * wire; reassembly re-derives the chunks from the doc's own row with
+    * the same projection (CPU, no extra shuffle). Chunk identity is md5
+    * identity — a 128-bit collision conflating two distinct spans is
+    * O(n²/2¹²⁸), the standard content-hash dedup assumption ([[exact]]).
     *
     * Output: (id, n_chunks, n_kept, text_dedup) — docs with no tokens
     * vanish (no chunks), and a fully-duplicated doc keeps an empty
@@ -67,20 +70,23 @@ object Dedup {
       transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * span + 1, lit(span)), " ")))
       .otherwise(array().cast("array<string>"))
-    val chunks = df.select(col(idCol),
-      posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
-    val w = Window.partitionBy("chunk").orderBy(idCol, "chunk_idx")
-    chunks
+    // narrow side: only digests explode and shuffle
+    val hashed = df.select(col(idCol),
+      posexplode(transform(chunkArr, c => unhex(md5(c.cast("binary")))))
+        .as(Seq("chunk_idx", "__h")))
+    val w = Window.partitionBy("__h").orderBy(idCol, "chunk_idx")
+    val kept = hashed
       .withColumn("__rn", row_number().over(w))
       .groupBy(idCol).agg(
         count(lit(1)).cast("int").as("n_chunks"),
         sum(when(col("__rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__rn") === 1, struct(col("chunk_idx"), col("chunk"))))),
-            s => s("chunk")),
-          " ").as("text_dedup"))
+        sort_array(collect_list(when(col("__rn") === 1, col("chunk_idx"))))
+          .as("__kept"))
+    // wide side: one id-keyed join carries the text, reassembly is a HOF
+    kept.join(df.select(col(idCol), chunkArr.as("__chunks")), Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        array_join(transform(col("__kept"),
+          i => element_at(col("__chunks"), i + 1)), " ").as("text_dedup"))
   }
 
   // ---- MinHash + LSH -----------------------------------------------------

@@ -48,6 +48,32 @@ class ExtSpec extends SparkSpec {
       (3L, 1, 0, "")))
   }
 
+  test("spanDedup's wide window shuffles 16-byte digests, not span text") {
+    val df = Seq((1L, "a b c d a b"), (2L, "c d e")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "text", "doc_id", span = 2)
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val ws = windows(out.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected a window node in the spanDedup plan")
+    ws.foreach { w =>
+      val partTypes = w.partitionSpec.map(_.dataType)
+      assert(partTypes ==
+        Seq(org.apache.spark.sql.types.BinaryType),
+        s"window must partition on the md5 digest, got $partTypes")
+      val childFields = w.child.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(!childFields.contains("chunk") && !childFields.contains("text"),
+        s"window input must not carry span text: ${childFields.keys}")
+    }
+  }
+
   test("sq8: codes bounded, clip saturates, reconstruction error tiny") {
     val df = Seq((1L, Seq(0.5f, -0.5f, 0.0f, 2.0f, -3.0f)))
       .toDF("vec_id", "embedding")
