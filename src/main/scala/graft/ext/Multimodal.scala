@@ -95,7 +95,114 @@ object Multimodal {
 
   /** Total codec: real decode when a reader exists, byte-stub otherwise. */
   def decodeAuto(bytes: Array[Byte]): Array[Float] =
-    decodeImage(bytes).map(_._3).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).map(_._3).getOrElse(
+      decodeWav(bytes).map(_._2).getOrElse(decodeStub(bytes)))
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM readers
+    * ship in every JDK, same dependency-free posture as the imageio
+    * path): (duration_ms, 8-bin normalized |amplitude| histogram) — the
+    * same 8-dim feature shape as the image/stub paths. Non-PCM encodings
+    * the JDK can transcode (A-law/µ-law) are converted to 16-bit PCM
+    * first. Streaming frame loop: one 8 KiB buffer regardless of clip
+    * length, never a whole-clip sample array. None when no reader
+    * accepts the payload (or it is truncated/corrupt). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val rf = raw.getFormat
+        val durationMs =
+          if (raw.getFrameLength >= 0 && rf.getFrameRate > 0)
+            math.round(raw.getFrameLength * 1000.0 / rf.getFrameRate).toInt
+          else return None
+        val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          rf.getSampleRate, 16, rf.getChannels, rf.getChannels * 2,
+          rf.getSampleRate, false)
+        val in =
+          if (rf.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            rf.getSampleSizeInBits == 16 && !rf.isBigEndian) raw
+          else AudioSystem.getAudioInputStream(pcm16, raw)
+        val hist = new Array[Long](8)
+        var nSamples = 0L
+        val buf = new Array[Byte](8192)
+        var read = in.read(buf)
+        var carry = -1 // low byte awaiting its high byte across reads
+        while (read > 0) {
+          var i = 0
+          if (carry >= 0 && read >= 1) {
+            val s = ((buf(0) << 8) | carry).toShort
+            hist(math.min(7, math.abs(s.toInt) * 8 / 32768)) += 1
+            nSamples += 1; carry = -1; i = 1
+          }
+          while (i + 1 < read) {
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+            hist(math.min(7, math.abs(s.toInt) * 8 / 32768)) += 1
+            nSamples += 1; i += 2
+          }
+          if (i < read) carry = buf(i) & 0xff
+          read = in.read(buf)
+        }
+        if (nSamples == 0) None
+        else Some((durationMs, hist.map(_ / nSamples.toFloat)))
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV fixture: `nSamples` samples of a
+    * seed-scaled sine at `sampleRate` Hz — every engine can restate its
+    * duration (`nSamples / sampleRate` seconds) literally. */
+  def syntheticWav(seed: Int, nSamples: Int,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (math.sin(i * 0.05 * (seed + 1)) * 16384).toInt.toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decoded record for the three-way total codec: codec ∈ imageio
+    * (width/height set), wav (duration_ms set), stub (byte-derived
+    * feature only). */
+  final case class DecodedAny(media_id: Long, codec: String,
+      width: Option[Int], height: Option[Int], duration_ms: Option[Int],
+      feature: Array[Float])
+
+  /** Batched three-way decode: image readers first, audio readers next,
+    * byte-stub last — total over any payload, one row per input, same
+    * mapPartitions batch shape as [[decodeImages]]. */
+  def decodeMedia(df: DataFrame, idCol: String, binCol: String):
+      Dataset[DecodedAny] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        decodeImage(b) match {
+          case Some((w, h, f)) =>
+            DecodedAny(id, "imageio", Some(w), Some(h), None, f)
+          case None => decodeWav(b) match {
+            case Some((ms, f)) =>
+              DecodedAny(id, "wav", None, None, Some(ms), f)
+            case None =>
+              DecodedAny(id, "stub", None, None, None, decodeStub(b))
+          }
+        }
+      })
+  }
 
   /** DECODE STUB — deterministic fallback for payloads without an
     * installed codec (and the audio/video stand-in). Derives an 8-dim

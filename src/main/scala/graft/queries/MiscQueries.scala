@@ -302,25 +302,32 @@ object MiscQueries {
     },
 
     // ---- multimodal decode honesty: the oracle distinguishes the REAL
-    // imageio path from the byte-stub fallback by row counts. The corpus
-    // text payloads can never decode as images (no reader accepts them →
-    // codec="stub"); a deterministic in-engine PNG fixture set MUST come
-    // back codec="imageio" with the known pixel dimensions. If the real
-    // codec ever silently degrades to the stub (or vice versa), the codec
-    // partition counts and width sum shift and the hash compare fails —
-    // the stub can't masquerade as a decode. Fixture constants (8 PNGs,
-    // widths 2..9 → sum 44) are engine-embedded like the LSH hyperplanes
-    // below, so the oracle states them literally.
+    // imageio path, the REAL javax.sound WAV path, and the byte-stub
+    // fallback by row counts. The corpus text payloads can never decode
+    // as images or audio (no reader accepts them → codec="stub");
+    // deterministic in-engine fixtures MUST come back through their real
+    // codec with exact measurements: 8 PNGs (widths 2..9 → sum 44) and
+    // 6 PCM WAVs ((i+1)·800 samples at 8 kHz → durations 100..600 ms,
+    // sum 2100). If either real codec silently degrades to the stub (or
+    // vice versa), a partition count, the width sum, or the duration sum
+    // shifts and the hash compare fails — the stub can't masquerade as a
+    // decode. Fixture constants are engine-embedded like the LSH
+    // hyperplanes below, so the oracle states them literally.
     Q("x_mm_decode_codecs",
-      """SELECT codec, n, total_width FROM (
+      """SELECT codec, n, total_width, total_duration_ms FROM (
         |  SELECT 'imageio' AS codec, CAST(8 AS BIGINT) AS n,
-        |         CAST(44 AS BIGINT) AS total_width
+        |         CAST(44 AS BIGINT) AS total_width,
+        |         CAST(0 AS BIGINT) AS total_duration_ms
         |  UNION ALL
-        |  SELECT 'stub', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+        |  SELECT 'wav', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(2100 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'stub', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT)
         |  FROM documents)
         |ORDER BY codec""".stripMargin) { (s, d) =>
       import s.implicits._
-      val fixtures = (0 until 8).map { i =>
+      val pngs = (0 until 8).map { i =>
         val (w, h) = (i + 2, i + 3)
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -330,13 +337,18 @@ object MiscQueries {
         javax.imageio.ImageIO.write(img, "png", baos)
         (1000000000L + i, baos.toByteArray)
       }
+      val wavs = (0 until 6).map { i =>
+        (2000000000L + i, Multimodal.syntheticWav(i, (i + 1) * 800))
+      }
       val docs = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bin"))
-      val all = docs.unionByName(fixtures.toDF("media_id", "bin"))
-      Multimodal.decodeImages(all, "media_id", "bin").toDF()
+      val all = docs.unionByName((pngs ++ wavs).toDF("media_id", "bin"))
+      Multimodal.decodeMedia(all, "media_id", "bin").toDF()
         .groupBy("codec")
         .agg(count(lit(1)).as("n"),
-          coalesce(sum("width"), lit(0)).cast("long").as("total_width"))
+          coalesce(sum("width"), lit(0)).cast("long").as("total_width"),
+          coalesce(sum("duration_ms"), lit(0)).cast("long")
+            .as("total_duration_ms"))
         .orderBy("codec")
     },
 

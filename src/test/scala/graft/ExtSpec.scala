@@ -372,6 +372,39 @@ class ExtSpec extends SparkSpec {
       .first()._2.sameElements(Array[Byte](1, 2, 3)))
   }
 
+  test("multimodal: real WAV decode — exact duration, amplitude histogram") {
+    // 8000 samples at 8 kHz = exactly 1000 ms
+    val wav = Multimodal.syntheticWav(seed = 3, nSamples = 8000)
+    val Some((ms, feat)) = Multimodal.decodeWav(wav)
+    assert(ms == 1000, s"duration $ms")
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-4)
+    // a sine capped at half amplitude never reaches the top bins
+    assert(feat(5) == 0.0f && feat(6) == 0.0f && feat(7) == 0.0f,
+      feat.toSeq.toString)
+    assert(feat(0) > 0 && feat(3) > 0, feat.toSeq.toString)
+    // silence concentrates in bin 0
+    val silent = Multimodal.syntheticWav(seed = -1, nSamples = 400)
+    val Some((msS, featS)) = Multimodal.decodeWav(silent)
+    assert(msS == 50 && featS(0) == 1.0f)
+    // garbage and PNG bytes refuse to decode as audio
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // three-way decodeMedia routes each payload through its real codec
+    val img = {
+      val b = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", baos); baos.toByteArray
+    }
+    val rows = Seq((0L, img), (1L, wav), (2L, "plain text".getBytes))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeMedia(rows, "media_id", "content")
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(0L).codec == "imageio" && got(0L).width.contains(4))
+    assert(got(1L).codec == "wav" && got(1L).duration_ms.contains(1000))
+    assert(got(2L).codec == "stub" && got(2L).duration_ms.isEmpty)
+  }
+
   test("multimodal: real imageio decode on a PNG, stub fallback elsewhere") {
     // a real 64x48 PNG rendered in-test: left half black, right half white
     def png(w: Int, h: Int): Array[Byte] = {
