@@ -89,7 +89,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout captures get tail-truncated by harnesses; always persist the
+    // COMPLETE per-query map to a file too (SPARK_GRAFT_BENCH_OUT
+    // overrides the default ./bench_full.json) so round-over-round
+    // comparison never depends on scraping a log tail.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

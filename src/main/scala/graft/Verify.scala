@@ -89,6 +89,14 @@ object Verify {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
 
-  private def writeOracles(outDir: String): Unit =
+  private def writeOracles(outDir: String): Unit = {
     writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
+    // staged large-SF recipes (tools/check.py --scale); see ScaleOracles
+    Files.writeString(Paths.get(s"$outDir/oracle_scale.json"),
+      ScaleOracles.all.toSeq.sortBy(_._1).map { case (name, steps) =>
+        s"${q(name)}: " + steps.map(st =>
+          s"""{"per_shard": ${st.perShard}, "sql": ${q(st.sql)}}""")
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}"))
+  }
 }

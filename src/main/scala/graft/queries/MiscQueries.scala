@@ -21,7 +21,7 @@ object MiscQueries {
       s"CAST(embedding[${i + 1}] AS DOUBLE) * $w.0"
     }.mkString(" + ")
 
-  private def planesSql(planes: Seq[Seq[Int]]): Seq[String] =
+  private[graft] def planesSql(planes: Seq[Seq[Int]]): Seq[String] =
     planes.map(p => s"CASE WHEN (${planeProjSql(p)}) > 0 THEN '1' ELSE '0' END")
 
   /** Exact cosine top-k ordered by the ROUNDED value (ties → vec_id) so

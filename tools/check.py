@@ -5,8 +5,16 @@ DuckDB against the same sf dir and compare with Verify.scala's parquet output
 import sys, json, glob, math
 import duckdb
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+flags = [a for a in sys.argv[1:] if a.startswith("--")]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify"
+# --scale: use the staged/sharded recipes from oracle_scale.json for the
+# queries whose one-statement oracle can't run at large SFs (per-token
+# unnest OOMs, ~1e9-row pair joins). --shards=N controls shard count.
+use_scale = "--scale" in flags
+n_shards = next((int(f.split("=")[1]) for f in flags
+                 if f.startswith("--shards=")), 32)
 
 import os.path
 con = duckdb.connect()
@@ -18,6 +26,22 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+scale_recipes = {}
+if use_scale and os.path.exists(f"{out_dir}/oracle_scale.json"):
+    scale_recipes = json.load(open(f"{out_dir}/oracle_scale.json"))
+
+def run_scale(name):
+    """Execute a staged recipe: every statement but the last for effect
+    (per_shard once per shard), the last is the result relation."""
+    steps = scale_recipes[name]
+    for st in steps[:-1]:
+        if st["per_shard"]:
+            for s in range(n_shards):
+                con.execute(st["sql"].replace("__NSHARDS__", str(n_shards))
+                            .replace("__SHARD__", str(s)))
+        else:
+            con.execute(st["sql"])
+    return con.sql(steps[-1]["sql"])
 fail = 0
 names = sorted({p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith('.json')})
 
@@ -49,11 +73,14 @@ def check_one(name):
     if not files:
         print(f"FAIL {name}: no spark output"); return False
     got = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-    if name not in oracle:
+    if name not in oracle and name not in scale_recipes:
         print(f"ROWS-ONLY {name}: {len(got.fetchall())} rows")
         return None
     try:
-        exp = con.sql(oracle[name])
+        if name in scale_recipes:
+            exp = run_scale(name)
+        else:
+            exp = con.sql(oracle[name])
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); return False
     gcols = sorted(zip(got.columns, [str(t) for t in got.types]))
