@@ -35,6 +35,26 @@ object Skew {
   def salt(det: Column, salts: Int): Column =
     pmod(xxhash64(det), lit(salts.toLong)).cast("int")
 
+  /** Salt count sized to the DATA, not hardcoded: a fixed salt count is
+    * the same fixed-geometry trap as a fixed LSH signature width — at
+    * 10× rows each (key, salt) task carries 10× the rows and the
+    * heaviest key is a straggler again (sort-merge cost is n·log n per
+    * task, so the tail grows superlinearly). Size so the HEAVIEST key's
+    * per-salt share stays ≈ `targetRowsPerTask`: worst case one key owns
+    * everything (`heavyKeyShare = 1.0`); pass the observed share when a
+    * profile exists ([[graft.functions.FreqItems]] heavy hitters).
+    * `rows` comes free from [[graft.core.RowCounts.hint]]. The floor
+    * keeps small inputs on the historical salts=8 plan; the cap bounds
+    * small-side replication (`salts × |small|` rows). */
+  def autoSalts(rows: Long, heavyKeyShare: Double = 1.0,
+      targetRowsPerTask: Long = 2000000L, minSalts: Int = 8,
+      maxSalts: Int = 4096): Int = {
+    require(heavyKeyShare > 0 && heavyKeyShare <= 1.0, "share in (0,1]")
+    val heavy = math.max(1.0, rows * heavyKeyShare)
+    val needed = math.ceil(heavy / targetRowsPerTask).toInt
+    math.min(maxSalts, math.max(minSalts, needed))
+  }
+
   /** Two-phase salted aggregation: `aggs` run per (key, salt), then their
     * merge (`merges`, matched by output name) runs per key. */
   def saltedAgg(df: DataFrame, key: Seq[String], det: Column, salts: Int,

@@ -165,16 +165,22 @@ object ScaleQueries {
 
     // Salted two-phase aggregation: l_returnflag has 3 values over the
     // whole fact table — the extreme-skew groupBy shape. Phase 1 splits
-    // each key across 16 salts, phase 2 merges partials; the oracle is the
-    // PLAIN aggregation because salting is semantics-preserving (that
-    // equivalence is the property under test). Decimal money sums make the
-    // two-phase total exactly order-independent.
+    // each key across corpus-derived salts (autoSalts: a FIXED salt
+    // count would hand each (key, salt) task 10× the rows at 10× data),
+    // phase 2 merges partials; the oracle is the PLAIN aggregation
+    // because salting is semantics-preserving (that equivalence is the
+    // property under test). Decimal money sums make the two-phase total
+    // exactly order-independent.
     Q("a_salted_agg",
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Skew.saltedAgg(t(s, d, "lineitem"), Seq("l_returnflag"),
-        det = col("l_orderkey"), salts = 16,
+      val li = t(s, d, "lineitem")
+      // ~1/3 of rows per flag: pass the observed heavy-key share
+      val salts = Skew.autoSalts(graft.core.RowCounts.hint(li),
+        heavyKeyShare = 0.5, minSalts = 16)
+      Skew.saltedAgg(li, Seq("l_returnflag"),
+        det = col("l_orderkey"), salts = salts,
         aggs = Seq(count(lit(1)).as("__n"),
           sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("__rev")),
         merges = Seq(sum("__n").as("n"),
@@ -184,8 +190,9 @@ object ScaleQueries {
 
     // Salted replicate-join: the big side salts deterministically, the
     // 3-row dim replicates to every salt, the join runs on (key, salt) —
-    // a heavy key fans across 8 tasks instead of one straggler. Oracle is
-    // the plain join (identical output by construction).
+    // a heavy key fans across salts tasks instead of one straggler; the
+    // salt count is corpus-derived (autoSalts). Oracle is the plain join
+    // (identical output by construction).
     Q("j_salted_join",
       """WITH dim(flag, label) AS (VALUES ('A','accepted'),('N','neutral'),('R','returned'))
         |SELECT label, CAST(count(*) AS BIGINT) AS n,
@@ -195,8 +202,11 @@ object ScaleQueries {
       import s.implicits._
       val dim = Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
         .toDF("flag", "label")
-      Skew.saltedJoin(t(s, d, "lineitem"), dim, "l_returnflag", "flag",
-        det = col("l_orderkey"), salts = 8)
+      val li = t(s, d, "lineitem")
+      val salts = Skew.autoSalts(graft.core.RowCounts.hint(li),
+        heavyKeyShare = 0.5)
+      Skew.saltedJoin(li, dim, "l_returnflag", "flag",
+        det = col("l_orderkey"), salts = salts)
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity").cast(DecimalType(18, 4))), 2)

@@ -42,6 +42,19 @@ class SkewSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("autoSalts scales with rows and heavy-key share, floored and capped") {
+    // small inputs keep the historical salts=8 plan
+    assert(Skew.autoSalts(600000L) == 8)
+    assert(Skew.autoSalts(600000L, heavyKeyShare = 0.5) == 8)
+    // 60M rows, one key owns half → 30M / 2M-per-task = 15 salts
+    assert(Skew.autoSalts(60000000L, heavyKeyShare = 0.5) == 15)
+    // full-skew worst case: 60M / 2M = 30
+    assert(Skew.autoSalts(60000000L) == 30)
+    // 100 TB-class row counts hit the replication cap
+    assert(Skew.autoSalts(400000000000L) == 4096)
+    intercept[IllegalArgumentException] { Skew.autoSalts(10L, 0.0) }
+  }
+
   test("salt is deterministic and in range") {
     val s = li.select(Skew.salt(col("l_orderkey"), 16).as("s"))
     val mm = s.agg(min("s"), max("s")).first()
