@@ -31,8 +31,57 @@ import org.apache.spark.sql.functions._
   * Raw parquet is read/written directly (NOT Tables.load): the scaled set
   * mirrors the driver's annotations byte-for-byte, NTZ timestamps
   * included, so the sf1 bench also exercises the load-shim path at scale.
+  * The one exception is a legacy TIMESTAMP(NANOS) events source, whose
+  * nanos-as-long reading cannot round-trip the annotation — see the
+  * normalization note at the events read.
   */
 object GenScale {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+  private val Coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  val MaxTextCopies: Int = Coprimes.size * 26 // 312
+
+  /** Per-copy character bijection (the `translate` target for source
+    * alphabet lower+upper+digits): an AFFINE cipher on letters
+    * (x → a·x + b mod 26) plus a digit rotation, case classes preserved
+    * (a case-mixing map would collide lowercased shingles across copies
+    * and flood the dedup workload with artificial near-dups).
+    *
+    * Distinctness structure — copy i uses family f = i/26 with
+    * a = coprime(f), b = (i + 13·f) mod 26:
+    *   - same family, different shift: rotations — discordant at EVERY
+    *     letter (no two copies map any letter alike).
+    *   - ODD family distance: b differs by 13 (odd) while a−a' is even,
+    *     so (a−a')x ≡ (b'−b) mod 26 has no solution — again fully
+    *     discordant. (Without the 13·f term, families sharing b agreed
+    *     at x ∈ {0, 13} — 'a' and 'n' — so a pathological document over
+    *     that 2-letter set could collide across copies > 26.)
+    *   - EVEN family distance: b cancels; gcd(a−a', 26) = 2 always
+    *     (|a−a'| < 26 even, never a multiple of 13), so the agreement
+    *     set is EXACTLY x ∈ {0, 13}. This residue is fundamental: >26
+    *     pairwise fully-discordant permutations of a 26-letter alphabet
+    *     cannot exist (they would form >26 rows of a 26-column Latin
+    *     square), so past 52 copies distinctness is corpus-dependent —
+    *     only a digit-free document whose letters all lie in {a, n}
+    *     can collide, which GenScaleSpec asserts never happens on the
+    *     real corpus at 60 copies.
+    *
+    * Copy 0 is the identity; copies 0..25 are pure rotations, so smaller
+    * scale-ups reproduce byte-identically. Length, case, token
+    * boundaries, and per-copy letter-frequency STRUCTURE (a permuted
+    * histogram) are preserved. */
+  private[graft] def charMap(i: Int): String = {
+    def affine(s: String, a: Int, b: Int) =
+      (0 until s.length).map(x => s((a * x + b) % s.length)).mkString
+    def rotBy(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val fam = i / 26
+    val a = Coprimes(fam % Coprimes.size)
+    val b = (i % 26 + 13 * fam) % 26
+    affine(Lower, a, b) + affine(Upper, a, b) + rotBy(Digits, fam % 10)
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -63,7 +112,18 @@ object GenScale {
 
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    // NTZ/LTZ-annotated events round-trip as-is; a legacy TIMESTAMP(NANOS)
+    // source arrives as a plain LongType under nanosAsLong=true and would
+    // be WRITTEN as an unannotated INT64 — a BIGINT to DuckDB, breaking
+    // every timestamp oracle on the scaled dir. Normalize that one shape
+    // to a real timestamp before scaling (Tables.load still exercises the
+    // shim on NTZ dirs, which is what the driver ships today).
+    val events = {
+      val raw = spark.read.parquet(s"$srcDir/events.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        graft.core.Tables.normalizeEventTs(raw)
+      else raw
+    }
     val documents = spark.read.parquet(s"$srcDir/documents.parquet")
     val embeddings = spark.read.parquet(s"$srcDir/embeddings.parquet")
 
@@ -76,30 +136,8 @@ object GenScale {
     def scaled(base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => tf(base, i)).reduce(_ unionByName _)
 
-    // Per-copy character bijection: an AFFINE cipher on letters
-    // (x -> a*x + b mod 26, a coprime to 26: 12 multipliers x 26 shifts =
-    // 312 distinct permutations) plus a digit rotation. Pure rotation
-    // (a=1) would cap at 26 distinct copies — the corpus text carries no
-    // digits, and a 100-copy scale-up under rotation alone was measured
-    // collapsing to base_distinct*26 texts (4x exact-duplicate inflation
-    // that would distort every dedup workload). Copy 0 is the identity;
-    // copies 0..25 are pure rotations, so smaller scale-ups reproduce
-    // byte-identically. Length, case, token boundaries, and per-copy
-    // letter-frequency STRUCTURE (a permuted histogram) are preserved.
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    val digits = "0123456789"
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    require(copies <= coprimes.size * 26,
-      s"at most ${coprimes.size * 26} text-distinct copies supported")
-    def affine(s: String, a: Int, b: Int) =
-      (0 until s.length).map(x => s((a * x + b) % s.length)).mkString
-    def rotBy(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
-    def rotFrom(i: Int) = {
-      val a = coprimes((i / 26) % coprimes.size)
-      affine(lower, a, i % 26) + affine(upper, a, i % 26) +
-        rotBy(digits, (i / 26) % 10)
-    }
+    require(copies <= GenScale.MaxTextCopies,
+      s"at most ${GenScale.MaxTextCopies} text-distinct copies supported")
 
     write(scaled(orders) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))
@@ -117,7 +155,7 @@ object GenScale {
     write(scaled(documents) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * didSpan))
         .withColumn("text",
-          translate(col("text"), lower + upper + digits, rotFrom(i)))
+          translate(col("text"), Lower + Upper + Digits, charMap(i)))
     }, s"$outDir/documents.parquet", 16)
 
     write(scaled(embeddings) { (df, i) =>

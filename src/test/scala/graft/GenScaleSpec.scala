@@ -45,16 +45,47 @@ class GenScaleSpec extends SparkSpec {
     assert(scaled == base.map { case (k, v) => k -> v * 3 })
   }
 
-  test("text stays distinct past 26 copies (affine family, not just rotation)") {
+  test("text stays distinct past 52 copies (affine family, not just rotation)") {
     // regression guard for the measured 100-copy collapse: rotation-only
-    // transforms cap at 26 distinct copies on a digit-free corpus
-    val dir = java.nio.file.Files.createTempDirectory("genscale30").toString
-    graft.tools.GenScale.run(spark, sf001, dir, 30)
+    // transforms cap at 26 distinct copies on a digit-free corpus, and
+    // the pre-r9 family parameters shared the shift across families,
+    // agreeing at 'a'/'n' for copies exactly 26k apart. 60 copies spans
+    // families 0..2, including an even-distance pair (0,2) whose maps
+    // provably agree only on {a, n} — real documents never collide.
+    val dir = java.nio.file.Files.createTempDirectory("genscale60").toString
+    graft.tools.GenScale.run(spark, sf001, dir, 60)
     val base = spark.read.parquet(s"$sf001/documents.parquet")
       .select("text").distinct().count()
     val scaled = spark.read.parquet(s"$dir/documents.parquet")
       .select("text").distinct().count()
-    assert(scaled == base * 30, s"expected ${base * 30} distinct texts, got $scaled")
+    assert(scaled == base * 60, s"expected ${base * 60} distinct texts, got $scaled")
+  }
+
+  test("charMap: pairwise agreement is 0 letters (odd family distance / rotations), ≤2 otherwise") {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val maps = (0 until 120).map(graft.tools.GenScale.charMap)
+    assert(maps.distinct.size == 120)
+    assert(maps(0) == lower + lower.toUpperCase + "0123456789")
+    for (i <- 0 until 120; j <- (i + 1) until 120) {
+      val agree = (0 until 26).filter(p => maps(i)(p) == maps(j)(p))
+        .map(lower(_))
+      val famDist = math.abs(i / 26 - j / 26)
+      val shiftDist = math.abs(i % 26 - j % 26)
+      if (famDist == 0 || (famDist + shiftDist) % 2 == 1)
+        // rotations within a family are fully discordant, and so is any
+        // pair whose total b-difference (shift + 13·famDist) is odd
+        // while a-a' is even: no letter maps alike
+        assert(agree.isEmpty, s"copies $i,$j agree at $agree")
+      else
+        // otherwise gcd(a-a', 26) = 2 → at most two fixed letters
+        assert(agree.size <= 2, s"copies $i,$j agree at $agree")
+    }
+    // the canonical worst pair: same shift, family distance 2 → exactly
+    // the x ∈ {0, 13} residue ('a' and 'n')
+    val agree52 = (0 until 26).filter(p =>
+      graft.tools.GenScale.charMap(0)(p) == graft.tools.GenScale.charMap(52)(p))
+      .map(lower(_))
+    assert(agree52 == Seq('a', 'n'), agree52.toString)
   }
 
   test("copies are distinct: no cross-copy duplicate keys, text, or vectors") {
