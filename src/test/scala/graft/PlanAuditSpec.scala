@@ -80,14 +80,21 @@ class PlanAuditSpec extends SparkSpec {
   test("RowCounts.hint answers from parquet footers: zero Spark jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.functions.col
+    // count ONLY jobs from this thread's job group — other suites share
+    // the session and their concurrent jobs must not fail this probe
     def countJobs(body: => Unit): Int = {
+      val group = s"rowcounts-probe-${System.nanoTime()}"
       val counter = new java.util.concurrent.atomic.AtomicInteger
       val l = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit = {
-          counter.incrementAndGet(); ()
+          if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+            counter.incrementAndGet(); ()
+          }
         }
       }
       spark.sparkContext.addSparkListener(l)
+      spark.sparkContext.setJobGroup(group, "rowcounts probe")
       try {
         body
         // listener events are async: wait until the count stops moving
@@ -98,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
           if (c == last) stable += 1 else { stable = 0; last = c }
         }
         counter.get()
-      } finally spark.sparkContext.removeSparkListener(l)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(l)
+      }
     }
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val truth = emb.count()
