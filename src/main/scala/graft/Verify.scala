@@ -47,10 +47,18 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_declared.json"),
       selected.map(_._1).sorted.map(q).mkString("[", ",", "]"))
     val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // coalesce(1) keeps the driver's small-SF dumps single-file, but a
+    // 60M-row sf10 result through ONE write task OOMs the driver heap —
+    // SPARK_GRAFT_DUMP_COALESCE=0 keeps the natural partitioning for
+    // large-SF sweeps (check.py reads directory globs either way)
+    val doCoalesce = sys.env.getOrElse("SPARK_GRAFT_DUMP_COALESCE", "1") != "0"
     val jobs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val res = fn(spark, sfDir)
+          (if (doCoalesce) res.coalesce(1) else res).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           failed.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -643,15 +643,20 @@ object Relational {
     },
 
     // CUBE over two dimensions (beyond-reference, SURVEY §2.4 note).
+    // money sums go through the DECIMAL convention (Fp.moneySum): the
+    // cube's global row sums o_totalprice over EVERY order, and a plain
+    // double sum's reduction-order error exceeds 0.01 at the sf10 row
+    // count (caught by the 100x oracle sweep) — cents-valued doubles are
+    // not exactly representable, unlike the integral l_quantity sums.
     Q("a_cube",
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS total
+        |       ${Fp.moneySumSql("o_totalprice")} AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin) { (s, d) =>
       t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), Fp.moneySum(col("o_totalprice")).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))

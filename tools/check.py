@@ -15,21 +15,32 @@ out_dir = args[1] if len(args) > 1 else "/tmp/verify"
 use_scale = "--scale" in flags
 n_shards = next((int(f.split("=")[1]) for f in flags
                  if f.startswith("--shards=")), 32)
+mem_limit = next((f.split("=")[1] for f in flags
+                  if f.startswith("--mem=")), "80GB")
 
 import os.path
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    # synthetic scale dirs (tools.GenScale) hold Spark-written DIRECTORIES
-    p = f"{sf_dir}/{t}.parquet"
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+def new_con():
+    c = duckdb.connect()
+    # without a temp_directory an in-memory DuckDB cannot spill AT ALL —
+    # the heavy sf10 oracles then die on "bad allocation" instead of
+    # going to disk
+    c.execute(f"PRAGMA memory_limit='{mem_limit}'")
+    c.execute(f"PRAGMA temp_directory='{out_dir}/.duckdb_spill'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # synthetic scale dirs (tools.GenScale) hold Spark-written DIRECTORIES
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return c
+con = new_con()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 scale_recipes = {}
 if use_scale and os.path.exists(f"{out_dir}/oracle_scale.json"):
     scale_recipes = json.load(open(f"{out_dir}/oracle_scale.json"))
 
+import re as _re
 def run_scale(name):
     """Execute a staged recipe: every statement but the last for effect
     (per_shard once per shard), the last is the result relation."""
@@ -42,6 +53,16 @@ def run_scale(name):
         else:
             con.execute(st["sql"])
     return con.sql(steps[-1]["sql"])
+
+def drop_scale_tables(name):
+    """Free a finished staged query's temp tables — leftover accumulators
+    from earlier heavy queries would eat the memory budget of later ones."""
+    for st in scale_recipes.get(name, []):
+        for t in _re.findall(r"CREATE (?:OR REPLACE )?TEMP TABLE (\w+)", st["sql"]):
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
 fail = 0
 names = sorted({p.split('/')[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith('.json')})
 
@@ -55,6 +76,14 @@ if os.path.exists(f"{out_dir}/_failed.json"):
 declared = set()
 if os.path.exists(f"{out_dir}/_declared.json"):
     declared = set(json.load(open(f"{out_dir}/_declared.json")))
+# --names=a,b,c (debug): restrict the whole gate to a subset; every
+# derived set shrinks consistently so the N/N line stays truthful
+only = next((set(f.split("=")[1].split(",")) for f in flags
+             if f.startswith("--names=")), None)
+if only is not None:
+    names = sorted(set(names) & only)
+    dump_errors = {k: v for k, v in dump_errors.items() if k in only}
+    declared &= only
 # total counts every query we know about, whether or not the declaration
 # manifest exists — a _failed.json-only dump dir must still widen the
 # denominator so "N/N pass" can't undercount.
@@ -90,10 +119,25 @@ def check_one(name):
     if gcols != ecols:
         print(f"WARN {name}: type drift {gcols} vs {ecols}")
     gsel = ", ".join(f'"{c}"' for c,_ in gcols)
+    gN = con.sql("SELECT count(*) FROM got").fetchone()[0]
+    eN = con.sql("SELECT count(*) FROM exp").fetchone()[0]
+    if gN != eN:
+        print(f"FAIL {name}: rowcount {gN} vs {eN}"); return False
+    if gN > 200000:
+        # huge results (sf10 full-corpus outputs): fetching every row into
+        # Python is the OOM, not the query — compare an order-independent,
+        # multiplicity-sensitive checksum inside DuckDB instead
+        chk = (f"SELECT CAST(sum(CAST(hash({gsel}) AS HUGEINT)) AS VARCHAR),"
+               f" count(*) FROM ")
+        gh = con.sql(chk + "got").fetchone()
+        eh = con.sql(chk + "exp").fetchone()
+        if gh != eh:
+            print(f"FAIL {name}: checksum {gh} vs {eh} over {gN} rows")
+            return False
+        print(f"OK   {name}: {gN} rows (checksum)")
+        return True
     grows = con.sql(f"SELECT {gsel} FROM got ORDER BY ALL").fetchall()
     erows = con.sql(f"SELECT {gsel} FROM exp ORDER BY ALL").fetchall()
-    if len(grows) != len(erows):
-        print(f"FAIL {name}: rowcount {len(grows)} vs {len(erows)}"); return False
     bad = None
     for i,(g,e) in enumerate(zip(grows, erows)):
         for j,(gv,ev) in enumerate(zip(g,e)):
@@ -109,14 +153,28 @@ def check_one(name):
     print(f"OK   {name}: {len(grows)} rows")
     return True
 
+prev_staged = False
 for name in names:
     # an OOM or other DuckDB crash on one heavy oracle must not take down
-    # the rest of the gate — record it as that query's failure and move on
+    # the rest of the gate — record it as that query's failure and move on.
+    # The staged heavy queries each get a FRESH connection: a wedged
+    # buffer pool after one of them otherwise cascades tiny-allocation
+    # OOMs into every later query (connection churn is kept to these few
+    # queries — churning per-query has shown native crashes).
+    if use_scale and (name in scale_recipes or prev_staged):
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = new_con()
+    prev_staged = name in scale_recipes
     try:
         if check_one(name) is False:
             fail += 1
     except Exception as e:
         print(f"FAIL {name}: check error: {type(e).__name__}: {str(e)[:200]}")
         fail += 1
+    finally:
+        drop_scale_tables(name)
 print(f"\n{total-fail}/{total} pass")
 sys.exit(1 if fail else 0)
