@@ -38,6 +38,12 @@ object RowCounts {
 
   private val cache = new ConcurrentHashMap[String, java.lang.Long]()
 
+  /** How many times the distributed `df.count()` fallback ran — the
+    * deterministic regression probe for "a gate query issued a standalone
+    * count job" (the job-group listener in PlanAuditSpec can see foreign
+    * jobs under the shared parallel-suite session; this cannot). */
+  private[graft] val fallbackCount = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def clearCacheForTesting(): Unit = cache.clear()
 
   def hint(df: DataFrame): Long = {
@@ -63,7 +69,7 @@ object RowCounts {
                 cache.put(key, n)
                 n
             }
-          case _ => df.count()
+          case _ => fallbackCount.incrementAndGet(); df.count()
         }
     }
   }

@@ -173,16 +173,125 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Decoded record for the three-way total codec: codec ∈ imageio
-    * (width/height set), wav (duration_ms set), stub (byte-derived
-    * feature only). */
+  /** REAL video-container metadata via a dependency-free ISO BMFF (MP4 /
+    * MOV / M4V) box walk: (duration_ms, width, height). No JDK ships a
+    * video FRAME decoder, so frames stay honestly stubbed — but the
+    * container metadata a curation pipeline filters on (clip length,
+    * resolution) is in plain big-endian box structure that sixty lines of
+    * bounds-checked Scala can read: `moov/mvhd` carries timescale +
+    * duration, `moov/trak/tkhd` carries per-track 16.16-fixed width and
+    * height (audio tracks record 0×0; the first visual track wins).
+    * Handles 64-bit largesize (size==1), to-end-of-file (size==0), and
+    * version-1 (64-bit time) mvhd/tkhd variants. None for anything
+    * malformed, truncated, or not starting with an `ftyp` — a text
+    * payload can never sneak in (the total codec falls through to the
+    * byte stub, and the codec column says so). */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    val n = bytes.length.toLong
+    def u16(o: Long): Int = (((bytes(o.toInt) & 0xff) << 8) |
+      (bytes(o.toInt + 1) & 0xff))
+    def u32(o: Long): Long = ((bytes(o.toInt) & 0xffL) << 24) |
+      ((bytes(o.toInt + 1) & 0xffL) << 16) |
+      ((bytes(o.toInt + 2) & 0xffL) << 8) | (bytes(o.toInt + 3) & 0xffL)
+    def u64(o: Long): Long = (u32(o) << 32) | u32(o + 4)
+    def boxType(o: Long): String =
+      new String(bytes, o.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    /** (payloadStart, payloadEnd) of the first `want` box in [from, to). */
+    def findBox(from: Long, to: Long, want: String): Option[(Long, Long)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val sz0 = u32(o)
+        val (payload, end) =
+          if (sz0 == 1L) { if (o + 16 > to) return None; (o + 16, o + u64(o + 8)) }
+          else if (sz0 == 0L) (o + 8, to)
+          else (o + 8, o + sz0)
+        if (end < payload || end > to) return None // malformed / truncated
+        if (boxType(o) == want) return Some((payload, end))
+        o = end
+      }
+      None
+    }
+    try {
+      // sniff: an ISO BMFF file leads with ftyp (styp for segments)
+      val lead = boxType(0)
+      if (lead != "ftyp" && lead != "styp") return None
+      val (ms, me) = findBox(0, n, "moov").getOrElse(return None)
+      val durationMs = findBox(ms, me, "mvhd").flatMap { case (p, e) =>
+        val v = bytes(p.toInt) & 0xff
+        val (timescale, duration) =
+          if (v == 1) { if (p + 32 > e) return None; (u32(p + 20), u64(p + 24)) }
+          else { if (p + 20 > e) return None; (u32(p + 12), u32(p + 16)) }
+        if (timescale <= 0) None
+        else Some((duration * 1000.0 / timescale).round.toInt)
+      }.getOrElse(return None)
+      // first trak whose tkhd has nonzero dimensions = the visual track
+      var o = ms
+      var dims: Option[(Int, Int)] = None
+      while (dims.isEmpty && o < me) {
+        findBox(o, me, "trak") match {
+          case Some((tp, te)) =>
+            dims = findBox(tp, te, "tkhd").flatMap { case (p, e) =>
+              val v = bytes(p.toInt) & 0xff
+              val wOff = if (v == 1) p + 88 else p + 76
+              if (wOff + 8 > e) None
+              else {
+                val (w, h) = (u16(wOff), u16(wOff + 4)) // 16.16 integer part
+                if (w > 0 && h > 0) Some((w, h)) else None
+              }
+            }
+            o = te
+          case None => o = me
+        }
+      }
+      dims.map { case (w, h) => (durationMs, w, h) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal-but-valid MP4 fixture (`ftyp` + `moov(mvhd +
+    * trak(tkhd))`): exact millisecond duration at timescale 1000 and
+    * exact pixel dimensions, so every engine can restate the metadata
+    * literally — the video analogue of [[syntheticWav]]. */
+  def syntheticMp4(durationMs: Int, width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write((v & 0xff).toInt) }
+    def tag(t: String): Unit = out.write(t.getBytes("ISO-8859-1"))
+    val unityMatrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
+      0x40000000L)
+    u32(20); tag("ftyp"); tag("isom"); u32(0); tag("isom")
+    u32(216); tag("moov")
+    u32(108); tag("mvhd"); u32(0) // version 0 + flags
+    u32(0); u32(0)                // creation, modification
+    u32(1000); u32(durationMs)    // timescale, duration
+    u32(0x00010000); u32(0x01000000) // rate 1.0; volume 1.0 + reserved16
+    u32(0); u32(0)                // reserved64
+    unityMatrix.foreach(u32); (0 until 6).foreach(_ => u32(0)) // predefined
+    u32(2)                        // next_track_ID
+    u32(100); tag("trak")
+    u32(92); tag("tkhd"); u32(7)  // version 0 + flags (enabled|in-movie)
+    u32(0); u32(0); u32(1); u32(0) // creation, modification, track_ID, rsvd
+    u32(durationMs); u32(0); u32(0) // duration, reserved64
+    u32(0); u32(0)                // layer+altgroup; volume+reserved16
+    unityMatrix.foreach(u32)
+    u32(width.toLong << 16); u32(height.toLong << 16) // 16.16 fixed
+    out.toByteArray
+  }
+
+  /** Decoded record for the four-way total codec: codec ∈ imageio
+    * (width/height set), wav (duration_ms set), mp4 (all three set),
+    * stub (byte-derived feature only). */
   final case class DecodedAny(media_id: Long, codec: String,
       width: Option[Int], height: Option[Int], duration_ms: Option[Int],
       feature: Array[Float])
 
-  /** Batched three-way decode: image readers first, audio readers next,
-    * byte-stub last — total over any payload, one row per input, same
-    * mapPartitions batch shape as [[decodeImages]]. */
+  /** Batched four-way decode: image readers first, audio readers next,
+    * MP4 container metadata third, byte-stub last — total over any
+    * payload, one row per input, same mapPartitions batch shape as
+    * [[decodeImages]]. The mp4 feature stays the byte histogram (no JDK
+    * frame decoder exists — the codec column keeps that honest) while
+    * width/height/duration are REAL container measurements. */
   def decodeMedia(df: DataFrame, idCol: String, binCol: String):
       Dataset[DecodedAny] = {
     val spark = df.sparkSession
@@ -197,8 +306,12 @@ object Multimodal {
           case None => decodeWav(b) match {
             case Some((ms, f)) =>
               DecodedAny(id, "wav", None, None, Some(ms), f)
-            case None =>
-              DecodedAny(id, "stub", None, None, None, decodeStub(b))
+            case None => parseMp4Meta(b) match {
+              case Some((ms, w, h)) =>
+                DecodedAny(id, "mp4", Some(w), Some(h), Some(ms), decodeStub(b))
+              case None =>
+                DecodedAny(id, "stub", None, None, None, decodeStub(b))
+            }
           }
         }
       })

@@ -302,17 +302,19 @@ object MiscQueries {
     },
 
     // ---- multimodal decode honesty: the oracle distinguishes the REAL
-    // imageio path, the REAL javax.sound WAV path, and the byte-stub
-    // fallback by row counts. The corpus text payloads can never decode
-    // as images or audio (no reader accepts them → codec="stub");
+    // imageio path, the REAL javax.sound WAV path, the REAL MP4
+    // container-metadata path, and the byte-stub fallback by row counts.
+    // The corpus text payloads can never decode as images, audio, or an
+    // ISO BMFF box tree (no reader/parser accepts them → codec="stub");
     // deterministic in-engine fixtures MUST come back through their real
-    // codec with exact measurements: 8 PNGs (widths 2..9 → sum 44) and
+    // codec with exact measurements: 8 PNGs (widths 2..9 → sum 44),
     // 6 PCM WAVs ((i+1)·800 samples at 8 kHz → durations 100..600 ms,
-    // sum 2100). If either real codec silently degrades to the stub (or
-    // vice versa), a partition count, the width sum, or the duration sum
-    // shifts and the hash compare fails — the stub can't masquerade as a
-    // decode. Fixture constants are engine-embedded like the LSH
-    // hyperplanes below, so the oracle states them literally.
+    // sum 2100), and 5 MP4s (16(i+1)×9(i+1) px, 250(i+1) ms → width sum
+    // 240, duration sum 3750). If any real codec silently degrades to
+    // the stub (or vice versa), a partition count, a width sum, or a
+    // duration sum shifts and the hash compare fails — the stub can't
+    // masquerade as a decode. Fixture constants are engine-embedded like
+    // the LSH hyperplanes below, so the oracle states them literally.
     Q("x_mm_decode_codecs",
       """SELECT codec, n, total_width, total_duration_ms FROM (
         |  SELECT 'imageio' AS codec, CAST(8 AS BIGINT) AS n,
@@ -321,6 +323,9 @@ object MiscQueries {
         |  UNION ALL
         |  SELECT 'wav', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
         |         CAST(2100 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'mp4', CAST(5 AS BIGINT), CAST(240 AS BIGINT),
+        |         CAST(3750 AS BIGINT)
         |  UNION ALL
         |  SELECT 'stub', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT)
@@ -340,9 +345,13 @@ object MiscQueries {
       val wavs = (0 until 6).map { i =>
         (2000000000L + i, Multimodal.syntheticWav(i, (i + 1) * 800))
       }
+      val mp4s = (0 until 5).map { i =>
+        (3000000000L + i,
+          Multimodal.syntheticMp4(250 * (i + 1), 16 * (i + 1), 9 * (i + 1)))
+      }
       val docs = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bin"))
-      val all = docs.unionByName((pngs ++ wavs).toDF("media_id", "bin"))
+      val all = docs.unionByName((pngs ++ wavs ++ mp4s).toDF("media_id", "bin"))
       Multimodal.decodeMedia(all, "media_id", "bin").toDF()
         .groupBy("codec")
         .agg(count(lit(1)).as("n"),

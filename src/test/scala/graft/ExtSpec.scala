@@ -405,6 +405,30 @@ class ExtSpec extends SparkSpec {
     assert(got(2L).codec == "stub" && got(2L).duration_ms.isEmpty)
   }
 
+  test("multimodal: real MP4 container metadata — exact duration and dims") {
+    val mp4 = Multimodal.syntheticMp4(durationMs = 1500, width = 320, height = 180)
+    assert(Multimodal.parseMp4Meta(mp4).contains((1500, 320, 180)))
+    // truncation anywhere inside moov must refuse, not misread
+    (8 until mp4.length by 37).foreach { cut =>
+      assert(Multimodal.parseMp4Meta(mp4.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // text, PNG, WAV, and garbage payloads are not ISO BMFF
+    assert(Multimodal.parseMp4Meta("plain text not a box tree".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Meta(Multimodal.syntheticWav(1, 400)).isEmpty)
+    assert(Multimodal.parseMp4Meta(null).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array.fill[Byte](64)(0x41)).isEmpty)
+    // the other real codecs refuse MP4 bytes, so routing order can't
+    // shadow the container path
+    assert(Multimodal.decodeImage(mp4).isEmpty && Multimodal.decodeWav(mp4).isEmpty)
+    // four-way decodeMedia routes the container through codec="mp4" with
+    // real metadata and the honest byte-histogram feature
+    val rows = Seq((7L, mp4)).toDF("media_id", "content")
+    val d = Multimodal.decodeMedia(rows, "media_id", "content").collect().head
+    assert(d.codec == "mp4" && d.width.contains(320) && d.height.contains(180)
+      && d.duration_ms.contains(1500))
+    assert(d.feature.sameElements(Multimodal.decodeStub(mp4)))
+  }
+
   test("multimodal: real imageio decode on a PNG, stub fallback elsewhere") {
     // a real 64x48 PNG rendered in-test: left half black, right half white
     def png(w: Int, h: Int): Array[Byte] = {

@@ -110,22 +110,38 @@ class PlanAuditSpec extends SparkSpec {
         spark.sparkContext.removeSparkListener(l)
       }
     }
+    // the listener probe can still catch foreign jobs under the shared
+    // parallel-suite session (thread-pool property inheritance), so the
+    // PRIMARY regression catch is RowCounts' own deterministic fallback
+    // counter; the job probe gets one retry — a re-probe of a memoized
+    // hint is genuinely job-free, so a PERSISTENT nonzero is real.
+    def fallbacks = graft.core.RowCounts.fallbackCount.get()
+    def probedJobs(label: String)(body: => Unit): Unit = {
+      val j1 = countJobs(body)
+      if (j1 != 0) {
+        val j2 = countJobs(body)
+        assert(j2 == 0, s"$label launched $j1 then $j2 jobs on re-probe")
+      }
+    }
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val truth = emb.count()
     graft.core.RowCounts.clearCacheForTesting()
+    val fb0 = fallbacks
     var n1 = -1L
-    val jobs = countJobs { n1 = graft.core.RowCounts.hint(emb) }
+    probedJobs("plain-scan hint") { n1 = graft.core.RowCounts.hint(emb) }
     assert(n1 == truth, s"footer count $n1 != count() $truth")
-    assert(jobs == 0, s"hint on a plain parquet scan launched $jobs jobs")
     // a Project wrapper is cardinality-preserving → still job-free
     var n2 = -1L
-    val jobs2 = countJobs {
+    probedJobs("projected hint") {
       n2 = graft.core.RowCounts.hint(emb.select(col("vec_id")))
     }
-    assert(n2 == truth && jobs2 == 0, s"projected hint: $n2, jobs=$jobs2")
+    assert(n2 == truth, s"projected hint: $n2")
+    assert(fallbacks == fb0,
+      s"footer-path hints took the count() fallback ${fallbacks - fb0} times")
     // a Filter changes cardinality → falls back to a real count, correct
     val filtered = emb.filter(col("vec_id") < 10)
     assert(graft.core.RowCounts.hint(filtered) == filtered.count())
+    assert(fallbacks == fb0 + 1, "filtered hint must take the fallback")
     // the adaptive-geometry gate path goes through hint: the ANN family
     // must not issue a standalone count job for a plain corpus scan
     graft.core.RowCounts.clearCacheForTesting()
@@ -133,10 +149,11 @@ class PlanAuditSpec extends SparkSpec {
     // build both frames first, then count only the hint calls
     val load1 = graft.core.Tables.load(spark, sf001, "embeddings")
     val load2 = graft.core.Tables.load(spark, sf001, "embeddings")
+    val fb1 = fallbacks
     val warm = graft.core.RowCounts.hint(load1)
-    val jobs3 = countJobs {
+    probedJobs("memoized hint") {
       assert(graft.core.RowCounts.hint(load2) == warm)
     }
-    assert(jobs3 == 0, s"memoized hint launched $jobs3 jobs")
+    assert(fallbacks == fb1, "Tables.load hints took the count() fallback")
   }
 }
