@@ -77,6 +77,52 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a pruned read, got $read of $totalYears partitions")
   }
 
+  test("z-ordered layout converts min-max stats into real row-group skips") {
+    // ZOrderSpec proves the files TILE the space; this test proves the
+    // tiling pays at SCAN time: with parquet filter pushdown, row groups
+    // whose min-max excludes the predicate are never materialized, so the
+    // scan's numOutputRows (rows the reader actually surfaced, before the
+    // exact Filter) collapses on the clustered layout. The control is the
+    // same data range-sorted by x only — every file spans all of y, no
+    // group can be skipped for a y predicate, the scan reads everything.
+    // At 100 TB this is the difference between reading 4 files and 64.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        md5(col("id").cast("string").cast("binary")).as("shuffle"))
+      .orderBy("shuffle").drop("shuffle")
+    graft.etl.ZOrder.writeClustered(grid, Seq("x", "y"), s"$dir/z", numFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/lex")
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("y") <= 7)
+      // collect THIS df (count() would execute a different QueryExecution
+      // and leave these scan metrics untouched)
+      assert(df.collect().length == 8 * 64) // same answer either way
+      def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: QueryStageExec => leaves(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves)
+      }
+      val scans = leaves(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(2000))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = scanRows(s"$dir/z")
+    val lexRows = scanRows(s"$dir/lex")
+    // z-tiles: only the y∈[0,15] strip of tiles survives the stats filter
+    assert(zRows <= 4096 / 2,
+      s"z-ordered scan surfaced $zRows of 4096 rows — row groups not skipped")
+    assert(lexRows >= 4096 * 3 / 4,
+      s"x-sorted control unexpectedly skipped groups for a y predicate: $lexRows")
+    assert(zRows * 2 <= lexRows,
+      s"clustering should at least halve scanned rows: $zRows vs $lexRows")
+  }
+
   test("RowCounts.hint answers from parquet footers: zero Spark jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import org.apache.spark.sql.functions.col
