@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring of a document corpus against a fixed term set —
+  * the retrieval primitive a training-data pipeline uses for soft
+  * decontamination (rank corpus docs against benchmark queries; the exact
+  * n-gram overlap path is `Curation.contamination`) and for targeted
+  * corpus slicing ("pull the docs about X").
+  *
+  * Okapi BM25 (public formula, Robertson & Spärck Jones):
+  *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+  *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))   (always > 0)
+  *
+  * Scale shape (100 TB corpus): everything per-document comes out of ONE
+  * fused `TermFreqs` row pass (tf per query term via map lookups + doc
+  * length via a map-values fold — no explode, no per-token shuffle). The
+  * corpus statistics (N, avgdl, per-term df) are a single global
+  * aggregate producing one row, broadcast back via a cross join. Total
+  * cost: two scans' worth of work in one stage each, one scalar exchange
+  * — scoring never shuffles document rows. The top-k cut runs on the
+  * rounded score so the cut is reproducible across engines.
+  */
+object Bm25 {
+
+  /** Per-document token length from the term-frequency map (sum of
+    * counts) — equals `TextAnalysis.tokenCount(lower(text))`. */
+  private def docLen(tfMap: Column): Column =
+    aggregate(map_values(tfMap), lit(0L), (acc, v) => acc + v)
+
+  /** Score the corpus against `terms` (lowercase literals); returns the
+    * `topK` rows (idCol, bm25) by rounded score with idCol tiebreak.
+    * Documents matching no query term are dropped (score 0). */
+  def score(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms == terms.map(_.toLowerCase),
+      "query terms must be non-empty lowercase literals")
+    graft.functions.TermFreqs.register(docs.sparkSession)
+    def tfCol(t: String) = s"__tf_$t"
+    def dfCol(t: String) = s"__df_$t"
+    val perDoc = graft.core.Tables.spread(docs)
+      .select(col(idCol) +: graft.functions.TermFreqs.termFreqs(col(textCol))
+        .as("__m") +: Nil: _*)
+      .select(col(idCol) +: docLen(col("__m")).as("__dl") +:
+        terms.map(t =>
+          coalesce(element_at(col("__m"), t), lit(0)).cast("long")
+            .as(tfCol(t))): _*)
+    val aggs: Seq[Column] = avg(col("__dl")).as("__avgdl") +:
+      terms.map(t => sum((col(tfCol(t)) > 0).cast("long"))
+        .cast("double").as(dfCol(t)))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("__n"), aggs: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termScore = terms.map { t =>
+      val tf = col(tfCol(t)).cast("double")
+      val df = col(dfCol(t))
+      val idf = log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5))
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored
+      .filter(terms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
+      .select(col(idCol), graft.queries.Fp.r(termScore, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -89,6 +89,50 @@ object Dedup {
           i => element_at(col("__chunks"), i + 1)), " ").as("text_dedup"))
   }
 
+  /** Duplicated-substring detection over OVERLAPPING token windows — the
+    * discovery half of exact substring dedup (public method: Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * which removes every repeated span ≥ 50 tokens via a suffix array;
+    * the distributed equivalent of the suffix array's repeat-finding is
+    * this stride-1 window-digest self-count). A window is DUPLICATED when
+    * its digest occurs more than once corpus-wide — including twice
+    * inside one document (self-repetition counts, as in the paper).
+    *
+    * Differs from [[spanDedup]] (disjoint chunks, first-copy-wins
+    * rewrite): overlapping windows catch duplicated passages at ANY
+    * offset, the case chunk alignment misses.
+    *
+    * Scale shape (100 TB): each doc emits (size − w + 1) 16-byte digests;
+    * the count aggregation shuffles (digest, partial-count) with map-side
+    * combine, and the per-doc regroup shuffles (id, digest) pairs — raw
+    * window text never leaves the row pass. The production bound at
+    * corpus scale is a two-pass Bloom prepass (first pass builds a filter
+    * of once-seen digests, second pass only shuffles candidates) —
+    * `functions.BloomOps` has the plumbing; this operator keeps the exact
+    * one-pass form the oracle can verify.
+    *
+    * Output: (id, n_windows, n_dup_windows, dup_ratio); docs with fewer
+    * than `w` tokens have no windows and vanish (same convention as
+    * [[spanDedup]] for token-less docs). */
+  def windowDupStats(df: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "window width must be positive")
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val winArr = when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => unhex(md5(array_join(slice(toks, i + 1, lit(w)), " ")
+          .cast("binary")))))
+      .otherwise(array().cast("array<binary>"))
+    val ex = df.select(col(idCol), explode(winArr).as("__h"))
+    val counts = ex.groupBy("__h").agg(count(lit(1)).as("__c"))
+    ex.join(counts, "__h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio", graft.queries.Fp.r(
+        col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** n-word shingles over the lowercase token stream. Unigram minhash

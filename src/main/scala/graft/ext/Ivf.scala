@@ -57,9 +57,18 @@ object Ivf {
       centroids: Seq[Seq[Double]]): Column =
     graft.functions.VectorOps.nearestCentroid(spark, emb, centroids)
 
-  /** Lloyd's k-means on the embedding column; returns k centroids. */
+  /** Lloyd's k-means on the embedding column; returns k centroids.
+    *
+    * `roundMeansTo`: when set, every recomputed mean is rounded to that
+    * many decimals (HALF_UP, after a +1e-9 nudge) before the next
+    * assignment pass. An engine-parity lever, not a quality one: summing
+    * a cell's members in a different order perturbs the mean by ~1 ulp,
+    * and an unrounded ulp can flip a near-tied argmin in the NEXT
+    * iteration — so any oracle that mirrors this training (x_semdedup)
+    * uses the rounded form on both sides. Seeds are exact float casts
+    * and are never rounded. */
   def train(corpus: DataFrame, embCol: String, idCol: String, k: Int,
-      iters: Int = 5): Seq[Seq[Double]] = {
+      iters: Int = 5, roundMeansTo: Option[Int] = None): Seq[Seq[Double]] = {
     val dim = corpus.select(size(col(embCol))).first().getInt(0)
     var centroids: Seq[Seq[Double]] = initSample(corpus, embCol, idCol, k)
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
@@ -77,11 +86,16 @@ object Ivf {
         .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("pos"),
           r.getAs[Double]("m")))
       val byCell = means.groupBy(_._1)
+      def parity(m: Double): Double = roundMeansTo match {
+        case Some(s) => BigDecimal(m + 1e-9)
+          .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+        case None => m
+      }
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         byCell.get(i) match {
           case Some(ms) =>
             val arr = new Array[Double](dim)
-            ms.foreach { case (_, p, m) => arr(p) = m }
+            ms.foreach { case (_, p, m) => arr(p) = parity(m) }
             arr.toSeq
           case None => old // empty cell keeps its centroid
         }

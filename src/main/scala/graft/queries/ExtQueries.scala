@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Bm25, Curation, Dedup, LangModel, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (beyond the reference's surface,
   * per the north star): dedup, similarity search, text analysis — each
@@ -748,6 +748,85 @@ object ExtQueries {
       exactRows.map(r => (r.getString(0), r.getLong(1), ok)).toSeq
         .toDF("token", "cnt", "sketch_ok")
         .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Bigram-LM cross-entropy (CCNet's perplexity filter, self-trained so
+    // the oracle re-derives the identical model): P(w2|w1) from exact
+    // corpus counts, each doc scored by the mean -ln P of its bigram
+    // stream. The fused TermFreqs pass means the shuffle carries (doc,
+    // DISTINCT-bigram, tf) — never token occurrences; the model is two
+    // map-side-combined aggregations of that stream; scoring is one
+    // bigram-keyed equi-join (broadcast when the frequency-floored model
+    // fits — see LangModel scaladoc).
+    Q("x_ngram_lm_score",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(len(ltoks)-1),
+         |        i -> ltoks[i+1]||chr(1)||ltoks[i+2])) AS b FROM tok),
+         |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+         |       FROM bg GROUP BY 1, 2),
+         |bc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS bc FROM tf GROUP BY 1),
+         |c1 AS (SELECT string_split(b, chr(1))[1] AS w1,
+         |              CAST(sum(bc) AS BIGINT) AS c1 FROM bc GROUP BY 1)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         |  round(sum(tf.tf * -ln(CAST(bc.bc AS DOUBLE)/c1.c1)) / sum(tf.tf)
+         |        + 1e-7, 4) AS cross_entropy
+         |FROM tf JOIN bc USING (b)
+         |  JOIN c1 ON string_split(tf.b, chr(1))[1] = c1.w1
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+      LangModel.crossEntropy(docs(s, d), "text", "doc_id").orderBy("doc_id")
+    },
+
+    // Okapi BM25 against a fixed query-term set — the soft-decontamination
+    // / corpus-slicing retrieval primitive. Per-doc term stats come out of
+    // ONE fused TermFreqs pass (map lookups, no explode); corpus stats
+    // (N, avgdl, df) are a single one-row aggregate broadcast back, so
+    // scoring never shuffles document rows. Top-k cut on the ROUNDED
+    // score with doc_id tiebreak, reproducible across engines.
+    Q("x_text_bm25",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ltoks) AS DOUBLE) AS dl,
+         |        CAST(len(list_filter(ltoks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+         |        CAST(len(list_filter(ltoks, x -> x = 'join')) AS DOUBLE) AS tf2,
+         |        CAST(len(list_filter(ltoks, x -> x = 'window')) AS DOUBLE) AS tf3
+         |      FROM tok),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |        CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |        CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+         |        CAST(sum(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+         |       FROM d)
+         |SELECT doc_id, round(
+         |   ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+         |     * (tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+         | + ln(1 + (n - df2 + 0.5)/(df2 + 0.5))
+         |     * (tf2*2.2)/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl))
+         | + ln(1 + (n - df3 + 0.5)/(df3 + 0.5))
+         |     * (tf3*2.2)/(tf3 + 1.2*(0.25 + 0.75*dl/avgdl))
+         | + 1e-7, 4) AS bm25
+         |FROM d CROSS JOIN st WHERE tf1>0 OR tf2>0 OR tf3>0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Bm25.score(docs(s, d), "text", "doc_id",
+        terms = Seq("spark", "join", "window"))
+    },
+
+    // Duplicated-substring discovery (the Lee et al. exact-substring-dedup
+    // primitive): every 8-token overlapping window digested; a window
+    // duplicated anywhere corpus-wide (other docs OR a repeat in the same
+    // doc) marks its doc. Shuffles carry 16-byte digests, never window
+    // text; see Dedup.windowDupStats for the Bloom-prepass scale bound.
+    Q("x_substring_dedup",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |win AS (SELECT doc_id, unnest(list_transform(range(len(ltoks)-7),
+         |         i -> md5(array_to_string(ltoks[i+1:i+8], ' ')))) AS h FROM tok),
+         |cnt AS (SELECT h, count(*) AS c FROM win GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  round(CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) + 1e-7, 4) AS dup_ratio
+         |FROM win JOIN cnt USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.windowDupStats(docsSpread(s, d), "text", "doc_id", w = 8)
+        .orderBy("doc_id")
     },
   )
 }

@@ -711,5 +711,145 @@ object MiscQueries {
         .select(col("a_id"), col("b_id"), Fp.r(col("cosine"), 4).as("cosine"))
         .orderBy("a_id", "b_id")
     },
+
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, drop
+    // within-cluster near-duplicates (cosine >= 0.4) keeping the smallest
+    // id. FULLY oracle-checked — the DuckDB oracle re-derives the
+    // identical model: same salted-md5 seed order, same 2 Lloyd
+    // iterations with means rounded to 6 decimals (the engine trains with
+    // roundMeansTo=6 so summation order can't flip a near-tied argmin),
+    // same lowest-index tiebreak, then the same within-cell pair join.
+    // k = autoCells(n) ≈ √n on BOTH sides (corpus-derived geometry, the
+    // r8 ANN discipline): candidate pairs grow as n^1.5, not n².
+    Q("x_semdedup", SemDedupOracle.sql(tau = 0.4, iters = 2)) { (s, d) =>
+      val corpus = t(s, d, "embeddings").persist()
+      val k = graft.ext.Ivf.autoCells(graft.core.RowCounts.hint(corpus))
+      graft.ext.SemDedup.dedupFlags(corpus, "embedding", "vec_id",
+        tau = 0.4, k = k, iters = 2).orderBy("vec_id")
+    },
+
+    // PageRank over the part co-purchase graph (parts sharing an order,
+    // symmetrized) — the source-centrality weighting a crawl-curation
+    // pipeline applies to its link graph. 5 synchronous iterations,
+    // mirrored CTE-for-CTE in the oracle; output is rank × N (≈1 scale)
+    // rounded to 4, top-20 with node tiebreak. The edge expansion is the
+    // j_cooccurrence HOF shape (per-order sorted sets, pairs as a
+    // projection — no self-join); each iteration is ONE shuffle (ranks
+    // joined to src-keyed edges, re-aggregated by dst) — see Graph.
+    Q("x_pagerank", PageRankOracle.sql(iters = 5)) { (s, d) =>
+      val sets = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // both directions in ONE HOF pass (a union of an i<j half with its
+      // swap would re-execute the basket aggregation twice)
+      val edges = sets.select(explode(flatten(
+        transform(col("ps"), a =>
+          transform(filter(col("ps"), b => b =!= a),
+            b => struct(a.as("src"), b.as("dst")))))).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iters = 5)
+      val n = broadcast(ranks.agg(count(lit(1)).cast("double").as("__n")))
+      ranks.crossJoin(n)
+        .select(col("node").as("part_key"),
+          Fp.r(col("pr") * col("__n"), 4).as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("part_key"))
+        .limit(20)
+    },
   )
+}
+
+/** DuckDB mirror of [[graft.ext.SemDedup.dedupFlags]] — the k-means
+  * training loop unrolled as chained CTEs (assignment by argmin over the
+  * centroid list, means re-derived per (cell, pos) and rounded exactly
+  * like `Ivf.train(roundMeansTo = 6)`, empty cells keeping their previous
+  * centroid). */
+private[queries] object SemDedupOracle {
+  private def assign(k: String, prev: String): String =
+    s"""a$k AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_sum(list_transform(list_zip(e.ed, c.cent),
+       |               x -> (x[1]-x[2])*(x[1]-x[2]))), c.cell) AS rn
+       |    FROM ed e CROSS JOIN c$prev c) WHERE rn = 1)""".stripMargin
+  private def means(k: String, prev: String): String =
+    s"""m$k AS (
+       |  SELECT a.cell, f.pos, round(avg(f.v) + 1e-9, 6) AS m
+       |  FROM a$k a JOIN fl f USING (vec_id) GROUP BY 1, 2),
+       |mc$k AS (SELECT cell, list(m ORDER BY pos) AS cent FROM m$k
+       |         GROUP BY cell),
+       |c$k AS (
+       |  SELECT p.cell, coalesce(mc.cent, p.cent) AS cent
+       |  FROM c$prev p LEFT JOIN mc$k mc ON p.cell = mc.cell)""".stripMargin
+
+  def sql(tau: Double, iters: Int): String = {
+    val steps = (1 to iters).flatMap(i =>
+      Seq(assign(i.toString, (i - 1).toString),
+        means(i.toString, (i - 1).toString))) :+
+      assign("f", iters.toString)
+    val seedOrd =
+      "md5('graft-kmeans-init'||'|'||CAST(vec_id AS VARCHAR)), vec_id"
+    s"""WITH nk AS (SELECT least(65536, greatest(4,
+       |              CAST(round(sqrt(count(*)), 0) AS INT))) AS k
+       |            FROM embeddings),
+       |ed AS (SELECT vec_id, list_transform(embedding,
+       |                v -> CAST(v AS DOUBLE)) AS ed FROM embeddings),
+       |fl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |              CAST(unnest(embedding) AS DOUBLE) AS v
+       |       FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $seedOrd) - 1 AS INT)
+       |           AS cell, ed AS cent
+       |  FROM ed
+       |  QUALIFY row_number() OVER (ORDER BY $seedOrd)
+       |          <= (SELECT k FROM nk)),
+       |${steps.mkString(",\n")},
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM (SELECT af.vec_id, af.cell, ed.ed FROM af JOIN ed
+       |        USING (vec_id)) a
+       |  JOIN (SELECT af.vec_id, af.cell, ed.ed FROM af JOIN ed
+       |        USING (vec_id)) b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(list_zip(a.ed, b.ed), x -> x[1]*x[2]))
+       |        / nullif(sqrt(list_sum(list_transform(a.ed, x -> x*x)))
+       |               * sqrt(list_sum(list_transform(b.ed, x -> x*x))), 0)
+       |        >= $tau),
+       |dropped AS (SELECT DISTINCT b_id FROM pairs)
+       |SELECT af.vec_id, af.cell,
+       |       CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM af LEFT JOIN dropped d ON af.vec_id = d.b_id
+       |ORDER BY af.vec_id""".stripMargin
+  }
+}
+
+/** DuckDB mirror of [[graft.ext.Graph.pageRank]] over the part
+  * co-purchase graph: the synchronous iterations unrolled as chained
+  * CTEs (left join keeps contribution-less nodes at the teleport term,
+  * exactly the engine's coalesce). */
+private[queries] object PageRankOracle {
+  private def iter(k: Int): String =
+    s"""p$k AS (
+       |  SELECT deg.src AS node,
+       |         (SELECT (1 - 0.85)/n FROM n) + 0.85 * coalesce(s.c, 0) AS pr
+       |  FROM deg LEFT JOIN (
+       |    SELECT e.dst AS node, sum(p.pr / d2.outdeg) AS c
+       |    FROM edges e JOIN p${k - 1} p ON e.src = p.node
+       |      JOIN deg d2 ON e.src = d2.src
+       |    GROUP BY e.dst) s ON deg.src = s.node)""".stripMargin
+
+  def sql(iters: Int): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |          FROM items a JOIN items b
+       |            ON a.l_orderkey = b.l_orderkey
+       |           AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+       |        FROM edges GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |p0 AS (SELECT src AS node, (SELECT 1.0/n FROM n) AS pr FROM deg),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT node AS part_key,
+       |       round(pr * (SELECT n FROM n) + 1e-7, 4) AS pr_scaled
+       |FROM p$iters ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin
 }

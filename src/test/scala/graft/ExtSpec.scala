@@ -48,6 +48,22 @@ class ExtSpec extends SparkSpec {
       (3L, 1, 0, "")))
   }
 
+  test("windowDupStats counts overlapping cross-doc and self repeats") {
+    val df = Seq(
+      (1L, "w1 w2 w3"),             // windows: [w1 w2], [w2 w3]
+      (2L, "w1 w2 x"),              // [w1 w2] dup with doc 1, [w2 x] unique
+      (3L, "y1 y2 y1 y2 y1"),       // [y1 y2]x2 (self-dup), [y2 y1]x2
+      (4L, "solo"))                 // shorter than w -> vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(df, "text", "doc_id", w = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 4L, 4L, 1.0)))
+  }
+
   test("spanDedup's wide window shuffles 16-byte digests, not span text") {
     val df = Seq((1L, "a b c d a b"), (2L, "c d e")).toDF("doc_id", "text")
     val out = Dedup.spanDedup(df, "text", "doc_id", span = 2)

@@ -157,17 +157,26 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
     // the listener probe can still catch foreign jobs under the shared
-    // parallel-suite session (thread-pool property inheritance), so the
-    // PRIMARY regression catch is RowCounts' own deterministic fallback
-    // counter; the job probe gets one retry — a re-probe of a memoized
-    // hint is genuinely job-free, so a PERSISTENT nonzero is real.
+    // parallel-suite session (Spark's localProperties is an
+    // InheritableThreadLocal: a shared pool thread created anywhere in the
+    // JVM while our group is set inherits it and then attributes a FOREIGN
+    // suite's jobs to us for the pool thread's whole lifetime — observed
+    // as a persistent nonzero across re-probes). So the PRIMARY regression
+    // catch is RowCounts' own deterministic fallback counter, asserted
+    // after every probe; the listener only has to observe ONE clean probe
+    // out of several — a memoized re-probe is genuinely job-free, so a
+    // regression that launches jobs through a path the fallback counter
+    // cannot see still fails all retries on a quiet JVM (isolation run).
     def fallbacks = graft.core.RowCounts.fallbackCount.get()
     def probedJobs(label: String)(body: => Unit): Unit = {
-      val j1 = countJobs(body)
-      if (j1 != 0) {
-        val j2 = countJobs(body)
-        assert(j2 == 0, s"$label launched $j1 then $j2 jobs on re-probe")
-      }
+      val fbBefore = fallbacks
+      var attempts = List.empty[Int]
+      while (attempts.lastOption != Some(0) && attempts.size < 4)
+        attempts = attempts :+ countJobs(body)
+      assert(fallbacks == fbBefore,
+        s"$label took the count() fallback ${fallbacks - fbBefore} times")
+      assert(attempts.lastOption.contains(0),
+        s"$label launched jobs on every probe: $attempts")
     }
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val truth = emb.count()
