@@ -151,10 +151,185 @@ object ScaleOracles {
           |FROM __cos_emb WHERE c >= 0.4 ORDER BY a_id, b_id""".stripMargin))
   }
 
+  /** Bigram-LM scoring: per-doc (doc, bigram, tf) is doc-decomposable —
+    * accumulate it per shard (the only token-grain unnest), then derive
+    * the model and scores from the compact tf table. */
+  private val ngramLm: Seq[Step] = Seq(
+    Step(perShard = false,
+      "CREATE OR REPLACE TEMP TABLE __tf_lm (doc_id BIGINT, b VARCHAR, tf BIGINT)"),
+    Step(perShard = true,
+      """INSERT INTO __tf_lm
+        |WITH tok AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks
+        |             FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__)),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(ltoks)-1),
+        |        i -> ltoks[i+1]||chr(1)||ltoks[i+2])) AS b FROM tok)
+        |SELECT doc_id, b, CAST(count(*) AS BIGINT) FROM bg GROUP BY 1, 2""".stripMargin),
+    Step(perShard = false,
+      """WITH bc AS (SELECT b, CAST(sum(tf) AS BIGINT) AS bc FROM __tf_lm GROUP BY 1),
+        |c1 AS (SELECT string_split(b, chr(1))[1] AS w1,
+        |              CAST(sum(bc) AS BIGINT) AS c1 FROM bc GROUP BY 1)
+        |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(t.tf * -ln(CAST(bc.bc AS DOUBLE)/c1.c1)) / sum(t.tf)
+        |        + 1e-7, 4) AS cross_entropy
+        |FROM __tf_lm t JOIN bc USING (b)
+        |  JOIN c1 ON string_split(t.b, chr(1))[1] = c1.w1
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
+  /** Substring windows: the window-digest emission is doc-decomposable;
+    * the global self-count runs on the accumulated digest table. */
+  private val substringDedup: Seq[Step] = Seq(
+    Step(perShard = false,
+      "CREATE OR REPLACE TEMP TABLE __win_sub (doc_id BIGINT, h VARCHAR)"),
+    Step(perShard = true,
+      """INSERT INTO __win_sub
+        |WITH tok AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks
+        |             FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__))
+        |SELECT doc_id, unnest(list_transform(range(len(ltoks)-7),
+        |        i -> md5(array_to_string(ltoks[i+1:i+8], ' ')))) FROM tok""".stripMargin),
+    Step(perShard = false,
+      """WITH cnt AS (SELECT h, count(*) AS c FROM __win_sub GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  round(CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) + 1e-7, 4) AS dup_ratio
+        |FROM __win_sub JOIN cnt USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** PageRank: materialize edges once (pair expansion sharded by order),
+    * then each of the 5 iterations is one compact temp table — the
+    * chained-CTE single statement would re-derive or hold every
+    * iteration's intermediate at a ~1e8-edge sf10 graph. */
+  private val pageRank: Seq[Step] = {
+    def iter(k: Int) = Step(perShard = false,
+      s"""CREATE OR REPLACE TEMP TABLE __pr_$k AS
+         |SELECT deg.src AS node,
+         |       (SELECT (1 - 0.85)/n FROM __n_pr) + 0.85 * coalesce(s.c, 0) AS pr
+         |FROM __deg_pr deg LEFT JOIN (
+         |  SELECT e.dst AS node, sum(p.pr / d2.outdeg) AS c
+         |  FROM __edges_pr e JOIN __pr_${k - 1} p ON e.src = p.node
+         |    JOIN __deg_pr d2 ON e.src = d2.src
+         |  GROUP BY e.dst) s ON deg.src = s.node""".stripMargin)
+    Seq(
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __items_pr AS
+          |SELECT DISTINCT l_orderkey, l_partkey FROM lineitem""".stripMargin),
+      Step(perShard = false,
+        "CREATE OR REPLACE TEMP TABLE __eraw_pr (src BIGINT, dst BIGINT)"),
+      Step(perShard = true,
+        """INSERT INTO __eraw_pr
+          |SELECT DISTINCT a.l_partkey, b.l_partkey
+          |FROM (SELECT * FROM __items_pr
+          |      WHERE l_orderkey % __NSHARDS__ = __SHARD__) a
+          |JOIN __items_pr b ON a.l_orderkey = b.l_orderkey
+          |               AND a.l_partkey <> b.l_partkey""".stripMargin),
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __edges_pr AS
+          |SELECT DISTINCT src, dst FROM __eraw_pr""".stripMargin),
+      Step(perShard = false, "DROP TABLE __eraw_pr"),
+      Step(perShard = false, "DROP TABLE __items_pr"),
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __deg_pr AS
+          |SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+          |FROM __edges_pr GROUP BY 1""".stripMargin),
+      Step(perShard = false,
+        "CREATE OR REPLACE TEMP TABLE __n_pr AS SELECT CAST(count(*) AS DOUBLE) AS n FROM __deg_pr"),
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __pr_0 AS
+          |SELECT src AS node, (SELECT 1.0/n FROM __n_pr) AS pr FROM __deg_pr""".stripMargin)) ++
+      (1 to 5).map(iter) :+
+      Step(perShard = false,
+        """SELECT node AS part_key,
+          |       round(pr * (SELECT n FROM __n_pr) + 1e-7, 4) AS pr_scaled
+          |FROM __pr_5 ORDER BY pr_scaled DESC, node LIMIT 20""".stripMargin)
+  }
+
+  /** SemDeDup: the committed single-statement oracle's k-means unrolled
+    * over temp tables, with DuckDB's NATIVE list kernels in place of the
+    * interpreted list lambdas (`list_distance` = sqrt of the same
+    * index-order Σ(a−b)² — a strictly monotone transform, so the argmin
+    * and its (distance, cell) tiebreak are unchanged; `list_dot_product`
+    * for the pair cosine). Bit-equality of the native and lambda forms is
+    * asserted by the --scale gate at sf0.01/sf0.1. Assignment and the
+    * within-cell pair join are the two heavy stages — both sharded. */
+  private val semDedup: Seq[Step] = {
+    val seedOrd =
+      "md5('graft-kmeans-init'||'|'||CAST(vec_id AS VARCHAR)), vec_id"
+    def assign(out: String, cents: String) = Step(perShard = true,
+      s"""INSERT INTO $out
+         |SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           list_distance(e.ed, c.cent), c.cell) AS rn
+         |  FROM (SELECT * FROM __ed_sd WHERE vec_id % __NSHARDS__ = __SHARD__) e
+         |  CROSS JOIN $cents c) WHERE rn = 1""".stripMargin)
+    def mkAssign(out: String) = Step(perShard = false,
+      s"CREATE OR REPLACE TEMP TABLE $out (vec_id BIGINT, cell INT)")
+    def means(cIn: String, a: String, cOut: String) = Step(perShard = false,
+      s"""CREATE OR REPLACE TEMP TABLE $cOut AS
+         |WITH m AS (SELECT a.cell, f.pos, round(avg(f.v) + 1e-9, 6) AS m
+         |           FROM $a a JOIN __fl_sd f USING (vec_id) GROUP BY 1, 2),
+         |mc AS (SELECT cell, list(m ORDER BY pos) AS cent FROM m GROUP BY cell)
+         |SELECT p.cell, coalesce(mc.cent, p.cent) AS cent
+         |FROM $cIn p LEFT JOIN mc ON p.cell = mc.cell""".stripMargin)
+    Seq(
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __nk_sd AS
+          |SELECT least(65536, greatest(4,
+          |  CAST(round(sqrt(count(*)), 0) AS INT))) AS k FROM embeddings""".stripMargin),
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __ed_sd AS
+          |SELECT vec_id, list_transform(embedding,
+          |  v -> CAST(v AS DOUBLE)) AS ed FROM embeddings""".stripMargin),
+      Step(perShard = false,
+        "CREATE OR REPLACE TEMP TABLE __fl_sd (vec_id BIGINT, pos BIGINT, v DOUBLE)"),
+      Step(perShard = true,
+        """INSERT INTO __fl_sd
+          |SELECT vec_id, generate_subscripts(embedding, 1),
+          |       CAST(unnest(embedding) AS DOUBLE)
+          |FROM (SELECT * FROM embeddings
+          |      WHERE vec_id % __NSHARDS__ = __SHARD__)""".stripMargin),
+      Step(perShard = false,
+        s"""CREATE OR REPLACE TEMP TABLE __c0_sd AS
+           |SELECT CAST(row_number() OVER (ORDER BY $seedOrd) - 1 AS INT)
+           |         AS cell, ed AS cent
+           |FROM __ed_sd
+           |QUALIFY row_number() OVER (ORDER BY $seedOrd)
+           |        <= (SELECT k FROM __nk_sd)""".stripMargin),
+      mkAssign("__a1_sd"), assign("__a1_sd", "__c0_sd"),
+      means("__c0_sd", "__a1_sd", "__c1_sd"),
+      mkAssign("__a2_sd"), assign("__a2_sd", "__c1_sd"),
+      means("__c1_sd", "__a2_sd", "__c2_sd"),
+      mkAssign("__af_sd"), assign("__af_sd", "__c2_sd"),
+      Step(perShard = false,
+        "CREATE OR REPLACE TEMP TABLE __drop_sd (b_id BIGINT)"),
+      Step(perShard = true,
+        """INSERT INTO __drop_sd
+          |SELECT DISTINCT b.vec_id
+          |FROM __af_sd a JOIN __af_sd b
+          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+          | AND b.vec_id % __NSHARDS__ = __SHARD__
+          |JOIN __ed_sd ea ON ea.vec_id = a.vec_id
+          |JOIN __ed_sd eb ON eb.vec_id = b.vec_id
+          |WHERE list_dot_product(ea.ed, eb.ed)
+          |      / nullif(sqrt(list_dot_product(ea.ed, ea.ed))
+          |             * sqrt(list_dot_product(eb.ed, eb.ed)), 0) >= 0.4""".stripMargin),
+      Step(perShard = false,
+        """SELECT a.vec_id, a.cell,
+          |       CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+          |FROM __af_sd a LEFT JOIN (SELECT DISTINCT b_id FROM __drop_sd) d
+          |  ON a.vec_id = d.b_id
+          |ORDER BY a.vec_id""".stripMargin))
+  }
+
   lazy val all: Map[String, Seq[Step]] = Map(
     "x_text_features" -> docSharded("x_text_features"),
     "x_token_entropy" -> docSharded("x_token_entropy"),
     "x_text_tfidf" -> tfidf,
     "x_dedup_lsh_pairs" -> lshPairs,
-    "x_emb_neardup" -> embNearDup)
+    "x_emb_neardup" -> embNearDup,
+    "x_ngram_lm_score" -> ngramLm,
+    "x_substring_dedup" -> substringDedup,
+    "x_pagerank" -> pageRank,
+    "x_semdedup" -> semDedup)
 }
