@@ -47,11 +47,19 @@ object RowCounts {
   private[graft] def clearCacheForTesting(): Unit = cache.clear()
 
   def hint(df: DataFrame): Long = {
-    val plan = df.queryExecution.optimizedPlan
-    plan.stats.rowCount match {
+    // Stats come from the OPTIMIZED plan: a session-cached corpus whose
+    // buffers are loaded reports an exact rowCount there (InMemoryRelation
+    // tracks it in an accumulator). The footer path matches on the
+    // ANALYZED plan instead — cache substitution happens between the two,
+    // and an InMemoryRelation over a parquet scan would otherwise
+    // disqualify the footer match and force the count() fallback for
+    // every `corpus.persist()` + hint() sequence (the ANN gate shape).
+    // Files and cache hold the same rows, so the footer sum stays exact.
+    val qe = df.queryExecution
+    qe.optimizedPlan.stats.rowCount match {
       case Some(n) => n.toLong
       case None =>
-        pureParquetScan(plan) match {
+        pureParquetScan(qe.analyzed) match {
           case Some(files) if files.nonEmpty && files.size <= MaxFooterFiles =>
             val key = files.map(f =>
               s"${f.getPath}:${f.getLen}:${f.getModificationTime}")

@@ -210,5 +210,26 @@ class PlanAuditSpec extends SparkSpec {
       assert(graft.core.RowCounts.hint(load2) == warm)
     }
     assert(fallbacks == fb1, "Tables.load hints took the count() fallback")
+    // A session-cached corpus (the ANN gate queries persist before
+    // hinting, and parallel suites leave caches behind) substitutes
+    // InMemoryRelation into the OPTIMIZED plan — the footer path matches
+    // the analyzed plan precisely so this costs no count() job, loaded
+    // buffers or not.
+    val cached = spark.read.parquet(s"$sf001/embeddings.parquet")
+    cached.persist()
+    try {
+      val fb2 = fallbacks
+      // unmaterialized cache: no stats rowCount yet → footer path
+      assert(graft.core.RowCounts.hint(cached) == truth,
+        "hint through an unmaterialized cache")
+      val fresh = spark.read.parquet(s"$sf001/embeddings.parquet")
+      assert(graft.core.RowCounts.hint(fresh.select(col("vec_id"))) == truth,
+        "projected hint while a foreign cache covers the same path")
+      assert(fallbacks == fb2,
+        s"cached-plan hints took the count() fallback ${fallbacks - fb2} times")
+      cached.count() // load buffers → optimized-plan stats carry rowCount
+      assert(graft.core.RowCounts.hint(cached) == truth, "hint on loaded cache")
+      assert(fallbacks == fb2, "loaded-cache hint took the count() fallback")
+    } finally { cached.unpersist(); () }
   }
 }
