@@ -340,4 +340,42 @@ object Curation {
       md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 2)
     df.filter(bucket < th)
   }
+
+  /** Leakage-safe train/val/test split: a random doc-level split puts
+    * near-duplicate pairs on both sides of the train/eval boundary, so
+    * eval scores are contaminated by memorization — the standard guard
+    * (the "no leakage between splits" rule every public LLM data paper
+    * applies) is to split by NEAR-DUP GROUP, not by document. Documents
+    * are clustered with the MinHash-LSH pipeline ([[Dedup.nearDupPairs]]
+    * at `jaccardThreshold`, connected components via
+    * [[Dedup.clusterPairs]]); every doc inherits its cluster's md5-drawn
+    * uniform, so a whole near-dup family lands in ONE split; singletons
+    * (the overwhelming majority) are their own cluster.
+    *
+    * Scale shape: the pair/CC machinery is exactly the near-dedup path
+    * (banded LSH join + O(log n) component rounds — see `Dedup`); docs
+    * not in any pair never enter it, joining back via one id-keyed left
+    * join; the split assignment itself is a pure projection. Output:
+    * (idCol, cluster_id, split). Deterministic: md5(salt:cluster) — any
+    * engine reproduces the exact membership. */
+  def leakSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      jaccardThreshold: Double = 0.8,
+      salt: String = "graft-split"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
+    val pairs = Dedup.nearDupPairs(docs, textCol, idCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val clusters = Dedup.clusterPairs(pairs)
+      .withColumnRenamed("id", "__cid")
+    val withCluster = docs.select(col(idCol))
+      .join(clusters, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val u = md5Prefix32(col("cluster_id"), s"$salt:") / lit(4294967296.0)
+    withCluster.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
 }

@@ -163,6 +163,64 @@ object ScaleQueries {
         .orderBy("cluster_id")
     },
 
+    // Leakage-safe train/val/test split: whole near-dup clusters (same
+    // MinHash-LSH + connected-components machinery as x_dedup_clusters)
+    // draw ONE md5 uniform, so no near-dup pair ever straddles the
+    // train/eval boundary — the memorization-contamination guard every
+    // curation pipeline needs. Singletons are their own cluster; the
+    // split is a pure projection over the cluster assignment.
+    Q("x_leak_safe_split", {
+      val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+      val SHINGLES = "list_transform(range(len(ltoks)-2), " +
+        "i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+      def mh(src: String, seed: Int) =
+        s"list_min(list_transform($src, t -> substr(md5('$seed:'||t),1,16)))"
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mh("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM jac
+         |  WHERE CAST(inter AS DOUBLE) / nullif(tot - inter, 0) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |asg AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        CAST(concat('0x', substr(md5('graft-split:'
+         |          ||CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |          / 4294967296.0 AS u
+         |      FROM asg)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Curation.leakSafeSplit(
+        t(s, d, "documents"), "text", "doc_id").orderBy("doc_id")
+    },
+
     // Salted two-phase aggregation: l_returnflag has 3 values over the
     // whole fact table — the extreme-skew groupBy shape. Phase 1 splits
     // each key across corpus-derived salts (autoSalts: a FIXED salt

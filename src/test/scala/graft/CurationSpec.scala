@@ -9,6 +9,34 @@ import graft.ext.Curation.QualityRules
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakSafeSplit keeps near-dup clusters in one split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "unrelated second singleton with its own words and nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Curation.leakSafeSplit(docs, "text", "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // every doc once
+    val byId = out.map(r => r._1 -> r).toMap
+    // the near-dup family {1,2,3} shares a cluster AND a split
+    assert(Set(byId(1L), byId(2L), byId(3L)).map(_._2).size == 1)
+    assert(Set(byId(1L), byId(2L), byId(3L)).map(_._3).size == 1)
+    // singletons are their own cluster
+    assert(byId(4L)._2 == 4L && byId(5L)._2 == 5L)
+    assert(out.forall(r => Set("train", "val", "test").contains(r._3)))
+    // deterministic across runs
+    val again = Curation.leakSafeSplit(docs, "text", "doc_id")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.leakSafeSplit(docs, "text", "doc_id",
+        trainFrac = 0.9, valFrac = 0.2)
+    }
+  }
+
   test("qualityFilter: first matching rule wins, kept rows have null reason") {
     val rules = QualityRules(minTokens = 3, maxTokens = 6,
       maxPunctRatio = 0.2, minMeanWordLen = 2.0, maxMeanWordLen = 8.0)
