@@ -196,6 +196,33 @@ object ScaleOracles {
         |FROM __win_sub JOIN cnt USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Span dedup: chunk emission is doc-decomposable — accumulate the
+    * (doc, chunk, idx) table per shard so the only corpus-wide stages are
+    * the first-occurrence window and the per-doc reassembly, both over
+    * the compact temp table instead of a live 46M-row unnest pipeline. */
+  private val spanDedup: Seq[Step] = Seq(
+    Step(perShard = false,
+      "CREATE OR REPLACE TEMP TABLE __ch_span (doc_id BIGINT, chunk VARCHAR, chunk_idx BIGINT)"),
+    Step(perShard = true,
+      """INSERT INTO __ch_span
+        |WITH tok AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |             FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__)),
+        |ch0 AS (SELECT doc_id,
+        |  list_transform(range(CAST(ceil(len(toks)/2.0) AS BIGINT)),
+        |                 i -> array_to_string(toks[i*2+1:i*2+2], ' ')) AS chunks
+        |  FROM tok)
+        |SELECT doc_id, unnest(chunks), generate_subscripts(chunks, 1)
+        |FROM ch0""".stripMargin),
+    Step(perShard = false,
+      """WITH k AS (SELECT *, row_number() OVER (PARTITION BY chunk
+        |        ORDER BY doc_id, chunk_idx) AS rn FROM __ch_span)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                      ORDER BY chunk_idx), '') AS text_dedup
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** PageRank: materialize edges once (pair expansion sharded by order),
     * then each of the 5 iterations is one compact temp table — the
     * chained-CTE single statement would re-derive or hold every
@@ -329,6 +356,7 @@ object ScaleOracles {
     "x_dedup_lsh_pairs" -> lshPairs,
     "x_emb_neardup" -> embNearDup,
     "x_ngram_lm_score" -> ngramLm,
+    "x_span_dedup" -> spanDedup,
     "x_substring_dedup" -> substringDedup,
     "x_pagerank" -> pageRank,
     "x_semdedup" -> semDedup)

@@ -18,7 +18,7 @@ n_shards = next((int(f.split("=")[1]) for f in flags
 mem_limit = next((f.split("=")[1] for f in flags
                   if f.startswith("--mem=")), "80GB")
 
-import os.path
+import os.path, gc, time
 def new_con():
     c = duckdb.connect()
     # without a temp_directory an in-memory DuckDB cannot spill AT ALL —
@@ -33,6 +33,26 @@ def new_con():
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return c
+
+def is_oom(e):
+    return any(s in str(e) for s in (
+        "Out of Memory", "bad allocation", "closed pending query"))
+
+def robust_new_con():
+    # a just-closed heavy instance releases its arenas asynchronously; a
+    # fresh connection opened in that window dies on tiny allocations —
+    # give the allocator a few settle-and-retry rounds before giving up
+    last = None
+    for _ in range(5):
+        gc.collect()
+        try:
+            return new_con()
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            last = e
+            time.sleep(4)
+    raise last
 con = new_con()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -111,6 +131,8 @@ def check_one(name):
         else:
             exp = con.sql(oracle[name])
     except Exception as e:
+        if is_oom(e):
+            raise  # the outer loop retries OOMs on a fresh connection
         print(f"FAIL {name}: oracle error {e}"); return False
     gcols = sorted(zip(got.columns, [str(t) for t in got.types]))
     ecols = sorted(zip(exp.columns, [str(t) for t in exp.types]))
@@ -166,14 +188,34 @@ for name in names:
             con.close()
         except Exception:
             pass
-        con = new_con()
+        con = robust_new_con()
     prev_staged = name in scale_recipes
     try:
         if check_one(name) is False:
             fail += 1
     except Exception as e:
-        print(f"FAIL {name}: check error: {type(e).__name__}: {str(e)[:200]}")
-        fail += 1
+        # an OOM usually means a wedged buffer pool from EARLIER heavy
+        # queries, not this query's own footprint — one retry on a fresh
+        # connection before recording a failure keeps a single heavy
+        # neighbor from cascading into every query after it
+        if is_oom(e):
+            print(f"RETRY {name}: fresh connection after OOM "
+                  f"({str(e)[:120]})")
+            try:
+                con.close()
+            except Exception:
+                pass
+            try:
+                con = robust_new_con()
+                if check_one(name) is False:
+                    fail += 1
+            except Exception as e2:
+                print(f"FAIL {name}: check error after OOM retry: "
+                      f"{type(e2).__name__}: {str(e2)[:200]}")
+                fail += 1
+        else:
+            print(f"FAIL {name}: check error: {type(e).__name__}: {str(e)[:200]}")
+            fail += 1
     finally:
         drop_scale_tables(name)
 print(f"\n{total-fail}/{total} pass")
