@@ -93,10 +93,44 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Magic-byte gates for the decode ROUTING: `ImageIO.read` and
+    * `AudioSystem.getAudioInputStream` both run a provider scan and an
+    * exception-driven rejection on every non-matching payload — measured
+    * ~0.3 ms/row, which turned the mostly-stub codec sweep superlinear at
+    * sf1 (0.4 s → 16 s). A 4–12 byte header check keeps the hot path
+    * free for the overwhelming stub majority; formats are exactly the
+    * stock-JDK reader set (PNG/JPEG/GIF/BMP/TIFF; RIFF-WAVE/AIFF/AU), so
+    * the gate never rejects a payload the decoder would accept — except
+    * headerless WBMP, which no corpus-scale pipeline can distinguish
+    * from arbitrary bytes anyway (documented stub trade). */
+  private[ext] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 0x50) || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) || // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) // TIFF BE
+
+  private[ext] def looksLikeAudio(b: Array[Byte]): Boolean =
+    (b.length >= 12 &&
+      ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F'))) || // AIFF/AIFC
+    (b.length >= 4 &&
+      b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') // AU
+
   /** Total codec: real decode when a reader exists, byte-stub otherwise. */
-  def decodeAuto(bytes: Array[Byte]): Array[Float] =
-    decodeImage(bytes).map(_._3).getOrElse(
-      decodeWav(bytes).map(_._2).getOrElse(decodeStub(bytes)))
+  def decodeAuto(bytes: Array[Byte]): Array[Float] = {
+    val gated =
+      if (bytes != null && looksLikeImage(bytes)) decodeImage(bytes).map(_._3)
+      else None
+    gated.orElse(
+      if (bytes != null && looksLikeAudio(bytes)) decodeWav(bytes).map(_._2)
+      else None
+    ).getOrElse(decodeStub(if (bytes == null) Array.empty[Byte] else bytes))
+  }
 
   /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM readers
     * ship in every JDK, same dependency-free posture as the imageio
@@ -300,10 +334,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        decodeImage(b) match {
+        // magic-byte gates (looksLike*) keep the per-row cost of the
+        // stub majority at a header compare, not a provider scan
+        (if (looksLikeImage(b)) decodeImage(b) else None) match {
           case Some((w, h, f)) =>
             DecodedAny(id, "imageio", Some(w), Some(h), None, f)
-          case None => decodeWav(b) match {
+          case None => (if (looksLikeAudio(b)) decodeWav(b) else None) match {
             case Some((ms, f)) =>
               DecodedAny(id, "wav", None, None, Some(ms), f)
             case None => parseMp4Meta(b) match {
