@@ -828,5 +828,73 @@ object ExtQueries {
       Dedup.windowDupStats(docsSpread(s, d), "text", "doc_id", w = 8)
         .orderBy("doc_id")
     },
+
+    // Trained quality classifier (the DCLM / FineWeb-Edu curation shape):
+    // logistic regression on surface features, full-batch gradient
+    // descent where each step is ONE distributed aggregation (the
+    // driver-holds-the-model / cluster-holds-the-data pattern shared
+    // with Lloyd's k-means). Weak label: lang == 'en', learnable from
+    // the stopword-share feature. FULLY oracle-checked — the DuckDB
+    // oracle re-derives all 10 GD steps from w=0 and scores every doc
+    // with the identical weights.
+    Q("x_quality_classifier", QualityOracle.sql(steps = 10)) { (s, d) =>
+      val feat = graft.ext.QualityModel.featureFrame(
+        docsSpread(s, d), "text", "doc_id", col("lang") === "en").persist()
+      val w = graft.ext.QualityModel.train(feat, lr = 1.0, steps = 10)
+      feat.select(col("doc_id"), col("y"),
+        Fp.r(graft.ext.QualityModel.score(feat, w), 4).as("score"))
+        .orderBy("doc_id")
+    },
   )
+}
+
+/** DuckDB mirror of [[graft.ext.QualityModel.train]]: the GD loop
+  * unrolled as single-row weight CTEs (s1..sN), each aggregating the
+  * residual gradient over the shared feature CTE — identical features,
+  * w₀ = 0, lr/N step. */
+private[queries] object QualityOracle {
+  private val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+  private val TOKS = "list_filter(string_split(text,' '), x -> x <> '')"
+  private val EN =
+    "['the','a','of','and','to','in','is','it','that','for']"
+  private val Xs = Seq("x1", "x2", "x3", "x4", "x5", "x6")
+  private val Ws = Seq("w1", "w2", "w3", "w4", "w5", "w6")
+
+  private def margin(prefix: String): String =
+    Xs.zip(Ws).map { case (x, w) => s"$prefix.$w*f.$x" }.mkString(" + ")
+
+  private def step(k: Int): String = {
+    val grads = Xs.zip(Ws).map { case (x, w) =>
+      s"""w.$w + (1.0/(SELECT n FROM n)) *
+         |    sum((f.y - 1/(1+exp(-(${margin("w")})))) * f.$x) AS $w"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""s$k AS (
+       |  SELECT $grads
+       |  FROM feat f CROSS JOIN s${k - 1} w
+       |  GROUP BY ${Ws.map(w => s"w.$w").mkString(", ")})""".stripMargin
+  }
+
+  def sql(steps: Int): String =
+    s"""WITH tok AS (SELECT doc_id, lang, text, $LTOKS AS ltoks, $TOKS AS toks
+       |             FROM documents),
+       |feat AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+       |  least(len(ltoks)/100.0, 2.0) AS x1,
+       |  coalesce(CAST(len(list_distinct(ltoks)) AS DOUBLE)
+       |           / nullif(len(ltoks), 0), 0.0) AS x2,
+       |  coalesce(CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)
+       |           / nullif(length(text), 0), 0.0) AS x3,
+       |  coalesce(CAST(len(list_filter(ltoks, t -> list_contains($EN, t))) AS DOUBLE)
+       |           / nullif(len(ltoks), 0), 0.0) AS x4,
+       |  coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |           / nullif(len(toks), 0) / 10.0, 0.0) AS x5,
+       |  1.0 AS x6
+       |  FROM tok),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+       |s0 AS (SELECT ${Ws.map(w => s"0.0 AS $w").mkString(", ")}),
+       |${(1 to steps).map(step).mkString(",\n")}
+       |SELECT f.doc_id, f.y,
+       |       round(1/(1+exp(-(${margin("w")}))) + 1e-7, 4) AS score
+       |FROM feat f CROSS JOIN s$steps w
+       |ORDER BY f.doc_id""".stripMargin
 }
