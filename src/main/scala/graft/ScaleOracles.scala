@@ -349,7 +349,62 @@ object ScaleOracles {
           |ORDER BY a.vec_id""".stripMargin))
   }
 
+  /** Quality classifier: the feature projection is doc-decomposable —
+    * accumulate it per shard, then run the 10 single-row GD weight steps
+    * and the final scoring off the compact numeric temp table (the
+    * single-statement oracle would re-inline the token-lambda feature
+    * CTE once per step). */
+  private val qualityClassifier: Seq[Step] = {
+    val xs = Seq("x1", "x2", "x3", "x4", "x5", "x6")
+    val ws = Seq("w1", "w2", "w3", "w4", "w5", "w6")
+    def margin(p: String) =
+      xs.zip(ws).map { case (x, w) => s"$p.$w*f.$x" }.mkString(" + ")
+    def step(k: Int) = Step(perShard = false,
+      s"""CREATE OR REPLACE TEMP TABLE __s${k}_qc AS
+         |SELECT ${xs.zip(ws).map { case (x, w) =>
+        s"""w.$w + (1.0/(SELECT n FROM __n_qc)) *
+           |    sum((f.y - 1/(1+exp(-(${margin("w")})))) * f.$x) AS $w"""
+          .stripMargin }.mkString(",\n  ")}
+         |FROM __feat_qc f CROSS JOIN __s${k - 1}_qc w
+         |GROUP BY ${ws.map(w => s"w.$w").mkString(", ")}""".stripMargin)
+    Seq(
+      Step(perShard = false,
+        """CREATE OR REPLACE TEMP TABLE __feat_qc (doc_id BIGINT, y INT,
+          |  x1 DOUBLE, x2 DOUBLE, x3 DOUBLE, x4 DOUBLE, x5 DOUBLE,
+          |  x6 DOUBLE)""".stripMargin),
+      Step(perShard = true,
+        """INSERT INTO __feat_qc
+          |WITH tok AS (SELECT doc_id, lang, text,
+          |  list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks,
+          |  list_filter(string_split(text,' '), x -> x <> '') AS toks
+          |  FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__))
+          |SELECT doc_id, CAST(lang = 'en' AS INT),
+          |  least(len(ltoks)/100.0, 2.0),
+          |  coalesce(CAST(len(list_distinct(ltoks)) AS DOUBLE)
+          |           / nullif(len(ltoks), 0), 0.0),
+          |  coalesce(CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)
+          |           / nullif(length(text), 0), 0.0),
+          |  coalesce(CAST(len(list_filter(ltoks, t -> list_contains(
+          |      ['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+          |           / nullif(len(ltoks), 0), 0.0),
+          |  coalesce(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+          |           / nullif(len(toks), 0) / 10.0, 0.0),
+          |  1.0
+          |FROM tok""".stripMargin),
+      Step(perShard = false,
+        "CREATE OR REPLACE TEMP TABLE __n_qc AS SELECT CAST(count(*) AS DOUBLE) AS n FROM __feat_qc"),
+      Step(perShard = false,
+        s"CREATE OR REPLACE TEMP TABLE __s0_qc AS SELECT ${ws.map(w => s"0.0 AS $w").mkString(", ")}")) ++
+      (1 to 10).map(step) :+
+      Step(perShard = false,
+        s"""SELECT f.doc_id, f.y,
+           |       round(1/(1+exp(-(${margin("w")}))) + 1e-7, 4) AS score
+           |FROM __feat_qc f CROSS JOIN __s10_qc w
+           |ORDER BY f.doc_id""".stripMargin)
+  }
+
   lazy val all: Map[String, Seq[Step]] = Map(
+    "x_quality_classifier" -> qualityClassifier,
     "x_text_features" -> docSharded("x_text_features"),
     "x_token_entropy" -> docSharded("x_token_entropy"),
     "x_text_tfidf" -> tfidf,
