@@ -20,7 +20,10 @@ object Tables {
     * splits and this becomes a no-op-sized round-robin shuffle. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // toRdd reads the physical plan's partition count without df.rdd's
+    // extra DeserializeToObject conversion (row encoders never engage)
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -28,50 +28,97 @@ object Graph {
   /** PageRank over a directed edge list (`srcCol`, `dstCol`), `iters`
     * synchronous iterations from a uniform start:
     *
-    *   pr'(v) = (1−d)/N + d · Σ_{(u,v)∈E} pr(u)/outdeg(u)
+    *   pr'(v) = (1−d)/N + d · (Σ_{(u,v)∈E} pr(u)/outdeg(u) + dang/N)
     *
-    * Nodes = vertices with at least one OUT edge; on the symmetric graphs
-    * this engine builds (co-occurrence, similarity) that is every vertex,
-    * so there is no dangling-mass term — callers feeding asymmetric link
-    * graphs should symmetrize or add the dangling redistribution first.
-    * Returns (node, pr) at the edge key's type, pr unnormalized double.
+    * Nodes = every vertex appearing as a source OR destination; vertices
+    * with no out-edges are DANGLING and their rank mass `dang` is
+    * redistributed uniformly each iteration (the standard random-surfer
+    * completion), so asymmetric link graphs conserve total mass ≈ 1
+    * without caller-side symmetrization. The dangling term is a one-row
+    * aggregate cross-joined back — never a driver collect; graphs with no
+    * dangling vertex (co-occurrence, similarity — anything symmetric)
+    * skip the term entirely, detected ONCE up front on the node-grain
+    * frame. Returns (node, pr) at the edge key's type, pr unnormalized.
     *
-    * The loop stays LAZY: the whole iteration chain executes as one query
-    * when the caller acts on the result, with the persisted edge+degree
+    * The loop stays LAZY: the iteration chain executes when the final
+    * eager checkpoint materializes it, with the persisted edge+degree
     * table serving every iteration and AQE broadcasting the node-grain
     * rank side from its measured runtime size. `checkpointEvery` caps
-    * plan/lineage depth for long horizons — each checkpoint is a
+    * plan/lineage depth for long horizons — each mid-loop checkpoint is a
     * materialization barrier that measured ~4× the pure iteration cost
     * on a 5-iteration run (docs/SCALING.md), so the default cadence only
     * engages past the depths where Catalyst re-optimization cost grows
-    * noticeable. */
+    * noticeable. `tol` (L1 delta per iteration) opts into an early stop —
+    * that forces a materialization + one scalar aggregate per iteration,
+    * the price of knowing convergence; leave None for fixed horizons.
+    *
+    * The returned frame is locally checkpointed (eager), so the cached
+    * edge/node frames are unpersisted before returning — a long-lived
+    * session accumulates nothing across repeated invocations; checkpoint
+    * storage is node-grain and reclaimed by the context cleaner once the
+    * result is dropped. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8, tol: Option[Double] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
     val deg = e.groupBy("__src")
       .agg(count(lit(1)).cast("double").as("__outdeg"))
     val withDeg = e.join(deg, "__src").persist()
-    val n = broadcast(withDeg.select("__src").distinct()
-      .agg(count(lit(1)).cast("double").as("__n")))
-    val nodes = withDeg.select(col("__src").as("node")).distinct().persist()
+    val nodes = withDeg.select(col("__src").as("node"))
+      .union(withDeg.select(col("__dst").as("node"))).distinct().persist()
+    val n = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
+    // dangling = nodes with no out-edge; bounded node-grain anti join,
+    // resolved once (isEmpty is one driver boolean, not the data)
+    val dangling = nodes.join(
+      withDeg.select(col("__src").as("node")).distinct(),
+      Seq("node"), "left_anti").persist()
+    val hasDangling = !dangling.isEmpty
     var ranks = nodes.crossJoin(n)
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
+    var converged = false
     (1 to iters).foreach { i =>
-      val contribs = withDeg
-        .join(ranks, col("__src") === col("node"))
-        .groupBy(col("__dst"))
-        .agg(sum(col("pr") / col("__outdeg")).as("__c"))
-      ranks = nodes.join(contribs, col("node") === col("__dst"), "left")
-        .crossJoin(n)
-        .select(col("node"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(eager = false)
+      if (!converged) {
+        val contribs = withDeg
+          .join(ranks, col("__src") === col("node"))
+          .groupBy(col("__dst"))
+          .agg(sum(col("pr") / col("__outdeg")).as("__c"))
+        val base = nodes.join(contribs, col("node") === col("__dst"), "left")
+          .crossJoin(n)
+        val next =
+          if (hasDangling) {
+            val dang = broadcast(ranks.join(dangling, Seq("node"), "left_semi")
+              .agg(coalesce(sum("pr"), lit(0.0)).as("__dang")))
+            base.crossJoin(dang)
+              .select(col("node"),
+                (lit(1.0 - damping) / col("__n") +
+                  lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+                    col("__dang") / col("__n"))).as("pr"))
+          } else
+            base.select(col("node"),
+              (lit(1.0 - damping) / col("__n") +
+                lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+        ranks = tol match {
+          case Some(eps) =>
+            val mat = next.localCheckpoint()
+            val delta = mat.join(ranks.select(col("node"),
+                col("pr").as("__prev")), "node")
+              .agg(sum(abs(col("pr") - col("__prev"))).as("d"))
+              .first().getDouble(0)
+            if (delta < eps) converged = true
+            mat
+          case None =>
+            if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+              next.localCheckpoint(eager = false)
+            else next
+        }
+      }
     }
-    ranks
+    val out = ranks.localCheckpoint()
+    withDeg.unpersist()
+    nodes.unpersist()
+    dangling.unpersist()
+    out
   }
 }

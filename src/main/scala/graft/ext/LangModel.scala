@@ -51,7 +51,7 @@ object LangModel {
   }
 
   /** Per-document distinct-bigram frequencies: (idCol, bigram, tf). */
-  private def docBigrams(docs: DataFrame, textCol: String,
+  def docBigrams(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     graft.functions.TermFreqs.register(docs.sparkSession)
     graft.core.Tables.spread(docs)
@@ -61,15 +61,11 @@ object LangModel {
         col("value").cast("long").as("tf"))
   }
 
-  /** Bigram model over the corpus: P(w2|w1) = c(w1 w2) / c(w1), both
-    * counts exact integers (so every engine derives the identical model).
-    * `minCount` drops rare bigrams from the MODEL table (the standard
-    * frequency floor that bounds model size at corpus scale); scoring
-    * treats pruned bigrams with a count floor of `minCount` so the score
-    * stays defined. */
-  def bigramModel(docs: DataFrame, textCol: String, idCol: String,
-      minCount: Long = 1L): DataFrame = {
-    val bc = docBigrams(docs, textCol, idCol)
+  /** Model aggregations over an existing (id, bigram, tf) stream — the
+    * composition point: compute [[docBigrams]] once, derive model AND
+    * scores from it (see [[crossEntropy]]). */
+  def modelFromBigrams(bigrams: DataFrame, minCount: Long = 1L): DataFrame = {
+    val bc = bigrams
       .groupBy("bigram").agg(sum("tf").as("bc"))
       .filter(col("bc") >= minCount)
     val c1 = bc
@@ -80,18 +76,35 @@ object LangModel {
       .select(col("bigram"), col("bc"), col("c1"))
   }
 
+  /** Bigram model over the corpus: P(w2|w1) = c(w1 w2) / c(w1), both
+    * counts exact integers (so every engine derives the identical model).
+    * `minCount` drops rare bigrams from the MODEL table (the standard
+    * frequency floor that bounds model size at corpus scale); scoring
+    * treats pruned bigrams with a count floor of `minCount` so the score
+    * stays defined. */
+  def bigramModel(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 1L): DataFrame =
+    modelFromBigrams(docBigrams(docs, textCol, idCol), minCount)
+
   /** Score every document against the corpus bigram model: per-doc mean
     * negative log-probability of its bigram stream (cross-entropy, nats).
     * Output: (idCol, n_bigrams, cross_entropy) — docs with < 2 tokens have
     * no bigrams and are omitted (no evidence, no score).
+    *
+    * ONE fused corpus pass: the (id, bigram, tf) stream is computed once
+    * and locally checkpointed; the model aggregations AND the per-doc
+    * scoring join both read that materialization (the same single-pass
+    * pattern as `QualityModel.featureFrame`). Checkpoint storage is
+    * bigram-grain (≪ text) and reclaimed by the context cleaner once the
+    * result is dropped — no unpersist handle for callers to leak.
     *
     * The self-trained model contains every observed bigram, so there are
     * no zero probabilities; with a pruned (`minCount` > 1) model, absent
     * bigrams would take the floor probability — that variant changes only
     * the `coalesce` below. */
   def crossEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val perDoc = docBigrams(docs, textCol, idCol)
-    val model = bigramModel(docs, textCol, idCol)
+    val perDoc = docBigrams(docs, textCol, idCol).localCheckpoint()
+    val model = modelFromBigrams(perDoc)
     perDoc.join(model, "bigram")
       .groupBy(idCol)
       .agg(sum("tf").as("n_bigrams"),
