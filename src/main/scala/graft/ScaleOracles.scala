@@ -272,22 +272,29 @@ object ScaleOracles {
   }
 
   /** SemDeDup: the committed single-statement oracle's k-means unrolled
-    * over temp tables, with DuckDB's NATIVE list kernels in place of the
-    * interpreted list lambdas (`list_distance` = sqrt of the same
-    * index-order Σ(a−b)² — a strictly monotone transform, so the argmin
-    * and its (distance, cell) tiebreak are unchanged; `list_dot_product`
-    * for the pair cosine). Bit-equality of the native and lambda forms is
-    * asserted by the --scale gate at sf0.01/sf0.1. Assignment and the
-    * within-cell pair join are the two heavy stages — both sharded. */
+    * over temp tables. The argmin uses the IDENTICAL squared-distance
+    * lambda as the single-statement oracle (not `list_distance`, whose
+    * sqrt is monotone but not injective in doubles — see the step
+    * comment); the pair cosine keeps DuckDB's native `list_dot_product`
+    * kernel but both sides now parity-round the cosine to 6 decimals
+    * before the τ compare, so a summation-order ulp cannot flip a
+    * keep/drop. Assignment and the within-cell pair join are the two
+    * heavy stages — both sharded. */
   private val semDedup: Seq[Step] = {
     val seedOrd =
       "md5('graft-kmeans-init'||'|'||CAST(vec_id AS VARCHAR)), vec_id"
+    // squared-distance argmin, EXACTLY the single-statement oracle's
+    // expression — list_distance's sqrt is monotone but not injective in
+    // IEEE doubles, so two distinct squared distances could collapse to
+    // equal sqrts and flip the `, c.cell` tiebreak; the squared form is
+    // provably identical to the non-staged recipe (and the engine)
     def assign(out: String, cents: String) = Step(perShard = true,
       s"""INSERT INTO $out
          |SELECT vec_id, cell FROM (
          |  SELECT e.vec_id, c.cell,
          |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |           list_distance(e.ed, c.cent), c.cell) AS rn
+         |           list_sum(list_transform(list_zip(e.ed, c.cent),
+         |             x -> (x[1]-x[2])*(x[1]-x[2]))), c.cell) AS rn
          |  FROM (SELECT * FROM __ed_sd WHERE vec_id % __NSHARDS__ = __SHARD__) e
          |  CROSS JOIN $cents c) WHERE rn = 1""".stripMargin)
     def mkAssign(out: String) = Step(perShard = false,
@@ -338,9 +345,10 @@ object ScaleOracles {
           | AND b.vec_id % __NSHARDS__ = __SHARD__
           |JOIN __ed_sd ea ON ea.vec_id = a.vec_id
           |JOIN __ed_sd eb ON eb.vec_id = b.vec_id
-          |WHERE list_dot_product(ea.ed, eb.ed)
+          |WHERE round(list_dot_product(ea.ed, eb.ed)
           |      / nullif(sqrt(list_dot_product(ea.ed, ea.ed))
-          |             * sqrt(list_dot_product(eb.ed, eb.ed)), 0) >= 0.4""".stripMargin),
+          |             * sqrt(list_dot_product(eb.ed, eb.ed)), 0)
+          |      + 1e-9, 6) >= 0.4""".stripMargin),
       Step(perShard = false,
         """SELECT a.vec_id, a.cell,
           |       CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept

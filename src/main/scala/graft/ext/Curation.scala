@@ -362,14 +362,27 @@ object Curation {
       trainFrac: Double = 0.8, valFrac: Double = 0.1,
       jaccardThreshold: Double = 0.8,
       salt: String = "graft-split"): DataFrame = {
-    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
-      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
     val pairs = Dedup.nearDupPairs(docs, textCol, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
-    val clusters = Dedup.clusterPairs(pairs)
-      .withColumnRenamed("id", "__cid")
+    leakSafeSplitClustered(docs, idCol, Dedup.clusterPairs(pairs),
+      trainFrac, valFrac, salt)
+  }
+
+  /** The composition point: split against PRECOMPUTED near-dup clusters
+    * ((id, cluster_id), the [[Dedup.clusterPairs]] /
+    * [[Dedup.clusterPairsStar]] contract — singletons may be absent, they
+    * default to their own id). A pipeline that already ran near-dedup
+    * feeds its cluster frame here and pays LSH + connected components
+    * ONCE end-to-end; the self-contained overload above stays the
+    * convenience path. */
+  def leakSafeSplitClustered(docs: DataFrame, idCol: String,
+      clusters: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      salt: String = "graft-split"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
     val withCluster = docs.select(col(idCol))
-      .join(clusters, col(idCol) === col("__cid"), "left")
+      .join(clusters.withColumnRenamed("id", "__cid"),
+        col(idCol) === col("__cid"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     val u = md5Prefix32(col("cluster_id"), s"$salt:") / lit(4294967296.0)

@@ -32,11 +32,21 @@ object SemDedup {
   /** Train (k-means), assign, and flag: (idCol, cell, kept). `kept` is 0
     * iff some same-cell vector with smaller id has cosine ≥ `tau`. */
   def dedupFlags(corpus: DataFrame, embCol: String, idCol: String,
-      tau: Double, k: Int, iters: Int = 2): DataFrame = {
+      tau: Double, k: Int, iters: Int = 2): DataFrame =
+    dedupFlagsWithCentroids(corpus, embCol, idCol, tau,
+      Ivf.train(corpus, embCol, idCol, k, iters, roundMeansTo = Some(6)))
+
+  /** The composition point: assign + flag against PRECOMPUTED centroids,
+    * so a pipeline that already trained an IVF/k-means model (`Ivf.train`,
+    * an `IvfIndex` build) pays Lloyd's once, not once per consumer. The
+    * cosine is parity-rounded to 6 decimals (same +1e-9 HALF_UP form as
+    * the trained means) BEFORE the τ comparison, so a pair sitting within
+    * ulps of the threshold cannot be kept by one engine and dropped by
+    * another re-deriving the same model. */
+  def dedupFlagsWithCentroids(corpus: DataFrame, embCol: String,
+      idCol: String, tau: Double, centroids: Seq[Seq[Double]]): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorOps.register(spark)
-    val centroids = Ivf.train(corpus, embCol, idCol, k, iters,
-      roundMeansTo = Some(6))
     val assigned = graft.core.Tables.spread(
       Ivf.withCell(corpus, embCol, centroids))
       .select(col(idCol), col("cell"), col(embCol).as("__e"),
@@ -47,9 +57,10 @@ object SemDedup {
       col("__e").as("b_emb"), col("__n").as("b_norm"))
     val dropped = graft.core.Tables.spread(
       l.join(r, "cell").filter(col("a_id") < col("b_id")))
-      .filter(
+      .filter(round(
         graft.functions.VectorOps.vecDot(col("a_emb"), col("b_emb")) /
-          nullif(col("a_norm") * col("b_norm"), lit(0.0)) >= tau)
+          nullif(col("a_norm") * col("b_norm"), lit(0.0)) + lit(1e-9), 6)
+        >= tau)
       .select(col("b_id").as(idCol)).distinct()
         .withColumn("__dropped", lit(1))
     assigned.join(dropped, Seq(idCol), "left")

@@ -811,9 +811,11 @@ private[queries] object SemDedupOracle {
        |  JOIN (SELECT af.vec_id, af.cell, ed.ed FROM af JOIN ed
        |        USING (vec_id)) b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE list_sum(list_transform(list_zip(a.ed, b.ed), x -> x[1]*x[2]))
-       |        / nullif(sqrt(list_sum(list_transform(a.ed, x -> x*x)))
-       |               * sqrt(list_sum(list_transform(b.ed, x -> x*x))), 0)
+       |  WHERE round(
+       |          list_sum(list_transform(list_zip(a.ed, b.ed), x -> x[1]*x[2]))
+       |          / nullif(sqrt(list_sum(list_transform(a.ed, x -> x*x)))
+       |                 * sqrt(list_sum(list_transform(b.ed, x -> x*x))), 0)
+       |          + 1e-9, 6)
        |        >= $tau),
        |dropped AS (SELECT DISTINCT b_id FROM pairs)
        |SELECT af.vec_id, af.cell,

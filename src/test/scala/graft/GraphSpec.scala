@@ -25,6 +25,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
   }
 
+  test("directed graph with dangling node conserves rank mass") {
+    // 1→2→3: node 3 has no out-edges; without the dangling-mass term its
+    // rank would leak each iteration (sum < 1). No caller symmetrization.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.size == 3, "dst-only vertices are nodes too")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+      s"mass not conserved: ${ranks.values.sum}")
+    assert(ranks(3L) > ranks(1L), "sink accumulates more than the source")
+  }
+
+  test("tol early stop lands on the fixed-horizon ranks") {
+    val g = sym((1L, 2L), (1L, 3L), (1L, 4L))
+    val fixed = Graph.pageRank(g, "src", "dst", iters = 50)
+      .as[(Long, Double)].collect().toMap
+    val early = Graph.pageRank(g, "src", "dst", iters = 50,
+      tol = Some(1e-10)).as[(Long, Double)].collect().toMap
+    fixed.foreach { case (n, v) => assert(math.abs(early(n) - v) < 1e-8) }
+    assert(math.abs(early.values.sum - 1.0) < 1e-9)
+  }
+
   test("duplicate input edges do not double contributions") {
     val dup = sym((1L, 2L)).union(sym((1L, 2L)))
     val once = Graph.pageRank(sym((1L, 2L)), "src", "dst", iters = 3)

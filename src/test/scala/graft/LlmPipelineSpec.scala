@@ -75,4 +75,51 @@ class LlmPipelineSpec extends SparkSpec {
     assert(again.toSeq.sortBy(_.getString(0)) ==
       rows.toSeq.sortBy(_.getString(0)))
   }
+
+  test("one LSH/CC pass serves near-dedup AND the leak-safe split") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    // the pair machinery runs ONCE, materialized; both consumers read it
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id")
+      .filter($"jaccard" >= 0.8).localCheckpoint()
+    val clusters = Dedup.clusterPairs(pairs).localCheckpoint()
+    val deduped = docs.join(
+      clusters.filter($"id" =!= $"cluster_id").select($"id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val split = Curation.leakSafeSplitClustered(docs, "doc_id", clusters)
+
+    // identical membership to the self-contained convenience path
+    val selfContained = Curation.leakSafeSplit(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val composed = split
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(composed == selfContained)
+
+    // the composed split must NOT re-run the LSH/CC machinery: acting on
+    // it from the checkpointed cluster frame is a handful of jobs, where
+    // the self-contained path pays the banded join + propagation rounds
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      split.count()
+      deduped.count()
+      // listener events are async; a short settle keeps the count honest
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // AQE splits each action into a few jobs (observed 6 for these two
+    // count()s); a re-run of the pair machinery adds the banded join,
+    // two persist materializations and per-lineage propagation counts —
+    // 20+ jobs. 8 cleanly separates the two regimes.
+    assert(jobs <= 8, s"pair stage re-ran: $jobs jobs for the composed reads")
+
+    // near-dup survivors and split assignment agree doc-for-doc
+    assert(deduped.join(split, "doc_id").count() == deduped.count())
+  }
 }

@@ -41,6 +41,18 @@ class SemDedupSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("precomputed centroids compose: one Lloyd's run serves consumers") {
+    val cents = graft.ext.Ivf.train(corpus, "embedding", "vec_id",
+      k = 3, iters = 2, roundMeansTo = Some(6))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val composed = sorted(SemDedup.dedupFlagsWithCentroids(
+      corpus, "embedding", "vec_id", tau = 0.9, cents))
+    val selfContained = sorted(SemDedup.dedupFlags(
+      corpus, "embedding", "vec_id", tau = 0.9, k = 3, iters = 2))
+    assert(composed == selfContained)
+  }
+
   test("tau gates the drop: both pairs sit below cosine 0.99999") {
     val flags = SemDedup.dedupFlags(corpus, "embedding", "vec_id",
       tau = 0.99999, k = 3, iters = 2)
