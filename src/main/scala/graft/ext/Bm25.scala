@@ -66,4 +66,66 @@ object Bm25 {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** BM25 against a QUERY TABLE — the decontamination-sweep shape: score
+    * the corpus against THOUSANDS of benchmark queries in one pass, where
+    * [[score]]'s per-term-column form stops at tens of literal terms.
+    * `queries` is (queryIdCol, termCol) — one row per lowercase query
+    * term (explode upstream if queries arrive as strings). Returns the
+    * `topK` (queryIdCol, idCol, bm25) rows PER QUERY by rounded score
+    * with doc-id tiebreak.
+    *
+    * Scale shape (100 TB corpus × benchmark-sized query set):
+    *   - ONE fused `TermFreqs` row pass per corpus scan (two scans total:
+    *     corpus stats, then scoring — the same budget as [[score]]).
+    *   - The (doc, term, tf) stream explodes MAP-SIDE and is immediately
+    *     filtered by a broadcast join on the distinct query-term set, so
+    *     only matching (doc, term) hits ever shuffle — benchmark-hit
+    *     volume, never corpus-token volume; document rows and text never
+    *     shuffle at all.
+    *   - df(term) aggregates over the hit stream (map-side combined);
+    *     it is query-term-sized, broadcast back. N and avgdl are a
+    *     one-row corpus aggregate, broadcast.
+    *   - The per-(query, doc) sum and the per-query top-k window shuffle
+    *     scored hit pairs keyed by query — a query matching half the
+    *     corpus skews its partition; the standard salting in `Skew`
+    *     applies upstream of the window if a benchmark term is that hot.
+    */
+  def scoreBatch(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, queryIdCol: String = "query_id",
+      termCol: String = "term", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    graft.functions.TermFreqs.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col(termCol)).distinct()
+    val perDoc = graft.core.Tables.spread(docs)
+      .select(col(idCol), graft.functions.TermFreqs.termFreqs(col(textCol))
+        .as("__m"))
+      .select(col(idCol), docLen(col("__m")).as("__dl"),
+        explode(col("__m")).as(Seq(termCol, "__tf")))
+    // broadcast-filter map-side: only query-term hits survive the scan
+    val hits = perDoc.join(broadcast(qterms), termCol)
+    val stats = graft.core.Tables.spread(docs)
+      .select(graft.functions.TermFreqs.termFreqs(col(textCol)).as("__m"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(docLen(col("__m"))).as("__avgdl"))
+    val dft = hits.groupBy(termCol)
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val tf = col("__tf").cast("double")
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) /
+      (col("__df") + 0.5))
+    val termScore = idf * (tf * (k1 + 1)) /
+      (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val pairScores = hits
+      .join(broadcast(dft), termCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(termCol))), termCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(graft.queries.Fp.r(sum(termScore), 4).as("bm25"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("bm25").desc, col(idCol))
+    pairScores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(queryIdCol), col(idCol), col("bm25"))
+  }
 }

@@ -369,10 +369,16 @@ object Dedup {
         s"clusterPairs: min-label propagation did not converge in $maxIter " +
           "rounds (component diameter exceeds the safety rail); raise " +
           "maxIter or switch to clusterPairsStar (large-star/small-star)")
+    lastRounds = iter
     val out = labels.select(col("id"), col("label").as("cluster_id"))
     edges.unpersist()
     out
   }
+
+  /** Dev telemetry: propagation/contraction rounds the LAST
+    * clusterPairs/clusterPairsStar call on this JVM executed — scaling
+    * attribution only (docs/SCALING.md), never a correctness input. */
+  @volatile private[graft] var lastRounds: Int = 0
 
   /** Connected components via alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -446,6 +452,7 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterPairsStar: star contraction did not reach the fix point " +
           s"in $maxIter rounds; raise maxIter")
+    lastRounds = iter
     // fix point = disjoint stars canonicalized as (center, leaf) with
     // center < leaf: leaves take the center's label, centers themselves.
     // canon() drops self-loops, so an id appearing ONLY as (x, x) would

@@ -112,6 +112,19 @@ object Multimodal {
       (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) || // TIFF LE
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) // TIFF BE
 
+  /** Container format behind a payload [[looksLikeImage]] accepted —
+    * the same magic branches, so the gate and the label can never
+    * disagree. The codec column carries THIS (png/jpeg/gif/bmp/tiff),
+    * not a flat "imageio": a curation filter like "drop gif" needs the
+    * container, and a jpeg silently routed through the png path would be
+    * invisible under one shared label. */
+  private[ext] def imageFormat(b: Array[Byte]): String =
+    if (b(0) == 0x89.toByte) "png"
+    else if (b(0) == 0xFF.toByte) "jpeg"
+    else if (b(0) == 'G') "gif"
+    else if (b(0) == 'B') "bmp"
+    else "tiff"
+
   private[ext] def looksLikeAudio(b: Array[Byte]): Boolean =
     (b.length >= 12 &&
       ((b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -251,6 +264,11 @@ object Multimodal {
       val lead = boxType(0)
       if (lead != "ftyp" && lead != "styp") return None
       val (ms, me) = findBox(0, n, "moov").getOrElse(return None)
+      // fragmented file (moov/mvex present): the REAL duration lives in
+      // the moof fragments, not mvhd (which is 0 or a lie there) — refuse
+      // rather than report a wrong measurement; the total codec falls to
+      // the byte stub and the codec column says so
+      if (findBox(ms, me, "mvex").isDefined) return None
       val durationMs = findBox(ms, me, "mvhd").flatMap { case (p, e) =>
         val v = bytes(p.toInt) & 0xff
         val (timescale, duration) =
@@ -286,7 +304,8 @@ object Multimodal {
     * trak(tkhd))`): exact millisecond duration at timescale 1000 and
     * exact pixel dimensions, so every engine can restate the metadata
     * literally — the video analogue of [[syntheticWav]]. */
-  def syntheticMp4(durationMs: Int, width: Int, height: Int): Array[Byte] = {
+  def syntheticMp4(durationMs: Int, width: Int, height: Int,
+      fragmented: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
@@ -295,7 +314,10 @@ object Multimodal {
     val unityMatrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
       0x40000000L)
     u32(20); tag("ftyp"); tag("isom"); u32(0); tag("isom")
-    u32(216); tag("moov")
+    // fragmented variant: an (empty) moov/mvex marker — parseMp4Meta must
+    // REFUSE it (mvhd duration is not the clip duration there)
+    u32(if (fragmented) 224 else 216); tag("moov")
+    if (fragmented) { u32(8); tag("mvex") }
     u32(108); tag("mvhd"); u32(0) // version 0 + flags
     u32(0); u32(0)                // creation, modification
     u32(1000); u32(durationMs)    // timescale, duration
@@ -313,9 +335,10 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Decoded record for the four-way total codec: codec ∈ imageio
-    * (width/height set), wav (duration_ms set), mp4 (all three set),
-    * stub (byte-derived feature only). */
+  /** Decoded record for the four-way total codec: codec ∈ an image
+    * format (png/jpeg/gif/bmp/tiff — [[imageFormat]]; width/height set),
+    * wav (duration_ms set), mp4 (all three set), stub (byte-derived
+    * feature only). */
   final case class DecodedAny(media_id: Long, codec: String,
       width: Option[Int], height: Option[Int], duration_ms: Option[Int],
       feature: Array[Float])
@@ -338,7 +361,7 @@ object Multimodal {
         // stub majority at a header compare, not a provider scan
         (if (looksLikeImage(b)) decodeImage(b) else None) match {
           case Some((w, h, f)) =>
-            DecodedAny(id, "imageio", Some(w), Some(h), None, f)
+            DecodedAny(id, imageFormat(b), Some(w), Some(h), None, f)
           case None => (if (looksLikeAudio(b)) decodeWav(b) else None) match {
             case Some((ms, f)) =>
               DecodedAny(id, "wav", None, None, Some(ms), f)

@@ -808,6 +808,51 @@ object ExtQueries {
         terms = Seq("spark", "join", "window"))
     },
 
+    // BM25 against a query TABLE (the decontamination-sweep shape): four
+    // benchmark queries score in ONE pass — the (doc, term, tf) stream
+    // explodes map-side and is broadcast-filtered to query-term hits
+    // before anything shuffles, so corpus text and document rows never
+    // cross the wire; df/N/avgdl are broadcast one-row/term-sized stats.
+    // Per-query top-10 on the ROUNDED score with doc_id tiebreak.
+    Q("x_text_bm25_batch",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |q(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'),
+         |  (2, 'window'), (2, 'agg'),
+         |  (3, 'hash'), (3, 'scan'), (3, 'filter'),
+         |  (4, 'vector'), (4, 'stream')),
+         |dl AS (SELECT doc_id, CAST(len(ltoks) AS DOUBLE) AS dl FROM tok),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+         |       FROM dl),
+         |dtf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest(ltoks) AS t FROM tok)
+         |        GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dtf
+         |        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+         |ps AS (SELECT q.query_id, dtf.doc_id,
+         |         round(sum(ln(1 + (st.n - dft.df + 0.5)/(dft.df + 0.5))
+         |           * (dtf.tf * 2.2)
+         |           / (dtf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl)))
+         |           + 1e-7, 4) AS bm25
+         |       FROM q JOIN dtf USING (term) JOIN dft USING (term)
+         |         JOIN dl ON dtf.doc_id = dl.doc_id CROSS JOIN st
+         |       GROUP BY 1, 2)
+         |SELECT query_id, doc_id, bm25 FROM (
+         |  SELECT query_id, doc_id, bm25, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM ps)
+         |WHERE rn <= 10
+         |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val queries = Seq(
+        (1, "spark"), (1, "join"),
+        (2, "window"), (2, "agg"),
+        (3, "hash"), (3, "scan"), (3, "filter"),
+        (4, "vector"), (4, "stream")).toDF("query_id", "term")
+      Bm25.scoreBatch(docs(s, d), "text", "doc_id", queries, topK = 10)
+        .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+    },
+
     // Duplicated-substring discovery (the Lee et al. exact-substring-dedup
     // primitive): every 8-token overlapping window digested; a window
     // duplicated anywhere corpus-wide (other docs OR a repeat in the same

@@ -302,24 +302,31 @@ object MiscQueries {
     },
 
     // ---- multimodal decode honesty: the oracle distinguishes the REAL
-    // imageio path, the REAL javax.sound WAV path, the REAL MP4
-    // container-metadata path, and the byte-stub fallback by row counts.
-    // The corpus text payloads can never decode as images, audio, or an
-    // ISO BMFF box tree (no reader/parser accepts them → codec="stub");
-    // deterministic in-engine fixtures MUST come back through their real
-    // codec with exact measurements: 8 PNGs (widths 2..9 → sum 44),
-    // 6 PCM WAVs ((i+1)·800 samples at 8 kHz → durations 100..600 ms,
-    // sum 2100), and 5 MP4s (16(i+1)×9(i+1) px, 250(i+1) ms → width sum
-    // 240, duration sum 3750). If any real codec silently degrades to
-    // the stub (or vice versa), a partition count, a width sum, or a
-    // duration sum shifts and the hash compare fails — the stub can't
-    // masquerade as a decode. Fixture constants are engine-embedded like
-    // the LSH hyperplanes below, so the oracle states them literally.
+    // imageio paths (per container: png AND jpeg), the REAL javax.sound
+    // WAV path, the REAL MP4 container-metadata path, and the byte-stub
+    // fallback by row counts. The corpus text payloads can never decode
+    // as images, audio, or an ISO BMFF box tree (no reader/parser
+    // accepts them → codec="stub"); deterministic in-engine fixtures
+    // MUST come back through their real codec with exact measurements:
+    // 8 PNGs (widths 2..9 → sum 44), 4 JPEGs (widths 12..15 → sum 54 —
+    // lossy pixels, exact dimensions), 6 PCM WAVs ((i+1)·800 samples at
+    // 8 kHz → durations 100..600 ms, sum 2100), 5 MP4s (16(i+1)×9(i+1)
+    // px, 250(i+1) ms → width sum 240, duration sum 3750), and ONE
+    // moof-fragmented MP4 whose mvhd duration is a lie — parseMp4Meta
+    // must REFUSE it (mvex marker), landing it in stub: count+1. If any
+    // real codec silently degrades to the stub (or vice versa, or jpeg
+    // rides the png label), a count, a width sum, or a duration sum
+    // shifts and the hash compare fails. Fixture constants are
+    // engine-embedded like the LSH hyperplanes below, so the oracle
+    // states them literally.
     Q("x_mm_decode_codecs",
       """SELECT codec, n, total_width, total_duration_ms FROM (
-        |  SELECT 'imageio' AS codec, CAST(8 AS BIGINT) AS n,
+        |  SELECT 'png' AS codec, CAST(8 AS BIGINT) AS n,
         |         CAST(44 AS BIGINT) AS total_width,
         |         CAST(0 AS BIGINT) AS total_duration_ms
+        |  UNION ALL
+        |  SELECT 'jpeg', CAST(4 AS BIGINT), CAST(54 AS BIGINT),
+        |         CAST(0 AS BIGINT)
         |  UNION ALL
         |  SELECT 'wav', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
         |         CAST(2100 AS BIGINT)
@@ -327,20 +334,25 @@ object MiscQueries {
         |  SELECT 'mp4', CAST(5 AS BIGINT), CAST(240 AS BIGINT),
         |         CAST(3750 AS BIGINT)
         |  UNION ALL
-        |  SELECT 'stub', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+        |  SELECT 'stub', CAST(count(*) + 1 AS BIGINT), CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT)
         |  FROM documents)
         |ORDER BY codec""".stripMargin) { (s, d) =>
       import s.implicits._
-      val pngs = (0 until 8).map { i =>
-        val (w, h) = (i + 2, i + 3)
+      def render(w: Int, h: Int, seed: Int, fmt: String): Array[Byte] = {
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         for (y <- 0 until h; x <- 0 until w)
-          img.setRGB(x, y, (x * 37 + y * 101 + i * 13) & 0xffffff)
+          img.setRGB(x, y, (x * 37 + y * 101 + seed * 13) & 0xffffff)
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
-        (1000000000L + i, baos.toByteArray)
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        baos.toByteArray
+      }
+      val pngs = (0 until 8).map { i =>
+        (1000000000L + i, render(i + 2, i + 3, i, "png"))
+      }
+      val jpegs = (0 until 4).map { i =>
+        (1500000000L + i, render(i + 12, i + 13, i, "jpg"))
       }
       val wavs = (0 until 6).map { i =>
         (2000000000L + i, Multimodal.syntheticWav(i, (i + 1) * 800))
@@ -349,9 +361,12 @@ object MiscQueries {
         (3000000000L + i,
           Multimodal.syntheticMp4(250 * (i + 1), 16 * (i + 1), 9 * (i + 1)))
       }
+      val fragmented = Seq((3900000000L,
+        Multimodal.syntheticMp4(1000, 64, 36, fragmented = true)))
       val docs = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bin"))
-      val all = docs.unionByName((pngs ++ wavs ++ mp4s).toDF("media_id", "bin"))
+      val all = docs.unionByName(
+        (pngs ++ jpegs ++ wavs ++ mp4s ++ fragmented).toDF("media_id", "bin"))
       Multimodal.decodeMedia(all, "media_id", "bin").toDF()
         .groupBy("codec")
         .agg(count(lit(1)).as("n"),

@@ -416,7 +416,7 @@ class ExtSpec extends SparkSpec {
       .toDF("media_id", "content")
     val got = Multimodal.decodeMedia(rows, "media_id", "content")
       .collect().map(d => d.media_id -> d).toMap
-    assert(got(0L).codec == "imageio" && got(0L).width.contains(4))
+    assert(got(0L).codec == "png" && got(0L).width.contains(4))
     assert(got(1L).codec == "wav" && got(1L).duration_ms.contains(1000))
     assert(got(2L).codec == "stub" && got(2L).duration_ms.isEmpty)
   }
@@ -443,6 +443,24 @@ class ExtSpec extends SparkSpec {
     assert(d.codec == "mp4" && d.width.contains(320) && d.height.contains(180)
       && d.duration_ms.contains(1500))
     assert(d.feature.sameElements(Multimodal.decodeStub(mp4)))
+    // a moof-fragmented file's mvhd duration is a lie — the parser must
+    // REFUSE (fall to stub), not report a wrong measurement
+    val frag = Multimodal.syntheticMp4(1500, 320, 180, fragmented = true)
+    assert(Multimodal.parseMp4Meta(frag).isEmpty, "fragmented must refuse")
+    val fd = Multimodal.decodeMedia(Seq((8L, frag)).toDF("media_id", "content"),
+      "media_id", "content").collect().head
+    assert(fd.codec == "stub" && fd.duration_ms.isEmpty)
+  }
+
+  test("multimodal: jpeg routes through its own codec label") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val d = Multimodal.decodeMedia(
+      Seq((9L, baos.toByteArray)).toDF("media_id", "content"),
+      "media_id", "content").collect().head
+    assert(d.codec == "jpeg" && d.width.contains(24) && d.height.contains(16))
   }
 
   test("multimodal: real imageio decode on a PNG, stub fallback elsewhere") {

@@ -67,4 +67,46 @@ class LangModelSpec extends SparkSpec {
       Bm25.score(docs, "text", "doc_id", Seq("Spark"))
     }
   }
+
+  test("scoreBatch matches the per-term-column path query for query") {
+    val docs = Seq(
+      (1L, "spark spark spark runs here today ok fine"),
+      (2L, "spark runs here today ok fine well good"),
+      (3L, "nothing relevant in this document at all there"),
+      (4L, "rareword appears once here with other words too"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (10, "spark"), (10, "rareword"),
+      (20, "spark"),
+      (30, "absentterm")).toDF("query_id", "term")
+    val batch = Bm25.scoreBatch(docs, "text", "doc_id", queries, topK = 20)
+      .as[(Int, Long, Double)].collect().groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    // each query's scores equal the single-query per-term-column engine
+    def single(terms: Seq[String]) =
+      Bm25.score(docs, "text", "doc_id", terms, topK = 20)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(batch(10) == single(Seq("spark", "rareword")))
+    assert(batch(20) == single(Seq("spark")))
+    // a query matching nothing returns no rows (not zero-score rows)
+    assert(!batch.contains(30))
+    // document text/rows never shuffle: the only corpus-grain exchange is
+    // the (doc, term, tf) hit stream — asserted structurally by no
+    // exchange whose input still carries the text column. AQE hides the
+    // exchanges until execution, so materialize first and unwrap stages.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Bm25.scoreBatch(docs, "text", "doc_id", queries)
+    df.collect()
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p.collect {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case s: QueryStageExec => exchanges(s.plan)
+      case e: ShuffleExchangeLike => Seq(e)
+    }.flatten
+    val ex = exchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty)
+    assert(ex.forall(!_.child.output.map(_.name).contains("text")),
+      "document text must never shuffle")
+  }
 }
