@@ -421,6 +421,8 @@ object ScaleOracles {
     "x_ngram_lm_score" -> ngramLm,
     "x_span_dedup" -> spanDedup,
     "x_substring_dedup" -> substringDedup,
+    // identical recipe: the bloom path's contract is exact-path output
+    "x_substring_dedup_bloom" -> substringDedup,
     "x_pagerank" -> pageRank,
     "x_semdedup" -> semDedup)
 }

@@ -76,13 +76,20 @@ object Bm25 {
     * with doc-id tiebreak.
     *
     * Scale shape (100 TB corpus × benchmark-sized query set):
-    *   - ONE fused `TermFreqs` row pass per corpus scan (two scans total:
-    *     corpus stats, then scoring — the same budget as [[score]]).
+    *   - ONE fused `TermFreqs` row pass per corpus scan, two corpus
+    *     scans total (the same budget as [[score]]): one for the N/avgdl
+    *     stats, one producing the hit stream — which is materialized
+    *     (localCheckpoint, benchmark-hit volume, no document text) so
+    *     the df(term) aggregate and the scoring join both read it
+    *     without re-scanning the corpus.
     *   - The (doc, term, tf) stream explodes MAP-SIDE and is immediately
     *     filtered by a broadcast join on the distinct query-term set, so
     *     only matching (doc, term) hits ever shuffle — benchmark-hit
     *     volume, never corpus-token volume; document rows and text never
     *     shuffle at all.
+    *   - Duplicate (queryIdCol, termCol) rows are deduplicated up front
+    *     (query-table-sized distinct), so a sloppy upstream explode
+    *     cannot double-count a term's contribution to its query's score.
     *   - df(term) aggregates over the hit stream (map-side combined);
     *     it is query-term-sized, broadcast back. N and avgdl are a
     *     one-row corpus aggregate, broadcast.
@@ -97,14 +104,19 @@ object Bm25 {
       topK: Int = 10): DataFrame = {
     graft.functions.TermFreqs.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val qterms = queries.select(col(termCol)).distinct()
+    // dedupe defensively: duplicate (query, term) rows would otherwise
+    // double-count that term's contribution to the query's score
+    val qpairs = queries.select(col(queryIdCol), col(termCol)).distinct()
+    val qterms = qpairs.select(col(termCol)).distinct()
     val perDoc = graft.core.Tables.spread(docs)
       .select(col(idCol), graft.functions.TermFreqs.termFreqs(col(textCol))
         .as("__m"))
       .select(col(idCol), docLen(col("__m")).as("__dl"),
         explode(col("__m")).as(Seq(termCol, "__tf")))
-    // broadcast-filter map-side: only query-term hits survive the scan
-    val hits = perDoc.join(broadcast(qterms), termCol)
+    // broadcast-filter map-side: only query-term hits survive the scan;
+    // materialized once (hit volume, no text) — both the df aggregate
+    // and the scoring join below read it without re-scanning the corpus
+    val hits = perDoc.join(broadcast(qterms), termCol).localCheckpoint()
     val stats = graft.core.Tables.spread(docs)
       .select(graft.functions.TermFreqs.termFreqs(col(textCol)).as("__m"))
       .agg(count(lit(1)).cast("double").as("__n"),
@@ -118,7 +130,7 @@ object Bm25 {
       (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
     val pairScores = hits
       .join(broadcast(dft), termCol)
-      .join(broadcast(queries.select(col(queryIdCol), col(termCol))), termCol)
+      .join(broadcast(qpairs), termCol)
       .crossJoin(broadcast(stats))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(graft.queries.Fp.r(sum(termScore), 4).as("bm25"))

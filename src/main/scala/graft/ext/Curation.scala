@@ -362,6 +362,11 @@ object Curation {
       trainFrac: Double = 0.8, valFrac: Double = 0.1,
       jaccardThreshold: Double = 0.8,
       salt: String = "graft-split"): DataFrame = {
+    // duplicate of leakSafeSplitClustered's guard: clusterPairs below is
+    // EAGER (edge count + convergence counts), so invalid fractions must
+    // fail here, before paying the LSH + connected-components cost
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "need 0 < trainFrac, 0 <= valFrac, trainFrac + valFrac < 1")
     val pairs = Dedup.nearDupPairs(docs, textCol, idCol)
       .filter(col("jaccard") >= jaccardThreshold)
     leakSafeSplitClustered(docs, idCol, Dedup.clusterPairs(pairs),

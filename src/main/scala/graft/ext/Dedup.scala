@@ -114,21 +114,91 @@ object Dedup {
     * Output: (id, n_windows, n_dup_windows, dup_ratio); docs with fewer
     * than `w` tokens have no windows and vanish (same convention as
     * [[spanDedup]] for token-less docs). */
-  def windowDupStats(df: DataFrame, textCol: String, idCol: String,
-      w: Int): DataFrame = {
-    require(w > 0, "window width must be positive")
+  /** Digest array of the stride-1 `w`-token windows of `textCol` (empty
+    * for docs with fewer than `w` tokens) — shared by the exact and the
+    * Bloom-prepass substring-dedup paths so both flag the SAME windows. */
+  private def windowDigests(textCol: String, w: Int): Column = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val winArr = when(size(toks) >= w,
+    when(size(toks) >= w,
       transform(sequence(lit(0), size(toks) - w),
         i => unhex(md5(array_join(slice(toks, i + 1, lit(w)), " ")
           .cast("binary")))))
       .otherwise(array().cast("array<binary>"))
+  }
+
+  def windowDupStats(df: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "window width must be positive")
+    val winArr = windowDigests(textCol, w)
     val ex = df.select(col(idCol), explode(winArr).as("__h"))
     val counts = ex.groupBy("__h").agg(count(lit(1)).as("__c"))
     ex.join(counts, "__h")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio", graft.queries.Fp.r(
+        col("n_dup_windows").cast("double") / col("n_windows"), 4))
+  }
+
+  /** [[windowDupStats]]'s Bloom-prepass form — the production bound at
+    * corpus scale, with EXACTLY the same output (same flagged windows,
+    * same counts; the Bloom filter only bounds intermediate volume, it
+    * never changes the answer):
+    *
+    *   - pass 1 (same digest-grain count aggregate as the exact path,
+    *     map-side combined): the duplicated digests — count > 1 — are
+    *     materialized once (flagged-window volume, typically a small
+    *     fraction of the corpus) and folded into ONE Bloom-filter binary
+    *     (a few MB regardless of corpus size, the
+    *     `Curation.contaminationBloom` shape).
+    *   - pass 2: a pure row-local projection re-derives each doc's
+    *     window digests and probes the Bloom with a HOF — only PROBABLE
+    *     duplicates survive to explode. Bloom false positives are then
+    *     removed by an exact join against the materialized dup-digest
+    *     set, so the per-doc regroup shuffles candidate windows only —
+    *     never the full (id, digest) stream the exact path pays (its
+    *     count join + regroup re-shuffle EVERY window; here unique
+    *     windows — the overwhelming majority — never leave their row).
+    *
+    * `expectedDups` sizes the Bloom (false-positive rate only affects
+    * candidate volume, not correctness). Output and row set are
+    * identical to [[windowDupStats]]; docs with fewer than `w` tokens
+    * vanish, docs whose windows are all unique report 0 dups. */
+  def windowDupStatsBloom(df: DataFrame, textCol: String, idCol: String,
+      w: Int, expectedDups: Long = 4000000L): DataFrame = {
+    require(w > 0, "window width must be positive")
+    graft.functions.BloomOps.register(df.sparkSession)
+    val winArr = windowDigests(textCol, w)
+    // pass 1: exact dup-digest set, materialized once — serves both the
+    // bloom aggregate and the false-positive-removing join below
+    val dups = df.select(explode(winArr).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .localCheckpoint()
+    // Option(..): zero duplicates aggregate to a null bloom binary —
+    // then no window can be a candidate (everything is unique)
+    val bytes = Option(dups
+      .select(call_function("bloom_filter_agg", xxhash64(col("__h")),
+        lit(expectedDups)).as("bf"))
+      .head().getAs[Array[Byte]](0))
+    val candArr = bytes match {
+      case Some(b) => filter(col("__wins"), h =>
+        call_function("might_contain", lit(b), xxhash64(h)))
+      case None => array().cast("array<binary>")
+    }
+    // pass 2: projection + candidate-only explode; the exact join drops
+    // bloom false positives so the flagged set matches the exact path
+    df.select(col(idCol), winArr.as("__wins"))
+      .filter(size(col("__wins")) > 0)
+      .select(col(idCol), size(col("__wins")).cast("long").as("n_windows"),
+        explode_outer(candArr).as("__h"))
+      // LEFT join (not semi): zero-candidate docs keep their null row so
+      // they still report n_dup_windows = 0; the right-side marker is
+      // null exactly for bloom false positives and the null row
+      .join(dups.select(col("__h"), lit(1).as("__dup")), Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(first(col("n_windows")).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
       .withColumn("dup_ratio", graft.queries.Fp.r(
         col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }

@@ -108,6 +108,15 @@ object Graph {
               .first().getDouble(0)
             if (delta < eps) converged = true
             mat
+          case None if hasDangling =>
+            // the dangling branch references `ranks` TWICE (contribs +
+            // the dang aggregate) — left lazy, the plan between
+            // checkpoints would double per iteration (2^checkpointEvery
+            // duplicated rank sub-plans to analyze/execute). Eager
+            // materialization keeps the lineage linear in iters, same
+            // as the tol path; one node-grain checkpoint per iteration
+            // is the cost PageRank pays anyway on asymmetric graphs.
+            next.localCheckpoint()
           case None =>
             if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
               next.localCheckpoint(eager = false)

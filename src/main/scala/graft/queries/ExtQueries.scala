@@ -874,6 +874,29 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-prepass substring dedup — the corpus-scale bound for the
+    // query above: unique window digests (the overwhelming majority)
+    // never leave their row; only bloom-probable duplicates explode and
+    // shuffle, and an exact join against the materialized dup-digest set
+    // removes bloom false positives. The oracle is the EXACT path's SQL
+    // verbatim: identical output is the property under test (the bloom
+    // bounds intermediate volume, never the answer).
+    Q("x_substring_dedup_bloom",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |win AS (SELECT doc_id, unnest(list_transform(range(len(ltoks)-7),
+         |         i -> md5(array_to_string(ltoks[i+1:i+8], ' ')))) AS h FROM tok),
+         |cnt AS (SELECT h, count(*) AS c FROM win GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  round(CAST(sum(CASE WHEN cnt.c>1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*) + 1e-7, 4) AS dup_ratio
+         |FROM win JOIN cnt USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.windowDupStatsBloom(docsSpread(s, d), "text", "doc_id", w = 8)
+        .orderBy("doc_id")
+    },
+
     // Trained quality classifier (the DCLM / FineWeb-Edu curation shape):
     // logistic regression on surface features, full-batch gradient
     // descent where each step is ONE distributed aggregation (the

@@ -64,6 +64,30 @@ class ExtSpec extends SparkSpec {
       (3L, 4L, 4L, 1.0)))
   }
 
+  test("windowDupStatsBloom matches the exact path row-for-row") {
+    val df = Seq(
+      (1L, "w1 w2 w3"),
+      (2L, "w1 w2 x"),
+      (3L, "y1 y2 y1 y2 y1"),
+      (4L, "solo"),
+      (5L, "all unique tokens here"))  // windows exist, none duplicated
+      .toDF("doc_id", "text")
+    val exact = Dedup.windowDupStats(df, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    val bloom = Dedup.windowDupStatsBloom(df, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(bloom === exact)
+    assert(bloom.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L))
+    assert(bloom.find(_._1 == 5L).get._3 === 0L)
+  }
+
+  test("windowDupStatsBloom on an all-unique corpus (null bloom binary)") {
+    val df = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val out = Dedup.windowDupStatsBloom(df, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
+  }
+
   test("spanDedup's wide window shuffles 16-byte digests, not span text") {
     val df = Seq((1L, "a b c d a b"), (2L, "c d e")).toDF("doc_id", "text")
     val out = Dedup.spanDedup(df, "text", "doc_id", span = 2)

@@ -88,10 +88,42 @@ class LlmPipelineSpec extends SparkSpec {
       Seq("doc_id"), "left_anti")
     val split = Curation.leakSafeSplitClustered(docs, "doc_id", clusters)
 
+    // deterministic job counter: drain the async listener bus by polling
+    // until job-end events have caught up with job-starts and the count
+    // is stable across two consecutive polls (no fixed sleep)
+    def countJobs[T](body: => T): (T, Int) = {
+      val starts = new java.util.concurrent.atomic.AtomicInteger
+      val ends = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.incrementAndGet()
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          ends.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val result = body
+        val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+        var stable = 0
+        var last = -1
+        while (stable < 2 && System.nanoTime < deadline) {
+          val s = starts.get
+          if (s == ends.get && s == last) stable += 1 else stable = 0
+          last = s
+          Thread.sleep(50)
+        }
+        (result, starts.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     // identical membership to the self-contained convenience path
-    val selfContained = Curation.leakSafeSplit(docs, "text", "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      .sortBy(_._1).toSeq
+    val (selfContained, selfJobs) = countJobs {
+      Curation.leakSafeSplit(docs, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    }
     val composed = split
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .sortBy(_._1).toSeq
@@ -99,25 +131,15 @@ class LlmPipelineSpec extends SparkSpec {
 
     // the composed split must NOT re-run the LSH/CC machinery: acting on
     // it from the checkpointed cluster frame is a handful of jobs, where
-    // the self-contained path pays the banded join + propagation rounds
-    var jobs = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      split.count()
-      deduped.count()
-      // listener events are async; a short settle keeps the count honest
-      Thread.sleep(500)
-    } finally spark.sparkContext.removeSparkListener(listener)
-    // AQE splits each action into a few jobs (observed 6 for these two
-    // count()s); a re-run of the pair machinery adds the banded join,
-    // two persist materializations and per-lineage propagation counts —
-    // 20+ jobs. 8 cleanly separates the two regimes.
-    assert(jobs <= 8, s"pair stage re-ran: $jobs jobs for the composed reads")
+    // the self-contained path pays the banded join, persist
+    // materializations and per-lineage propagation counts. The margin
+    // derives from the OBSERVED self-contained job count (not a fixed
+    // constant AQE job splitting could drift past): the composed reads
+    // must cost well under half of what the full pair machinery does.
+    val (_, composedJobs) = countJobs { split.count(); deduped.count() }
+    assert(composedJobs * 2 < selfJobs,
+      s"pair stage re-ran: $composedJobs jobs for the composed reads " +
+        s"vs $selfJobs for the self-contained path")
 
     // near-dup survivors and split assignment agree doc-for-doc
     assert(deduped.join(split, "doc_id").count() == deduped.count())
