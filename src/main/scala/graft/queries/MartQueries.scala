@@ -162,5 +162,75 @@ object MartQueries {
           fait, dimTemps(t(s, d, "lineitem")), dimGeo(s, d))
         .withColumn("taux_surpeuplement", Fp.r(col("taux_surpeuplement"), 4))
         .orderBy("annee", "departement_code", "departement_nom")
+    },
+
+    // tableau_de_bord (005:235-254): the geo x temps CROSS JOIN scaffold
+    // left-joined to TWO datamarts, so every (department, year) cell
+    // exists even where a mart has no facts — the emploi mart is
+    // restricted to 1996+ shipping years precisely so the pre-1996 cells
+    // exercise the scaffold's null-preserving outer joins on both
+    // engines. Runs through the REAL Datamarts.tableauBord fold (not
+    // re-inlined SQL), composing logementDepartement and
+    // emploiDepartement the way the reference view composes its vm_*.
+    Q("mart_dashboard",
+      s"""WITH temps AS ($dimTempsSql),
+        |geo AS ($dimGeoSql),
+        |fb AS ($factBaseSql),
+        |logm AS (
+        |  SELECT t.annee, g.departement_code,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS nb_residences_principales,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS nb_logements_surpeuples
+        |  FROM fb f
+        |  JOIN temps t ON f.temps_id = t.temps_id
+        |  JOIN geo g ON f.geo_id = g.geo_id AND g.niveau_geo = 'DEPARTEMENT'
+        |  GROUP BY 1, 2),
+        |empm AS (
+        |  SELECT t.annee, g.departement_code,
+        |         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS emplois,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS chomeurs,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS actifs
+        |  FROM fb f
+        |  JOIN temps t ON f.temps_id = t.temps_id
+        |  JOIN geo g ON f.geo_id = g.geo_id AND g.niveau_geo = 'DEPARTEMENT'
+        |  WHERE year(l_shipdate) >= 1996
+        |  GROUP BY 1, 2),
+        |scaffold AS (
+        |  SELECT departement_code, departement_nom, annee
+        |  FROM (SELECT departement_code, departement_nom FROM geo
+        |        WHERE niveau_geo = 'DEPARTEMENT')
+        |  CROSS JOIN (SELECT DISTINCT annee FROM temps))
+        |SELECT s.departement_code, s.departement_nom, s.annee,
+        |       l.nb_residences_principales, l.nb_logements_surpeuples,
+        |       round(CASE WHEN l.nb_residences_principales > 0
+        |         THEN l.nb_logements_surpeuples * 100.0 / l.nb_residences_principales
+        |         ELSE NULL END + 1e-7, 4) AS taux_surpeuplement,
+        |       e.emplois, e.chomeurs, e.actifs,
+        |       round(CASE WHEN e.actifs > 0
+        |         THEN e.chomeurs * 100.0 / e.actifs
+        |         ELSE NULL END + 1e-7, 4) AS taux_chomage
+        |FROM scaffold s
+        |LEFT JOIN logm l ON s.annee = l.annee AND s.departement_code = l.departement_code
+        |LEFT JOIN empm e ON s.annee = e.annee AND s.departement_code = e.departement_code
+        |ORDER BY s.departement_code, s.annee""".stripMargin) { (s, d) =>
+      val q = col("l_quantity").cast("long")
+      val fb = factBase(s, d)
+      val faitLog = fb.select(col("temps_id"), col("geo_id"),
+        q.as("nb_residences_principales"),
+        when(col("l_returnflag") === "R", q).otherwise(lit(0L))
+          .as("nb_logements_surpeuples"))
+      val faitEmp = fb.filter(year(col("l_shipdate")) >= 1996)
+        .select(col("temps_id"), col("geo_id"),
+          when(col("l_linestatus") === "F", q).otherwise(lit(0L)).as("emplois"),
+          when(col("l_returnflag") === "R", q).otherwise(lit(0L)).as("chomeurs"),
+          q.as("actifs"))
+      val dt = dimTemps(t(s, d, "lineitem"))
+      val dg = dimGeo(s, d)
+      val logMart = Datamarts.logementDepartement(faitLog, dt, dg)
+        .withColumn("taux_surpeuplement", Fp.r(col("taux_surpeuplement"), 4))
+      val empMart = Datamarts.emploiDepartement(faitEmp, dt, dg)
+        .withColumn("taux_chomage", Fp.r(col("taux_chomage"), 4))
+      Datamarts.tableauBord(dg, dt,
+          Seq("logement" -> logMart, "emploi" -> empMart))
+        .orderBy("departement_code", "annee")
     })
 }

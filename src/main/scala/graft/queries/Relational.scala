@@ -704,7 +704,11 @@ object Relational {
     // full [count(<v), count(<=v)] span) and order-independent, so the
     // flag is deterministic. At 100 TB the sketch is the percentile path
     // (bounded memory per partial, mergeable); this query pins how far it
-    // can drift from exact.
+    // can drift from exact. The certificate costs ONE extra fact pass:
+    // scan 1 builds the sketch per group, scan 2 (fact ⋈ broadcast
+    // group-sized sketch rows) computes the rank bounds AND the exact
+    // median in the SAME grouped aggregate; both collects are group-sized
+    // (3 rows), never fact-sized.
     Q("a_approx_percentiles",
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5) + 1e-7, 4) AS median_exact,
@@ -712,29 +716,25 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
         val li = t(s, d, "lineitem").select("l_returnflag", "l_quantity")
-          .persist()
         val appr = li.groupBy("l_returnflag")
           .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("apx"),
             count(lit(1)).as("n"))
-        val bounds = li.join(broadcast(appr), "l_returnflag")
+        val certified = li.join(broadcast(appr), "l_returnflag")
           .groupBy("l_returnflag")
           .agg(
             sum(when(col("l_quantity") < col("apx"), 1L).otherwise(0L)).as("lo"),
             sum(when(col("l_quantity") <= col("apx"), 1L).otherwise(0L)).as("hi"),
-            first("n").as("n"))
+            first("n").as("n"),
+            Fp.r(expr("percentile(l_quantity, 0.5)"), 4).as("median_exact"))
           .collect()
-        val ok = if (bounds.forall { r =>
+        val ok = if (certified.forall { r =>
             val (lo, hi, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
             val slack = n / 1000.0
             lo - slack <= 0.5 * n && 0.5 * n <= hi + slack
           }) 1 else 0
-        val exact = li.groupBy("l_returnflag")
-          .agg(Fp.r(expr("percentile(l_quantity, 0.5)"), 4).as("median_exact"))
-          .collect()
-        li.unpersist()
-        // local relation: exact rows collected once (see x_sim_ivf_ann)
+        // local relation: certified rows collected once (see x_sim_ivf_ann)
         import s.implicits._
-        exact.map(r => (r.getString(0), r.getDouble(1), ok)).toSeq
+        certified.map(r => (r.getString(0), r.getDouble(4), ok)).toSeq
           .toDF("l_returnflag", "median_exact", "sketch_rank_ok")
           .orderBy("l_returnflag")
     },

@@ -221,6 +221,140 @@ object ScaleQueries {
         t(s, d, "documents"), "text", "doc_id").orderBy("doc_id")
     },
 
+    // The COMPOSED end-to-end LLM training-data pipeline under one
+    // oracle: quality filter → ONE LSH/CC pair pass serving both
+    // cluster-dedup (min-id survivor) and the leak-safe split →
+    // benchmark decontamination → context chunking → deterministic
+    // shuffle order → per-(split, lang) token-budget shard packing.
+    // Every stage is an already-oracle-proven operator (x_curation_filter,
+    // x_dedup_clusters, x_contamination, x_leak_safe_split, x_chunk,
+    // x_train_shuffle, x_shard_pack); what THIS query certifies is their
+    // composition — the surviving (doc, split, shard) assignment the
+    // training run would actually consume.
+    Q("x_pipeline_e2e", {
+      val TOKS = "list_filter(string_split(text,' '), x -> x <> '')"
+      val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+      val SHINGLES = "list_transform(range(len(ltoks)-2), " +
+        "i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+      def mh(seed: Int) =
+        s"list_min(list_transform(shingles, t -> substr(md5('$seed:'||t),1,16)))"
+      s"""WITH RECURSIVE
+         |corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 17 <> 0),
+         |bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+         |qt AS (SELECT doc_id, text, lang, $TOKS AS toks FROM corpus),
+         |feat AS (SELECT doc_id, text, lang, len(toks) AS nt,
+         |    CAST(length(text) - length(regexp_replace(text,'[[:punct:]]','','g')) AS DOUBLE)
+         |      / nullif(length(text),0) AS pr,
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / nullif(len(toks),0) AS mwl
+         |  FROM qt),
+         |kept AS (SELECT doc_id, text, lang FROM feat WHERE
+         |  CASE WHEN nt < 20 THEN 'too_short'
+         |       WHEN nt > 500 THEN 'too_long'
+         |       WHEN pr > 0.1 THEN 'high_punct'
+         |       WHEN mwl < 3.0 OR mwl > 9.0 THEN 'gibberish' END IS NULL),
+         |tok AS (SELECT doc_id, $LTOKS AS ltoks FROM kept),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mh(i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM jac
+         |  WHERE CAST(inter AS DOUBLE) / nullif(tot - inter, 0) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |clust AS (SELECT k.doc_id, coalesce(l.cluster_id, k.doc_id) AS cluster_id
+         |          FROM kept k LEFT JOIN labels l ON k.doc_id = l.id),
+         |dedup AS (SELECT k.doc_id, k.text, k.lang FROM kept k
+         |          JOIN clust c ON k.doc_id = c.doc_id AND c.doc_id = c.cluster_id),
+         |bsh AS (SELECT DISTINCT unnest($SHINGLES) AS s
+         |        FROM (SELECT $LTOKS AS ltoks FROM bench) WHERE len(ltoks) >= 3),
+         |dds AS (SELECT d.doc_id, unnest(s.dsh) AS s
+         |        FROM dedup d JOIN sig s ON d.doc_id = s.doc_id),
+         |cont AS (SELECT doc_id FROM (
+         |    SELECT d.doc_id, count(*) AS ns, count(b.s) AS nc
+         |    FROM dds d LEFT JOIN bsh b ON d.s = b.s GROUP BY 1)
+         |  WHERE CAST(nc AS DOUBLE) / ns > 0.5),
+         |clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |splits AS (SELECT doc_id,
+         |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT cl.doc_id,
+         |          CAST(concat('0x', substr(md5('graft-split:'
+         |            ||CAST(cl.cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |            / 4294967296.0 AS u
+         |        FROM clust cl JOIN clean USING (doc_id))),
+         |ctok AS (SELECT c.doc_id, c.lang, s.split, $TOKS AS toks
+         |         FROM clean c JOIN splits s USING (doc_id)),
+         |cch AS (SELECT doc_id, lang, split, toks,
+         |          greatest(1, CAST(ceil((len(toks) - 8) * 1.0 / 24) AS INT)) AS nch
+         |        FROM ctok),
+         |cx AS (SELECT doc_id, lang, split, toks, unnest(range(nch)) AS i FROM cch),
+         |chunks AS (SELECT doc_id, lang, split, CAST(i AS INT) AS chunk_idx,
+         |             CAST(least(32, len(toks) - i * 24) AS INT) AS n_chunk_tokens
+         |           FROM cx),
+         |keyed AS (SELECT *, md5('ep1:' || CAST(doc_id AS VARCHAR) || '_'
+         |            || CAST(chunk_idx AS VARCHAR)) AS skey FROM chunks),
+         |packed AS (SELECT *, sum(n_chunk_tokens) OVER (
+         |             PARTITION BY split, lang ORDER BY skey
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |           FROM keyed)
+         |SELECT doc_id, chunk_idx, lang, split, n_chunk_tokens,
+         |       CAST(floor((cum - n_chunk_tokens) / 1000.0) AS INT) AS shard_id
+         |FROM packed ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      import graft.ext.Curation
+      val all = t(s, d, "documents").select("doc_id", "text", "lang")
+      val benchmark = all.filter(col("doc_id") % 17 === 0)
+      val corpus = graft.core.Tables.spread(all.filter(col("doc_id") % 17 =!= 0))
+      val kept = Curation.qualityFilter(corpus, "text")
+        .filter(col(Curation.KeepCol))
+        .select("doc_id", "text", "lang")
+      // ONE pair/cluster pass serves near-dedup AND the leak-safe split
+      val pairs = Dedup.nearDupPairs(kept, "text", "doc_id")
+        .filter(col("jaccard") >= 0.8)
+      val clusters = Dedup.clusterPairs(pairs).localCheckpoint()
+      val deduped = kept.join(
+        clusters.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val contaminated = Curation.contamination(
+          deduped, "text", "doc_id", benchmark, "text")
+        .filter(col("contamination") > 0.5).select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val split = Curation.leakSafeSplitClustered(clean, "doc_id", clusters)
+        .select(col("doc_id"), col("split"))
+      val chunks = Curation.chunk(clean.join(split, "doc_id"), "text",
+        chunkTokens = 32, overlap = 8)
+      val keyed = chunks.withColumn("__key", Curation.shuffleKey(
+        concat(col("doc_id").cast("string"), lit("_"),
+          col("chunk_idx").cast("string")), "ep1"))
+      Curation.packShards(keyed, "n_chunk_tokens", "__key",
+          budget = 1000L, partitionCols = Seq("split", "lang"))
+        .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
+          col("n_chunk_tokens"), col("shard_id"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Salted two-phase aggregation: l_returnflag has 3 values over the
     // whole fact table — the extreme-skew groupBy shape. Phase 1 splits
     // each key across corpus-derived salts (autoSalts: a FIXED salt

@@ -173,6 +173,52 @@ class TopKPlanSpec extends SparkSpec {
     parts.foreach(p => assert(p == p.sorted, s"partition not key-ordered: $p"))
   }
 
+  test("Bm25.scoreBatch's per-query top-k routes through TopKPerKeyExec " +
+      "and the partial mode caps a hot term's exchange volume") {
+    // hot-term fixture: "hot" appears in HALF the corpus — the skew case
+    // the per-query top-k partition would otherwise absorb whole
+    val docs = (1L to 2000L).map { i =>
+      val body = s"filler$i alpha beta gamma"
+      (i, if (i % 2 == 0) s"hot $body" else body)
+    }.toDF("doc_id", "text")
+    val queries = Seq((1, "hot"), (2, "alpha")).toDF("query_id", "term")
+    val scored = graft.ext.Bm25.scoreBatch(
+      docs, "text", "doc_id", queries, topK = 5)
+    val rows = scored.collect()
+    assert(rows.count(_.getInt(0) == 1) === 5, "hot query must emit top-5")
+
+    // 1. the row_number <= k filter was rewritten: partial AND final
+    //    bounded-heap operators execute (no sort-based window path)
+    val plan = planOf(scored)
+    assert(plan.contains("TopKPerKey k=5, partial"), plan)
+    assert(plan.contains("TopKPerKey k=5, final"), plan)
+    assert(!plan.contains("Window ["), s"window survived:\n$plan")
+
+    // 2. skew defense, measured: the partial heap bounds what crosses
+    //    the exchange to <= k rows per (query, task) — the 1000-doc hot
+    //    query contributes at most k x map-tasks rows, never its full
+    //    pair volume
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def collectTopK(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectTopK(a.executedPlan)
+      case q: QueryStageExec => collectTopK(q.plan)
+      case t: graft.plans.TopKPerKeyExec =>
+        t +: t.children.flatMap(collectTopK)
+      case other => other.children.flatMap(collectTopK)
+    }
+    val nodes = collectTopK(scored.queryExecution.executedPlan)
+    assert(nodes.size === 2, s"expected partial+final, got ${nodes.size}")
+    val partial = nodes.find(_.rnAttr.isEmpty).get
+    val mapTasks = partial.child.outputPartitioning.numPartitions
+    val partialOut = partial.metrics("numOutputRows").value
+    val pairRows = 1000L + 2000L // hot hits + alpha hits
+    assert(partialOut <= 5L * mapTasks * 2,
+      s"partial emitted $partialOut rows for $mapTasks tasks")
+    assert(partialOut < pairRows / 10,
+      s"exchange not bounded: $partialOut of $pairRows pair rows crossed")
+  }
+
   test("multi-column keys and order tiebreakers match the window path") {
     val df = Seq(("x", 1, 10, "p"), ("x", 1, 10, "q"), ("x", 2, 5, "r"),
       ("y", 1, 10, "s"))
