@@ -116,6 +116,58 @@ for name, msg in sorted(dump_errors.items()):
     if name in names:  # errored after partial write; don't double-count below
         names.remove(name)
     fail += 1
+# --scale self-chunking: a single process running every heavy staged
+# oracle wedges DuckDB's buffer pool (arena release is asynchronous; a
+# long-lived process accumulates until tiny allocations OOM). Instead of
+# the manual "~20-query chunks, retry by hand" procedure, the parent
+# splits the gate into chunks and runs each in its OWN subprocess; any
+# chunk that reports failures or dies uncleanly (native crash, OOM kill)
+# is escalated to one-query-per-process — the last-resort recipe — and
+# the per-query results of the escalation are what count. The final
+# exit code reflects the aggregate. --no-chunk forces the old
+# single-process behavior; --chunk=N sizes the chunks.
+chunk_size = next((int(f.split("=")[1]) for f in flags
+                   if f.startswith("--chunk=")), 20)
+if use_scale and "--child" not in flags and "--no-chunk" not in flags:
+    import subprocess
+    con.close()
+    universe = sorted(declared | set(names) | set(dump_errors))
+    def run_sub(sub_names):
+        """Run one child gate over sub_names; returns (clean, fails, out).
+        clean = the child printed a final summary covering every name
+        (crashes and truncated runs are NOT clean, whatever the code)."""
+        cmd = [sys.executable, __file__, sf_dir, out_dir, "--scale",
+               f"--shards={n_shards}", f"--mem={mem_limit}", "--child",
+               "--names=" + ",".join(sub_names)]
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        m = _re.search(r"(\d+)/(\d+) pass\s*$", p.stdout)
+        clean = (m is not None and int(m.group(2)) == len(sub_names)
+                 and p.returncode in (0, 1))
+        fails = (int(m.group(2)) - int(m.group(1))) if m else len(sub_names)
+        return clean, fails, p.stdout + (
+            "" if clean else f"[chunk] child exit {p.returncode}; stderr tail:\n"
+            + p.stderr[-1500:])
+    total_fail = 0
+    for i in range(0, len(universe), chunk_size):
+        chunk = universe[i:i + chunk_size]
+        clean, fails, out = run_sub(chunk)
+        if clean and fails == 0:
+            sys.stdout.write(out[:out.rfind("\n\n")] + "\n")
+            sys.stdout.flush()
+            continue
+        # escalate: fresh buffer pool per query; these results are final
+        print(f"[chunk] {'unclean exit' if not clean else f'{fails} fail(s)'}"
+              f" in chunk {i // chunk_size + 1} — retrying one query per process")
+        for nm in chunk:
+            c1, f1, out1 = run_sub([nm])
+            sys.stdout.write(out1[:out1.rfind("\n\n")] + "\n" if c1
+                             else out1 + f"FAIL {nm}: child died\n")
+            sys.stdout.flush()
+            if not c1 or f1:
+                total_fail += 1
+    print(f"\n{len(universe) - total_fail}/{len(universe)} pass")
+    sys.exit(1 if total_fail else 0)
+
 def check_one(name):
     """Returns True on pass, False on fail, None for rows-only."""
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
