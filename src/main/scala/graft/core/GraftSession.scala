@@ -9,21 +9,31 @@ import org.apache.spark.sql.SparkSession
   * on Spark that is AQE (runtime re-plan, skew-join splitting, partition
   * coalescing) + parquet vectorized reads.
   *
-  * Shuffle partitions follow the standard 2-3x-total-cores sizing rule
-  * (we apply 3x): per-task state in wide aggregates shrinks with the
-  * partition count, and the equal-cpu TailProfile runs (docs/SCALING.md
-  * "superlinear tail") measured the 1x-cores default spilling 6.3 GB
-  * (`j_cooccurrence` basket collect_set) and 14.9 GB (`x_pagerank`
-  * contribution agg) at sf10 — state that fits in memory at 3x. The
-  * over-partitioning cost at small scale is absorbed by AQE partition
-  * coalescing, which merges post-shuffle partitions back to the data's
-  * actual size, so small-SF plans pay scheduler overhead only until the
-  * first exchange. On a real cluster the same rule scales to ~2-3x total
-  * executor cores (8-12k at the 1000-executor target).
+  * Shuffle partitions default to the core count. The textbook
+  * 2-3x-cores rule was tried as the default in r11 and REFUTED by
+  * equal-cpu measurement on this workload (docs/SCALING.md §r11): the
+  * big spills the r10 profile attributed to partition count
+  * (`j_cooccurrence` 6.3 GB, `x_pagerank` 14.9 GB at sf10) live in
+  * MAP-side state — partial-aggregate buffers and per-iteration
+  * sort-merge-join sorts — which reducer count cannot size, so 2-3x
+  * partitions only bought per-task scheduler overhead (j_cooccurrence
+  * sf10 16.9s -> 23.7s at 2x; x_pagerank sf0.1 9.7s -> 14.4s at 3x).
+  * The spill that WAS plan-addressable is: the persisted PageRank edge
+  * table is now pre-partitioned + pre-sorted on the iteration join key
+  * (`ext.Graph`), so iterations stop re-sorting it. The remaining
+  * map-side partial-agg spill is Spark's intended behavior (spillable
+  * fallback in ObjectHashAggregate/SortAggregate) and measures ≤
+  * cpu-adjusted linear at equal cpus (j_cooccurrence 6.03x/decade). On
+  * a real cluster shuffle partitions still scale with total cores (the
+  * override below, ~2-3k at the 1000-executor target); AQE coalesces
+  * from there.
   */
 object GraftSession {
-  /** The 2-3x-cores shuffle-partition rule (3x applied). */
-  def shufflePartitionsFor(cores: Int): Int = cores * 3
+  /** Shuffle partitions for a given core count (1x, see scaladoc);
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for sizing experiments. */
+  def shufflePartitionsFor(cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(cores)
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()

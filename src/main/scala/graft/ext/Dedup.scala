@@ -115,21 +115,25 @@ object Dedup {
     * than `w` tokens have no windows and vanish (same convention as
     * [[spanDedup]] for token-less docs). */
   /** Digest array of the stride-1 `w`-token windows of `textCol` (empty
-    * for docs with fewer than `w` tokens) — shared by the exact and the
-    * Bloom-prepass substring-dedup paths so both flag the SAME windows. */
-  private def windowDigests(textCol: String, w: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => unhex(md5(array_join(slice(toks, i + 1, lit(w)), " ")
-          .cast("binary")))))
-      .otherwise(array().cast("array<binary>"))
+    * for docs with fewer than `w` tokens, null for null text — both
+    * vanish under the explode/filter that consumes this) — shared by the
+    * exact and the Bloom-prepass substring-dedup paths so both flag the
+    * SAME windows. Fused codegen pass (`functions.WindowDigests`): the
+    * HOF form (per-window slice + array_join + md5) dominated the whole
+    * operator's CPU; the fused pass normalizes the token stream once and
+    * runs each md5 straight off the compact buffer. */
+  private def windowDigests(df: DataFrame, textCol: String,
+      w: Int): Column = {
+    graft.functions.WindowDigests.register(df.sparkSession, w)
+    // the fused pass lowercases internally (same UTF8String.toLowerCase
+    // as the built-in lower())
+    graft.functions.WindowDigests.windowDigests(col(textCol), w)
   }
 
   def windowDupStats(df: DataFrame, textCol: String, idCol: String,
       w: Int): DataFrame = {
     require(w > 0, "window width must be positive")
-    val winArr = windowDigests(textCol, w)
+    val winArr = windowDigests(df, textCol, w)
     val ex = df.select(col(idCol), explode(winArr).as("__h"))
     val counts = ex.groupBy("__h").agg(count(lit(1)).as("__c"))
     ex.join(counts, "__h")
@@ -168,10 +172,17 @@ object Dedup {
       w: Int, expectedDups: Long = 4000000L): DataFrame = {
     require(w > 0, "window width must be positive")
     graft.functions.BloomOps.register(df.sparkSession)
-    val winArr = windowDigests(textCol, w)
+    // window CONSTRUCTION (tokenize, slice, join, md5) dominates this
+    // operator's CPU — measured 1.5x the whole exact path when pass 2
+    // re-derived it from text. Materialize the per-doc digest arrays
+    // ONCE (node-local, digest-grain: ~20 bytes/window, no text, no
+    // shuffle); the count pass and the scoring pass both read it.
+    val wins = df.select(col(idCol), windowDigests(df, textCol, w).as("__wins"))
+      .filter(size(col("__wins")) > 0)
+      .localCheckpoint()
     // pass 1: exact dup-digest set, materialized once — serves both the
     // bloom aggregate and the false-positive-removing join below
-    val dups = df.select(explode(winArr).as("__h"))
+    val dups = wins.select(explode(col("__wins")).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .localCheckpoint()
@@ -188,8 +199,7 @@ object Dedup {
     }
     // pass 2: projection + candidate-only explode; the exact join drops
     // bloom false positives so the flagged set matches the exact path
-    df.select(col(idCol), winArr.as("__wins"))
-      .filter(size(col("__wins")) > 0)
+    wins
       .select(col(idCol), size(col("__wins")).cast("long").as("n_windows"),
         explode_outer(candArr).as("__h"))
       // LEFT join (not semi): zero-candidate docs keep their null row so

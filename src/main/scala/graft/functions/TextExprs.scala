@@ -235,6 +235,48 @@ object TextExprsImpl {
       new GenericArrayData(dsh.toArray())))
   }
 
+  /** All stride-1 `w`-token window digests of the lowercase token stream
+    * in ONE fused pass (the substring-dedup primitive, `Dedup.window*`).
+    * Semantics are bit-for-bit the HOF formulation
+    * `transform(sequence(0, n-w), i -> unhex(md5(array_join(slice(toks,
+    * i+1, w), " "))))`: tokens are normalized into ONE compact
+    * single-space-joined buffer with per-token offsets, and each window
+    * md5 runs directly over a slice of that buffer — zero per-window
+    * string building or array slicing (measured: window construction
+    * dominated the whole operator under the HOF form). Empty array when
+    * the doc has fewer than `w` tokens. */
+  def windowDigests(s: UTF8String, w: Int): GenericArrayData = {
+    val low = s.toLowerCase
+    val b = low.getBytes
+    val (spans, nTok) = tokenSpans(b)
+    if (nTok < w) return new GenericArrayData(Array.empty[Any])
+    // compact join: tokens separated by exactly one space
+    val nb = new Array[Byte](b.length)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var pos = 0
+    var t = 0
+    while (t < nTok) {
+      if (t > 0) { nb(pos) = 0x20; pos += 1 }
+      starts(t) = pos
+      val f = spans(2 * t); val u = spans(2 * t + 1)
+      System.arraycopy(b, f, nb, pos, u - f)
+      pos += u - f
+      ends(t) = pos
+      t += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](nTok - w + 1)
+    t = 0
+    while (t + w <= nTok) {
+      md.reset()
+      md.update(nb, starts(t), ends(t + w - 1) - starts(t))
+      out(t) = md.digest()
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document term frequencies over the lowercase token stream, as a
     * map<term, count> — the map-side half of TF-IDF fused into the row
     * pass, so the engine shuffles one pre-aggregated (doc, term, tf) row
@@ -399,6 +441,38 @@ object MinHashSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       FnReg.checked(name, 1)(exprs => MinHashSig(exprs.head, shingleN, k)),
+      "built-in")
+  }
+}
+
+/** Per-row window-digest array (see [[TextExprsImpl.windowDigests]]). */
+case class WindowDigests(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window width must be positive")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "window_digests"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    TextExprsImpl.windowDigests(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExprsImpl.windowDigests($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WindowDigests =
+    copy(child = c)
+}
+
+object WindowDigests {
+  def windowDigests(c: Column, w: Int): Column =
+    org.apache.spark.sql.functions.call_function(s"window_digests_$w", c)
+
+  /** Registers `window_digests_<w>` (params aren't SQL-passable). */
+  def register(spark: SparkSession, w: Int): Unit = {
+    val name = s"window_digests_$w"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      FnReg.checked(name, 1)(exprs => WindowDigests(exprs.head, w)),
       "built-in")
   }
 }

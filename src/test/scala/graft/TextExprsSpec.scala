@@ -139,6 +139,24 @@ class TextExprsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("WindowDigests agrees with the HOF slice/join/md5 formulation") {
+    graft.functions.WindowDigests.register(spark, 3)
+    val toks = TextAnalysis.tokens(lower($"text"))
+    val hof = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => unhex(md5(array_join(slice(toks, i + 1, lit(3)), " ")
+          .cast("binary")))))
+      .otherwise(array().cast("array<binary>"))
+    val got = corpus.select($"doc_id",
+      graft.functions.WindowDigests.windowDigests($"text", 3).as("fast"),
+      hof.as("slow")).collect()
+    got.foreach { r =>
+      val f = r.getSeq[Array[Byte]](1).map(_.toSeq)
+      val s = r.getSeq[Array[Byte]](2).map(_.toSeq)
+      assert(f == s, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("null text yields null outputs, not a crash") {
     TextStats.register(spark); SimHash64.register(spark)
     MinHashSig.register(spark, 3, 8)
