@@ -25,7 +25,13 @@ object Bench {
       .builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_BENCH_NAMES=a,b,c restricts the run (isolated
+    // single-query measurement — separating host noise and cross-query
+    // session state from real regressions)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_NAMES")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     // warmup (not timed): same plans at the smallest scale factor
     names.foreach { n =>
@@ -34,6 +40,15 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache()
     def timed(name: String): Double = {
+      // measurement isolation: a finished query can leave localCheckpoint
+      // / persist blocks in the BlockManager (clearCache() only drops the
+      // SQL cache) — at sf10 those are GBs of storage-pool memory that
+      // squeeze the execution pool of every LATER query. All such blocks
+      // belong to completed queries (nothing re-reads them), so dropping
+      // them before each timed run is safe and makes measurements
+      // independent of suite order.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); errors -= name }
       catch { case _: Throwable => errors += name }
