@@ -157,6 +157,38 @@ class TextExprsSpec extends SparkSpec {
     }
   }
 
+  test("WindowDigests HOF parity holds on whitespace/unicode edges") {
+    // both tokenizers split on the single ASCII space ONLY — tabs,
+    // newlines and NBSP are token characters; this pins that contract
+    graft.functions.WindowDigests.register(spark, 2)
+    val edges = Seq(
+      "a  b   c",              // runs of spaces
+      "a\tb c\nd",             // tab/newline inside tokens
+      "café NAÏVE Über wörter", // accents + case folding
+      "a b c d",          // NBSP is not a separator
+      " lead trail ",          // leading/trailing spaces
+      "one two",               // exactly w tokens
+      "single",                // fewer than w -> empty
+      "",                      // empty string -> empty
+      "İstanbul i̇ I dotted") // dotted-I lowercasing
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(lower($"text"))
+    val hof = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => unhex(md5(array_join(slice(toks, i + 1, lit(2)), " ")
+          .cast("binary")))))
+      .otherwise(array().cast("array<binary>"))
+    val got = edges.select($"doc_id",
+      graft.functions.WindowDigests.windowDigests($"text", 2).as("fast"),
+      hof.as("slow")).collect()
+    got.foreach { r =>
+      val f = r.getSeq[Array[Byte]](1).map(_.toSeq)
+      val s = r.getSeq[Array[Byte]](2).map(_.toSeq)
+      assert(f == s, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("null text yields null outputs, not a crash") {
     TextStats.register(spark); SimHash64.register(spark)
     MinHashSig.register(spark, 3, 8)
