@@ -421,6 +421,50 @@ object ExtQueries {
         .orderBy("new_id", "old_id")
     },
 
+    // Streaming near-dup against the static signature index — the SAME
+    // Streams.nearDupStream call runs under readStream (StreamsSpec
+    // drives that path and asserts parity with this batch invocation);
+    // here batch mode defines the semantics the oracle certifies. Odd
+    // doc_ids play the arriving stream, even ids the indexed corpus;
+    // only pairs clearing jaccard >= 0.8 are flagged (the raw double is
+    // compared on both sides — same int-ratio arithmetic).
+    Q("st_neardup_index",
+      s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mhSql("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |jac AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = new_id
+         |  JOIN sig sb ON sb.doc_id = old_id)
+         |SELECT new_id, old_id,
+         |  round(CAST(inter AS DOUBLE) / nullif(tot - inter, 0) + 1e-7, 4) AS jaccard
+         |FROM jac
+         |WHERE CAST(inter AS DOUBLE) / nullif(tot - inter, 0) >= 0.8
+         |ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
+      val all = docs(s, d)
+      val index = Dedup.signatureIndex(
+        all.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      graft.streaming.Streams.nearDupStream(
+          all.filter(col("doc_id") % 2 === 1), "text", "doc_id", index,
+          threshold = 0.8)
+        .select(col("new_id"), col("old_id"), Fp.r(col("jaccard"), 4).as("jaccard"))
+        .orderBy("new_id", "old_id")
+    },
+
     // Bottom-k (KMV) sketch per group via the custom TypedImperativeAggregate
     // — bounded-memory alternative to sort(collect_list())[0:k].
     Q("x_dedup_bottomk_sketch",

@@ -205,4 +205,64 @@ object Streams {
         expr(s"l.$key = r.$key AND r.ts >= l.ts AND " +
           s"r.ts <= l.ts + interval $withinSec seconds"),
         "leftOuter")
+
+  /** Streaming near-duplicate flagging against a static
+    * [[graft.ext.Dedup.signatureIndex]] — the real-time variant of
+    * [[graft.ext.Dedup.incrementalNearDupPairs]]: documents arrive as a
+    * stream and each micro-batch's docs are checked against the existing
+    * corpus without ever rescanning corpus text. Emits
+    * (new_id, old_id, jaccard) for pairs whose exact shingle-set Jaccard
+    * clears `threshold`.
+    *
+    * Streaming shape (why this differs from the batch plan):
+    *   - The signature pass (fused [[graft.functions.MinHashSig]]) and
+    *     the band explode are row-local projections — legal on a stream.
+    *   - The batch path re-joins candidates back to the new-side
+    *     signature frame for the Jaccard fetch; on a stream that would
+    *     be a stream-STREAM self-join (watermark-constrained). Instead
+    *     the band rows CARRY the distinct-shingle set, so the only join
+    *     is stream-static (stateless, re-planned per micro-batch — an
+    *     index refresh lands without a query restart).
+    *   - A pair colliding in several bands would emit once per band;
+    *     `dropDuplicates` (the streaming-sanctioned dedup) collapses
+    *     them. Its state is one row per FLAGGED pair — dup-volume, not
+    *     corpus-volume. In batch mode the same call degenerates to
+    *     distinct(), which is what the oracle checks.
+    *
+    * At 100 TB the static index long table re-shuffles per micro-batch
+    * unless the band join broadcasts; production pre-buckets the index
+    * parquet by band_val so the stream side alone moves. Carrying `dsh`
+    * through the explode costs bands× replication of the shingle sets —
+    * bounded by batch size, the price of statelessness. */
+  def nearDupStream(newDocs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, k: Int = 8, bands: Int = 2,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    graft.functions.MinHashSig.register(newDocs.sparkSession, shingleN, k)
+    def bandCol(sig: org.apache.spark.sql.Column, b: Int) =
+      graft.ext.Dedup.bandValue((0 until rows).map(r => sig(b * rows + r)))
+    val newLong = newDocs
+      .select(col(idCol),
+        graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
+          .as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col(idCol).as("new_id"), col("__m.dsh").as("__da"),
+        col("__m.n_shingles").as("__na"),
+        posexplode(array((0 until bands).map(b => bandCol(col("__m.sig"), b)): _*))
+          .as(Seq("band_idx", "band_val")))
+    val idxLong = index.select(col(idCol).as("old_id"),
+      col("dsh").as("__db"), col("n_shingles").as("__nb"),
+      posexplode(array((0 until bands).map(b => bandCol(col("sig"), b)): _*))
+        .as(Seq("band_idx", "band_val")))
+    newLong.join(idxLong, Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("old_id"))
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+      .dropDuplicates("new_id", "old_id")
+  }
 }

@@ -132,6 +132,34 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("enrich_out").columns.contains("activity"))
   }
 
+  test("streaming near-dup against the static signature index matches batch") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val index = graft.ext.Dedup.signatureIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id").cache()
+    val newBatch = docs.filter(col("doc_id") % 2 === 1)
+    val batch = Streams.nearDupStream(newBatch, "text", "doc_id", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the SAME call over a file stream of the new docs, split across
+    // several files so multiple micro-batches exercise the stateful
+    // cross-micro-batch pair dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    newBatch.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.nearDupStream(stream, "text", "doc_id", index)
+      .writeStream.outputMode("append").format("memory").queryName("nd_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("nd_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+    index.unpersist()
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
     val ldir = java.nio.file.Files.createTempDirectory("graft-ssl").toString
