@@ -160,6 +160,19 @@ class StreamsSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("near-dup stream: empty index and under-width docs flag nothing") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val emptyIndex = graft.ext.Dedup.signatureIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    assert(Streams.nearDupStream(docs, "text", "doc_id", emptyIndex)
+      .count() == 0)
+    // an index that WOULD match doc 3 if its 2-token text had a signature
+    val index = graft.ext.Dedup.signatureIndex(
+      Seq((2L, "too short")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(Streams.nearDupStream(docs, "text", "doc_id", index).count() == 0)
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
     val ldir = java.nio.file.Files.createTempDirectory("graft-ssl").toString
