@@ -46,9 +46,13 @@ object Bench {
       // squeeze the execution pool of every LATER query. All such blocks
       // belong to completed queries (nothing re-reads them), so dropping
       // them before each timed run is safe and makes measurements
-      // independent of suite order.
+      // independent of suite order. Invariant this sweep assumes: no
+      // query/helper shares a cached frame across invocations (each
+      // SparkEntry.queries entry builds its plan from scratch).
+      // blocking = true: async removal may not free storage memory
+      // before the timed region starts; the wait is outside the timer.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); errors -= name }
       catch { case _: Throwable => errors += name }

@@ -32,8 +32,19 @@ object GraftSession {
   /** Shuffle partitions for a given core count (1x, see scaladoc);
     * SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for sizing experiments. */
   def shufflePartitionsFor(cores: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-      .getOrElse(cores)
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case None => cores
+      case Some(raw) =>
+        val n = raw.trim.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive int, got '$raw'"))
+        // loud: the override also reaches test/bench sessions, so a
+        // leftover exported experiment var must be identifiable in logs
+        System.err.println(
+          s"[graft] SPARK_GRAFT_SHUFFLE_PARTITIONS override active: $n " +
+            s"(default would be $cores)")
+        n
+    }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     builder(s"local[$cores]", cores).getOrCreate()

@@ -97,6 +97,15 @@ object Bm25 {
     *     scored hit pairs keyed by query — a query matching half the
     *     corpus skews its partition; the standard salting in `Skew`
     *     applies upstream of the window if a benchmark term is that hot.
+    *
+    * EAGER side effect: the hit stream is `localCheckpoint()`ed so the
+    * df aggregate and the scoring join share one corpus scan — calling
+    * this method therefore runs that scan job immediately (the returned
+    * frame is not a lazy, fully-recomputable plan), and the checkpointed
+    * blocks are unrecoverable after executor loss (same contract as
+    * `Dedup.clusterPairs`). On clusters where recomputability after
+    * executor loss matters more than the second scan, swap the
+    * checkpoint for persist+count.
     */
   def scoreBatch(docs: DataFrame, textCol: String, idCol: String,
       queries: DataFrame, queryIdCol: String = "query_id",

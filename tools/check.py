@@ -108,14 +108,6 @@ if only is not None:
 # manifest exists — a _failed.json-only dump dir must still widen the
 # denominator so "N/N pass" can't undercount.
 total = len(declared | set(names) | set(dump_errors))
-for missing in sorted(declared - set(names) - set(dump_errors)):
-    print(f"FAIL {missing}: declared but produced NO output (gate shrink)")
-    fail += 1
-for name, msg in sorted(dump_errors.items()):
-    print(f"FAIL {name}: dump error: {msg[:200]}")
-    if name in names:  # errored after partial write; don't double-count below
-        names.remove(name)
-    fail += 1
 # --scale self-chunking: a single process running every heavy staged
 # oracle wedges DuckDB's buffer pool (arena release is asynchronous; a
 # long-lived process accumulates until tiny allocations OOM). Instead of
@@ -167,6 +159,19 @@ if use_scale and "--child" not in flags and "--no-chunk" not in flags:
                 total_fail += 1
     print(f"\n{len(universe) - total_fail}/{len(universe)} pass")
     sys.exit(1 if total_fail else 0)
+
+# Gate-shrink / dump-error reporting runs BELOW the chunking branch:
+# when chunking, each child re-derives both from the manifests for its
+# own name subset — reporting here first would print every failure
+# twice and then discard the parent's fail counter on delegation.
+for missing in sorted(declared - set(names) - set(dump_errors)):
+    print(f"FAIL {missing}: declared but produced NO output (gate shrink)")
+    fail += 1
+for name, msg in sorted(dump_errors.items()):
+    print(f"FAIL {name}: dump error: {msg[:200]}")
+    if name in names:  # errored after partial write; don't double-count below
+        names.remove(name)
+    fail += 1
 
 def check_one(name):
     """Returns True on pass, False on fail, None for rows-only."""
