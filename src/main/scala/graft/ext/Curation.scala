@@ -119,38 +119,57 @@ object Curation {
             col("n_shingles").cast("double")))
   }
 
-  /** [[contamination]]'s extreme-scale variant: benchmark shingles fold
-    * into ONE bloom-filter binary (a few MB regardless of corpus size)
-    * and every corpus row probes it with a per-row HOF — no join, no
-    * exchange anywhere; the whole check is a projection over the scan.
-    * The price is the bloom's false-positive rate (size `expectedItems`
-    * generously — rates are ~0.03% at 8 bits/item), which can only
-    * OVERCOUNT contamination: no false negatives, so a clean verdict is
-    * trustworthy and a contaminated one is re-checkable with the exact
-    * join variant. */
+  /** [[contamination]]'s extreme-scale variant, with EXACTLY the same
+    * output (same counts, same rate — the Bloom filter only bounds
+    * intermediate volume, it never changes the answer; the
+    * `Dedup.windowDupStatsBloom` treatment):
+    *
+    *   - the distinct benchmark shingles fold into ONE bloom-filter
+    *     binary (a few MB regardless of benchmark size) — the only
+    *     thing broadcast; the full shingle-set broadcast the exact
+    *     path pays disappears.
+    *   - every corpus row probes the bloom with a per-row HOF; only
+    *     PROBABLE hits (true contamination + the bloom's ~0.03%
+    *     false-positive rate at 8 bits/item — size `expectedItems`
+    *     generously) survive to explode. Clean corpus shingles — the
+    *     overwhelming majority — never leave their row.
+    *   - the surviving candidates (hit volume, not corpus-shingle
+    *     volume) join the exact benchmark set once, removing bloom
+    *     false positives, so `n_contaminated` is exact. */
   def contaminationBloom(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3,
       expectedItems: Long = 1000000L): DataFrame = {
     graft.functions.BloomOps.register(docs.sparkSession)
+    // materialized once (benchmark-sized, no corpus data): serves both
+    // the bloom aggregate and the false-positive-removing join
+    val bench = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__bs"))
+      .distinct()
+      .localCheckpoint()
     // Option(..): an EMPTY benchmark aggregates to a null bloom binary —
     // then nothing can be contaminated, rather than a null-propagation
     // surprise inside the HOF
-    val bytes = Option(benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("s"))
-      .distinct()
-      .select(call_function("bloom_filter_agg", xxhash64(col("s")),
+    val bytes = Option(bench
+      .select(call_function("bloom_filter_agg", xxhash64(col("__bs")),
         lit(expectedItems)).as("bf"))
       .head().getAs[Array[Byte]](0))
-    val hits = bytes match {
-      case Some(b) => size(filter(col("__dsh"), s =>
-        call_function("might_contain", lit(b), xxhash64(s))))
-      case None => lit(0)
+    val candArr = bytes match {
+      case Some(b) => filter(col("__dsh"), s =>
+        call_function("might_contain", lit(b), xxhash64(s)))
+      case None => array().cast("array<string>")
     }
     docs
       .withColumn("__dsh", array_distinct(Dedup.shingles(col(textCol), n)))
-      .select(col(idCol),
-        size(col("__dsh")).cast("long").as("n_shingles"),
-        hits.cast("long").as("n_contaminated"))
+      // LEFT join (not semi): zero-candidate docs keep their null row so
+      // they still report n_contaminated = 0; the right-side marker is
+      // null exactly for bloom false positives and the null row
+      .select(col(idCol), size(col("__dsh")).cast("long").as("n_shingles"),
+        explode_outer(candArr).as("__s"))
+      .join(bench.select(col("__bs").as("__s"), lit(1).as("__hit")),
+        Seq("__s"), "left")
+      .groupBy(idCol)
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
       .withColumn("contamination",
         when(col("n_shingles") > 0,
           col("n_contaminated").cast("double") /

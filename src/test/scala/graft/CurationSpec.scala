@@ -205,8 +205,9 @@ class CurationSpec extends SparkSpec {
       Curation.contamination(corpus, "text", "doc_id", bench, "text"))
     val bloom = collect(
       Curation.contaminationBloom(corpus, "text", "doc_id", bench, "text"))
-    // generously sized bloom → no false negatives and ~zero false
-    // positives at this scale, so the two paths coincide exactly
+    // identical output is the contract (not a probabilistic accident):
+    // the bloom only bounds candidate volume; the exact join against
+    // the benchmark set removes its false positives
     assert(bloom == exact)
     assert(exact.exists(_._3 > 0), "fixture should contain SOME overlap")
   }
