@@ -196,6 +196,53 @@ object ScaleOracles {
         |FROM __win_sub JOIN cnt USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Window-remove rewrite: windows accumulate per shard into a compact
+    * (doc, pos, digest) table; the first-occurrence window function and
+    * the covered-position expansion run corpus-wide over that table
+    * (window volume, no text); the surviving-text reassembly is
+    * doc-decomposable again — per shard, tokens anti-join the covered
+    * set and string_agg back, so the live per-token unnest never exceeds
+    * one shard. */
+  private val windowRemove: Seq[Step] = Seq(
+    Step(perShard = false,
+      "CREATE OR REPLACE TEMP TABLE __win_rm (doc_id BIGINT, pos BIGINT, h VARCHAR)"),
+    Step(perShard = true,
+      """INSERT INTO __win_rm
+        |WITH tok AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks
+        |             FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__))
+        |SELECT doc_id,
+        |  unnest(range(greatest(len(ltoks)-7,0))),
+        |  unnest(list_transform(range(greatest(len(ltoks)-7,0)),
+        |         i -> md5(array_to_string(ltoks[i+1:i+8], ' '))))
+        |FROM tok""".stripMargin),
+    Step(perShard = false,
+      """CREATE OR REPLACE TEMP TABLE __cov_rm AS
+        |SELECT DISTINCT doc_id, pos + j AS cp FROM (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY h
+        |      ORDER BY doc_id, pos) AS rn FROM __win_rm) WHERE rn > 1),
+        |  unnest(range(8)) AS u(j)""".stripMargin),
+    Step(perShard = false, "DROP TABLE __win_rm"),
+    Step(perShard = false,
+      """CREATE OR REPLACE TEMP TABLE __out_rm
+        |  (doc_id BIGINT, n_tokens BIGINT, n_removed BIGINT, text_digest VARCHAR)""".stripMargin),
+    Step(perShard = true,
+      """INSERT INTO __out_rm
+        |WITH tok AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ltoks
+        |             FROM (SELECT * FROM documents WHERE doc_id % __NSHARDS__ = __SHARD__)),
+        |ptok AS (SELECT doc_id, unnest(ltoks) AS tk,
+        |         generate_subscripts(ltoks, 1) - 1 AS p FROM tok),
+        |surv AS (SELECT p.doc_id, p.tk, p.p FROM ptok p
+        |         ANTI JOIN __cov_rm c ON p.doc_id = c.doc_id AND p.p = c.cp)
+        |SELECT t.doc_id, CAST(len(t.ltoks) AS BIGINT),
+        |  CAST(len(t.ltoks) - coalesce(s.n_kept, 0) AS BIGINT),
+        |  md5(coalesce(s.txt, ''))
+        |FROM tok t LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tk, ' ' ORDER BY p) AS txt
+        |  FROM surv GROUP BY doc_id) s USING (doc_id)""".stripMargin),
+    Step(perShard = false, "SELECT * FROM __out_rm ORDER BY doc_id"))
+
   /** Span dedup: chunk emission is doc-decomposable — accumulate the
     * (doc, chunk, idx) table per shard so the only corpus-wide stages are
     * the first-occurrence window and the per-doc reassembly, both over
@@ -423,6 +470,8 @@ object ScaleOracles {
     "x_substring_dedup" -> substringDedup,
     // identical recipe: the bloom path's contract is exact-path output
     "x_substring_dedup_bloom" -> substringDedup,
+    "x_window_dedup_remove" -> windowRemove,
+    "x_window_dedup_remove_bloom" -> windowRemove,
     "x_pagerank" -> pageRank,
     "x_semdedup" -> semDedup)
 }

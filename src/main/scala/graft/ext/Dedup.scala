@@ -213,6 +213,121 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows"), 4))
   }
 
+  /** The REWRITE form of exact-substring dedup — the full Lee et al.
+    * operator the stats paths above approximate: every duplicated
+    * `w`-token window (at ANY offset, corpus-wide) is removed from the
+    * text, and the globally FIRST occurrence — min (id, position) —
+    * survives. Flagged overlapping windows merge naturally: a duplicated
+    * passage of L ≥ w tokens yields L − w + 1 flagged windows whose
+    * covered token positions union into the full span.
+    *
+    * Output: (idCol, text, n_tokens, n_removed) where `text` is the
+    * surviving LOWERCASED tokens joined by single spaces (the operator
+    * normalizes like the digest pass — reference behavior for training
+    * corpora, where text is tokenized downstream anyway). Docs shorter
+    * than `w` tokens pass through untouched; a fully-duplicated doc
+    * (that is not the first occurrence) comes out empty, not dropped —
+    * the caller decides whether to filter empties.
+    *
+    * Scale shape (100 TB): the digest pass is row-local; the
+    * first-occurrence aggregate shuffles (id, pos, digest) triples with
+    * map-side combine; flagged occurrences (dup volume) regroup to doc
+    * grain as covered-position sets; the final cut joins doc text against
+    * that doc-keyed set once and trims row-locally. Window text never
+    * shuffles. For the tighter bound where even unique windows must not
+    * shuffle, [[windowDupRemoveBloom]] adds the same Bloom prepass as
+    * [[windowDupStatsBloom]] — identical output, candidate-only
+    * exchange. */
+  def windowDupRemove(df: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "window width must be positive")
+    val occ = df
+      .select(col(idCol), posexplode(windowDigests(df, textCol, w))
+        .as(Seq("__p", "__h")))
+    // global first occurrence per DUPLICATED digest (c > 1): min over the
+    // (id, pos) struct — lexicographic, total, deterministic
+    val firsts = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("i"), col("__p").as("p"))).as("__f"))
+      .filter(col("__c") > 1)
+    // inner join: unique windows drop out here; survivors are flagged
+    // unless they ARE the first occurrence
+    val flagged = occ.join(firsts, "__h")
+      .filter(!(col(idCol) === col("__f.i") && col("__p") === col("__f.p")))
+      .select(col(idCol), col("__p"))
+    cutCovered(df, textCol, idCol, w, flagged)
+  }
+
+  /** [[windowDupRemove]] with the [[windowDupStatsBloom]] Bloom prepass —
+    * EXACTLY the same output (the bloom bounds intermediate volume, never
+    * the answer): unique windows (the overwhelming majority) never leave
+    * their row; only bloom-probable duplicates explode, and the exact
+    * join against the materialized dup-digest set removes bloom false
+    * positives before the first-occurrence test. */
+  def windowDupRemoveBloom(df: DataFrame, textCol: String, idCol: String,
+      w: Int, expectedDups: Long = 4000000L): DataFrame = {
+    require(w > 0, "window width must be positive")
+    graft.functions.BloomOps.register(df.sparkSession)
+    // digest arrays materialized once (digest-grain, no text): the
+    // dup-count pass and the candidate scoring pass both read it
+    val wins = df.select(col(idCol), windowDigests(df, textCol, w).as("__wins"))
+      .filter(size(col("__wins")) > 0)
+      .localCheckpoint()
+    val dupFirsts = wins
+      .select(col(idCol), posexplode(col("__wins")).as(Seq("__p", "__h")))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("i"), col("__p").as("p"))).as("__f"))
+      .filter(col("__c") > 1)
+      .localCheckpoint()
+    val bytes = Option(dupFirsts
+      .select(call_function("bloom_filter_agg", xxhash64(col("__h")),
+        lit(expectedDups)).as("bf"))
+      .head().getAs[Array[Byte]](0))
+    val candArr = bytes match {
+      case Some(b) => filter(
+        transform(col("__wins"), (h, i) =>
+          struct(i.as("p"), h.as("h"))),
+        s => call_function("might_contain", lit(b), xxhash64(s("h"))))
+      case None => array().cast("array<struct<p:int,h:binary>>")
+    }
+    val flagged = wins
+      .select(col(idCol), explode(candArr).as("__c0"))
+      .select(col(idCol), col("__c0.p").as("__p"), col("__c0.h").as("__h"))
+      // inner join drops bloom false positives (and would drop unique
+      // windows, but those never probed true in the first place)
+      .join(dupFirsts.select(col("__h"), col("__f")), "__h")
+      .filter(!(col(idCol) === col("__f.i") && col("__p") === col("__f.p")))
+      .select(col(idCol), col("__p"))
+    cutCovered(df, textCol, idCol, w, flagged)
+  }
+
+  /** Shared cut stage: union flagged windows [p, p+w) into covered token
+    * positions per doc, join back doc-keyed, trim row-locally. The
+    * per-token `array_contains` probe is O(|covered|) — fine because
+    * covered sets are dup-volume per doc; heavily-duplicated docs are
+    * exactly the ones about to lose those tokens anyway. */
+  private def cutCovered(df: DataFrame, textCol: String, idCol: String,
+      w: Int, flagged: DataFrame): DataFrame = {
+    val covered = flagged
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (w - 1))).as("__j"))
+      .groupBy(idCol).agg(collect_set(col("__j")).as("__cov"))
+    df.select(col(idCol),
+        coalesce(TextAnalysis.tokens(lower(col(textCol))),
+          array().cast("array<string>")).as("__toks"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("__keep",
+        when(col("__cov").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"),
+            (t, i) => !array_contains(col("__cov"), i))))
+      .select(col(idCol),
+        concat_ws(" ", col("__keep")).as("text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long")
+          .as("n_removed"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** n-word shingles over the lowercase token stream. Unigram minhash

@@ -968,6 +968,28 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Exact-substring dedup, REWRITE form (the full Lee et al. operator):
+    // every duplicated 8-token window is cut from the text, globally
+    // first occurrence — min (doc_id, position) — wins; overlapping
+    // flagged windows merge into spans. The oracle re-derives the
+    // surviving text per doc and both sides compare its md5.
+    Q("x_window_dedup_remove", WindowRemoveOracle.sql) { (s, d) =>
+      Dedup.windowDupRemove(docsSpread(s, d), "text", "doc_id", w = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text").cast("binary")).as("text_digest"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prepass candidate generation for the rewrite above — same
+    // oracle SQL verbatim: identical surviving text is the property
+    // under test (parity between exact and Bloom candidate generation).
+    Q("x_window_dedup_remove_bloom", WindowRemoveOracle.sql) { (s, d) =>
+      Dedup.windowDupRemoveBloom(docsSpread(s, d), "text", "doc_id", w = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text").cast("binary")).as("text_digest"))
+        .orderBy("doc_id")
+    },
+
     // Trained quality classifier (the DCLM / FineWeb-Edu curation shape):
     // logistic regression on surface features, full-batch gradient
     // descent where each step is ONE distributed aggregation (the
@@ -985,6 +1007,38 @@ object ExtQueries {
         .orderBy("doc_id")
     },
   )
+}
+
+/** DuckDB mirror of [[graft.ext.Dedup.windowDupRemove]]: windows with
+  * positions, first occurrence per digest via row_number over
+  * (doc_id, pos), flagged windows expand to covered token positions,
+  * an anti join keeps surviving tokens, and the reassembled text is
+  * digest-compared. Shared verbatim by the exact and Bloom gate rows. */
+private[queries] object WindowRemoveOracle {
+  private val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+  val sql: String =
+    s"""WITH tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+       |win AS (SELECT doc_id,
+       |  unnest(list_transform(range(greatest(len(ltoks)-7,0)),
+       |         i -> md5(array_to_string(ltoks[i+1:i+8], ' ')))) AS h,
+       |  unnest(range(greatest(len(ltoks)-7,0))) AS pos FROM tok),
+       |flagged AS (SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos, row_number() OVER (PARTITION BY h
+       |    ORDER BY doc_id, pos) AS rn FROM win) WHERE rn > 1),
+       |cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+       |        FROM flagged, unnest(range(8)) AS u(j)),
+       |ptok AS (SELECT doc_id, unnest(ltoks) AS tk,
+       |         generate_subscripts(ltoks, 1) - 1 AS p FROM tok),
+       |surv AS (SELECT p.doc_id, p.tk, p.p FROM ptok p
+       |         ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.cp)
+       |SELECT t.doc_id, CAST(len(t.ltoks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.ltoks) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
+       |  md5(coalesce(s.txt, '')) AS text_digest
+       |FROM tok t LEFT JOIN (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tk, ' ' ORDER BY p) AS txt
+       |  FROM surv GROUP BY doc_id) s USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 }
 
 /** DuckDB mirror of [[graft.ext.QualityModel.train]]: the GD loop

@@ -88,6 +88,43 @@ class ExtSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
   }
 
+  private def removeFixture = Seq(
+    (1L, "a b c d"),      // all windows are FIRST occurrences → untouched
+    (2L, "a b c x"),      // [a b]@0, [b c]@1 dup doc1 → covered {0,1,2}; keep "x"
+    (3L, "a b"),          // whole doc = one dup window → empty, not dropped
+    (4L, "solo"),         // < w tokens, passes through untouched
+    (5L, "p q p q p"),    // self-dup: [p q]@2, [q p]@3 flagged → keep "p q"
+    (6L, "A b Q"))        // case-folds: [a b]@0 dup doc1 → keep "q" (lowercased)
+    .toDF("doc_id", "text")
+
+  test("windowDupRemove cuts merged dup spans, first occurrence wins") {
+    val out = Dedup.windowDupRemove(removeFixture, "text", "doc_id", w = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out === Array(
+      (1L, "a b c d", 4L, 0L),
+      (2L, "x", 4L, 3L),
+      (3L, "", 2L, 2L),
+      (4L, "solo", 1L, 0L),
+      (5L, "p q", 5L, 3L),
+      (6L, "q", 3L, 2L)))
+  }
+
+  test("windowDupRemoveBloom matches the exact rewrite row-for-row") {
+    val exact = Dedup.windowDupRemove(removeFixture, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    val bloom = Dedup.windowDupRemoveBloom(removeFixture, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(bloom === exact)
+  }
+
+  test("windowDupRemoveBloom on an all-unique corpus (null bloom binary)") {
+    val df = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val out = Dedup.windowDupRemoveBloom(df, "text", "doc_id", w = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out === Array((1L, "a b c", 3L, 0L), (2L, "d e f", 3L, 0L)))
+  }
+
   test("spanDedup's wide window shuffles 16-byte digests, not span text") {
     val df = Seq((1L, "a b c d a b"), (2L, "c d e")).toDF("doc_id", "text")
     val out = Dedup.spanDedup(df, "text", "doc_id", span = 2)
