@@ -233,24 +233,7 @@ object Relational {
         |SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_orders
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n_orders DESC, brand_a, brand_b LIMIT 15""".stripMargin) {
-      (s, d) =>
-        // ONE shuffle to order grain (distinct brand-set per order), then
-        // pairs expand as a pure HOF projection — no self-join, and the
-        // exploded volume is pairs-per-order, bounded by basket size
-        val sets = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-          .join(t(s, d, "part").select("p_partkey", "p_brand"),
-            col("l_partkey") === col("p_partkey"))
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-        val pairs = sets.select(explode(flatten(
-          transform(col("bs"), (a, i) =>
-            transform(slice(col("bs"), i + 2, size(col("bs"))),
-              b => struct(a.as("brand_a"), b.as("brand_b"))))))
-          .as("p"))
-        pairs.select(col("p.brand_a"), col("p.brand_b"))
-          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_orders"))
-          .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
-          .limit(15)
+      (s, d) => coocBitmap(s, d)
     },
 
     // Order-independent table digest: the SUM of per-row md5 hashes mod
@@ -994,4 +977,79 @@ object Relational {
         .orderBy("k_quartile_raw")
     },
   )
+
+  // ---- j_cooccurrence physical paths -------------------------------------
+  // Same logical result two ways (A/B-measured, docs/SCALING.md §r12).
+  // Both share: ONE shuffle to order grain, pair expansion as a pure
+  // projection (pair volume = |orders|·basket², never corpus²), map-side
+  // pair aggregation.
+
+  /** Fallback for item domains too wide to dictionary-encode into a
+    * long: per-order distinct set via collect_set, HOF pair expansion.
+    * The map-side ObjectHashAggregate falls back to sorting at high
+    * group counts — the residual [[coocBitmap]] eliminates whenever the
+    * domain permits (sf10: 20.4 s here vs 18.2 s bitmap; the r11-verdict
+    * two-level sub-block lever measured 71.0 s — refuted, SCALING.md). */
+  private def coocCollectSet(s: SparkSession, d: String): DataFrame = {
+    val sets = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, d, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val pairs = sets.select(explode(flatten(
+      transform(col("bs"), (a, i) =>
+        transform(slice(col("bs"), i + 2, size(col("bs"))),
+          b => struct(a.as("brand_a"), b.as("brand_b"))))))
+      .as("p"))
+    pairs.select(col("p.brand_a"), col("p.brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+      .limit(15)
+  }
+
+  /** Dictionary-encoded bitmap aggregate: the brand domain is
+    * dimension-sized (25 values), so the per-order distinct set is a
+    * fixed-width LONG — `bit_or` aggregates in a codegen'd
+    * HashAggregate with an 8-byte primitive buffer (map-side combine,
+    * no ObjectHashAggregate, no sort fallback, nothing to spill but
+    * 16-byte rows). Indexes are assigned in brand lexicographic order
+    * so bit i < bit j ⇔ brand_i < brand_j and pair expansion preserves
+    * the (brand_a < brand_b) contract. Falls back to the collect_set
+    * path when the domain exceeds 64. */
+  private def coocBitmap(s: SparkSession, d: String): DataFrame = {
+    // brand dictionary: ONE distinct job (map-side combined), collected
+    // driver-side — catalog-sized, the same bounded-fetch class as the
+    // engine's centroid samples and bloom binaries. Lexicographic index
+    // assignment preserves the (brand_a < brand_b) pair contract.
+    val brands = t(s, d, "part").select("p_brand").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (brands.length > 64) return coocCollectSet(s, d)
+    val idxOf = typedlit(brands.zipWithIndex.toMap)
+    val partIdx = t(s, d, "part")
+      .select(col("p_partkey"), element_at(idxOf, col("p_brand")).as("__idx"))
+    val masks = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .join(partIdx, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("__idx"))).as("m"))
+    // materialize set-bit positions (≤ 64 probes) as their OWN projection:
+    // referenced 3x by the pair expansion, and CollapseProject keeps a
+    // non-cheap multiply-referenced alias un-inlined — without this the
+    // 64-probe filter re-evaluates per outer element of the transform
+    val setBits = masks.select(
+      filter(sequence(lit(0), lit(63)),
+        i => col("m").bitwiseAND(call_function("shiftleft", lit(1L), i)) =!= 0L)
+        .as("sb"))
+    val brandOf = typedlit(brands.zipWithIndex.map(_.swap).toMap)
+    setBits
+      .select(explode(flatten(
+        transform(col("sb"), (a, ai) =>
+          transform(slice(col("sb"), ai + 2, size(col("sb"))),
+            b => struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(element_at(brandOf, col("ia")).as("brand_a"),
+        element_at(brandOf, col("ib")).as("brand_b"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+      .limit(15)
+  }
 }
