@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -226,22 +226,117 @@ object Streams {
     *   - A pair colliding in several bands would emit once per band;
     *     `dropDuplicates` (the streaming-sanctioned dedup) collapses
     *     them. Its state is one row per FLAGGED pair — dup-volume, not
-    *     corpus-volume. In batch mode the same call degenerates to
-    *     distinct(), which is what the oracle checks.
+    *     corpus-volume — but dup-volume grows without bound over an
+    *     endless ingest: pass `eventTimeCol` to switch to
+    *     `dropDuplicatesWithinWatermark`, which expires pair state
+    *     `stateTtl` past the watermark (tradeoff: a pair re-flagged
+    *     after expiry re-emits — flagging is idempotent downstream).
+    *     In batch mode the default call degenerates to distinct(),
+    *     which is what the oracle checks.
     *
     * At 100 TB the static index long table re-shuffles per micro-batch
-    * unless the band join broadcasts; production pre-buckets the index
-    * parquet by band_val so the stream side alone moves. Carrying `dsh`
-    * through the explode costs bands× replication of the shingle sets —
-    * bounded by batch size, the price of statelessness. */
+    * unless the band join broadcasts; [[writeBandedIndex]] +
+    * [[nearDupStreamBucketed]] pre-bucket the index by band digest so
+    * the stream side alone moves (plan-asserted in StreamsSpec).
+    * Carrying `dsh` through the explode costs bands× replication of the
+    * shingle sets — bounded by batch size, the price of statelessness. */
   def nearDupStream(newDocs: DataFrame, textCol: String, idCol: String,
       index: DataFrame, k: Int = 8, bands: Int = 2,
-      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.8,
+      eventTimeCol: Option[String] = None,
+      stateTtl: String = "10 minutes"): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     graft.functions.MinHashSig.register(newDocs.sparkSession, shingleN, k)
     def bandCol(sig: org.apache.spark.sql.Column, b: Int) =
       graft.ext.Dedup.bandValue((0 until rows).map(r => sig(b * rows + r)))
+    // eventTimeCol bounds the cross-batch pair-dedup state: without it
+    // (None) dropDuplicates state holds every flagged pair for the
+    // query's lifetime — dup-volume per corpus, but unbounded over an
+    // endless ingest. With it, dropDuplicatesWithinWatermark expires
+    // pair state once the watermark passes stateTtl; the documented
+    // tradeoff is that a pair re-flagged AFTER expiry is re-emitted
+    // (downstream upserts absorb this — flagging is idempotent).
+    val src = eventTimeCol
+      .map(ts => watermarkable(newDocs, ts).withWatermark(ts, stateTtl))
+      .getOrElse(newDocs)
+    val carry = eventTimeCol.toSeq.map(col)
+    val newLong = src
+      .select(col(idCol) +: carry :+
+        graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
+          .as("__m"): _*)
+      .filter(col("__m").isNotNull)
+      .select(Seq(col(idCol).as("new_id"), col("__m.dsh").as("__da"),
+        col("__m.n_shingles").as("__na"),
+        posexplode(array((0 until bands).map(b => bandCol(col("__m.sig"), b)): _*))
+          .as(Seq("band_idx", "band_val"))) ++ carry: _*)
+    val idxLong = index.select(col(idCol).as("old_id"),
+      col("dsh").as("__db"), col("n_shingles").as("__nb"),
+      posexplode(array((0 until bands).map(b => bandCol(col("sig"), b)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val scored = newLong.join(idxLong, Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("old_id"))
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
+      .filter(col("jaccard") >= threshold)
+    eventTimeCol match {
+      case Some(ts) => scored
+        .select(col("new_id"), col("old_id"), col("jaccard"), col(ts))
+        .dropDuplicatesWithinWatermark("new_id", "old_id")
+        .drop(ts)
+      case None => scored
+        .select("new_id", "old_id", "jaccard")
+        .dropDuplicates("new_id", "old_id")
+    }
+  }
+
+  // ---- bucketed static index (the 100 TB layout) ---------------------------
+
+  /** Band digest with the band INDEX folded in, so the candidate join
+    * needs a single equi-key — the shape a bucketed layout can
+    * pre-partition. A cross-band digest collision would only create an
+    * extra candidate pair, which the exact Jaccard verify then drops —
+    * correctness never depends on band separation. */
+  private def foldedBand(sig: Column, b: Int, rows: Int): Column =
+    md5(concat_ws("|",
+      lit(b) +: (0 until rows).map(r => sig(b * rows + r)): _*).cast("binary"))
+
+  /** Long form of a static [[graft.ext.Dedup.signatureIndex]] — one row
+    * per (doc, band) with folded band digests. Write it with
+    * [[writeBandedIndex]]; probe it with [[nearDupStreamBucketed]]. */
+  def bandedIndexLong(index: DataFrame, idCol: String, k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    index.select(col(idCol).as("old_id"), col("dsh").as("__db"),
+      col("n_shingles").as("__nb"),
+      explode(array((0 until bands).map(b => foldedBand(col("sig"), b, rows)): _*))
+        .as("band_val"))
+  }
+
+  /** Materializes the banded index bucketed by `band_val` — the
+    * production layout the [[nearDupStream]] scaladoc promises: the
+    * bucketed scan's output partitioning satisfies the candidate join's
+    * required distribution, so each micro-batch exchanges ONLY the
+    * (batch-sized) stream side while the index is read in place.
+    * `StreamsSpec` asserts the per-micro-batch plan has no exchange on
+    * the index subtree. */
+  def writeBandedIndex(index: DataFrame, idCol: String, table: String,
+      buckets: Int, k: Int = 8, bands: Int = 2): Unit =
+    graft.etl.Etl.writeBucketed(
+      bandedIndexLong(index, idCol, k, bands), table, "band_val", buckets)
+
+  /** [[nearDupStream]] against a pre-bucketed [[writeBandedIndex]] table
+    * (pass `spark.table(name)`). Identical flagging semantics; the join
+    * key is the folded band digest alone, matching the bucket layout. */
+  def nearDupStreamBucketed(newDocs: DataFrame, textCol: String,
+      idCol: String, indexLong: DataFrame, k: Int = 8, bands: Int = 2,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    graft.functions.MinHashSig.register(newDocs.sparkSession, shingleN, k)
     val newLong = newDocs
       .select(col(idCol),
         graft.functions.MinHashSig.minhashSig(col(textCol), shingleN, k)
@@ -249,13 +344,9 @@ object Streams {
       .filter(col("__m").isNotNull)
       .select(col(idCol).as("new_id"), col("__m.dsh").as("__da"),
         col("__m.n_shingles").as("__na"),
-        posexplode(array((0 until bands).map(b => bandCol(col("__m.sig"), b)): _*))
-          .as(Seq("band_idx", "band_val")))
-    val idxLong = index.select(col(idCol).as("old_id"),
-      col("dsh").as("__db"), col("n_shingles").as("__nb"),
-      posexplode(array((0 until bands).map(b => bandCol(col("sig"), b)): _*))
-        .as(Seq("band_idx", "band_val")))
-    newLong.join(idxLong, Seq("band_idx", "band_val"))
+        explode(array((0 until bands).map(b => foldedBand(col("__m.sig"), b, rows)): _*))
+          .as("band_val"))
+    newLong.join(indexLong, Seq("band_val"))
       .filter(col("new_id") =!= col("old_id"))
       .withColumn("__inter",
         size(array_intersect(col("__da"), col("__db"))).cast("long"))

@@ -173,6 +173,105 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.nearDupStream(docs, "text", "doc_id", index).count() == 0)
   }
 
+  test("near-dup stream: watermarked pair-dedup state expires and re-emits") {
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val index = graft.ext.Dedup.signatureIndex(
+      Seq((100L, txt)).toDF("doc_id", "text"), "text", "doc_id")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndwm").toString
+    // batch 1: the pair flagged twice in-batch (collapses to one emission,
+    // one state row at 00:00); batches 2 and 3 advance the watermark far
+    // past the 10-minute TTL — batch 3 runs with a watermark that expires
+    // batch 1's state row, so its re-flag EMITS again (the documented
+    // re-emission tradeoff of bounded state)
+    Seq((1L, txt, t("2024-01-01 00:00:00")), (1L, txt, t("2024-01-01 00:00:01")))
+      .toDF("doc_id", "text", "ts").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((1L, txt, t("2024-01-01 02:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("append").parquet(dir)
+    Seq((1L, txt, t("2024-01-01 04:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("append").parquet(dir)
+    // state eviction runs at end-of-batch with the PREVIOUS batch's
+    // watermark, so the re-emission is observable one batch after the
+    // expiry batch — a fourth file makes that batch exist
+    Seq((1L, txt, t("2024-01-01 06:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.nearDupStream(stream, "text", "doc_id", index,
+        eventTimeCol = Some("ts"), stateTtl = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ndwm_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val removed = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark must expire pair-dedup state rows")
+    val finalState = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(finalState < 3, s"state must stay bounded, got $finalState rows")
+    val emissions = spark.table("ndwm_out")
+      .filter($"new_id" === 1L && $"old_id" === 100L).count()
+    assert(emissions >= 2,
+      s"pair must re-emit after its state expired, got $emissions")
+  }
+
+  test("bucketed banded index: micro-batch join leaves the index unexchanged") {
+    val corpus = (0L until 40L)
+      .map(i => (i, s"alpha beta gamma delta epsilon token$i marker$i"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.signatureIndex(corpus, "text", "doc_id")
+    Streams.writeBandedIndex(index, "doc_id", "b_ndidx", 4)
+    val newDocs = Seq(
+      (1000L, "alpha beta gamma delta epsilon token7 marker7"), // dup of 7
+      (1001L, "completely unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndbk").toString
+    newDocs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the candidate join to sort-merge so the assert is about
+      // exchange elimination, not a broadcast accident
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Streams.nearDupStreamBucketed(stream, "text", "doc_id",
+          spark.table("b_ndidx"))
+        .writeStream.outputMode("append").format("memory").queryName("ndbk_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val plan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def subtreeReadsIndex(p: SparkPlan): Boolean =
+        p.collectLeaves().exists(_.toString.contains("b_ndidx"))
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail(s"candidate join should be an SMJ:\n$plan"))
+      val (indexSide, streamSide) =
+        if (subtreeReadsIndex(smj.right)) (smj.right, smj.left)
+        else (smj.left, smj.right)
+      assert(subtreeReadsIndex(indexSide) && !subtreeReadsIndex(streamSide))
+      assert(indexSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"the bucketed index scan must carry the join distribution " +
+          s"unexchanged:\n$plan")
+      assert(streamSide.collect { case e: ShuffleExchangeLike => e }.nonEmpty,
+        "only the (batch-sized) stream side should exchange")
+      // flagging parity with the unbucketed path on the same inputs
+      val got = spark.table("ndbk_out")
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      val want = Streams.nearDupStream(newDocs, "text", "doc_id", index)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(got == want && got.contains((1000L, 7L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_ndidx")
+    }
+  }
+
   test("stream-stream interval join pairs events within the time bound") {
     val t = (s: String) => java.sql.Timestamp.valueOf(s)
     val ldir = java.nio.file.Files.createTempDirectory("graft-ssl").toString
