@@ -58,6 +58,23 @@ object Bench {
       catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-speed calibration (r12 protocol): a fixed synthetic probe —
+    // 50M-row hash scan + tiny shuffle over 8 partitions, independent of
+    // the data dir and the cpu count — timed min-of-3 and reported in
+    // the JSON. Cross-round absolute comparisons divide by this instead
+    // of hand-waving "the host felt slow today" (r11's 10-15% drift);
+    // steady-state on a quiet host is ~0.55 s.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 8)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(64)))
+        .agg(count(lit(1)), bit_xor(col("h")))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hostCal = (1 to 3).map(_ => calibrate()).min
     val results = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> timed(n)): _*)
     if (results.values.sum < 120.0) {
@@ -109,7 +126,7 @@ object Bench {
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_calibration_sec":$hostCal,"sf":"$sfDir"}"""
     println(json)
     // stdout captures get tail-truncated by harnesses; always persist the
     // COMPLETE per-query map to a file too (SPARK_GRAFT_BENCH_OUT
