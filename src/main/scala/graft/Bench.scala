@@ -58,21 +58,31 @@ object Bench {
       catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
-    // Host-speed calibration (r12 protocol): a fixed synthetic probe —
-    // 50M-row hash scan + tiny shuffle over 8 partitions, independent of
-    // the data dir and the cpu count — timed min-of-3 and reported in
-    // the JSON. Cross-round absolute comparisons divide by this instead
-    // of hand-waving "the host felt slow today" (r11's 10-15% drift);
-    // steady-state on a quiet host is ~0.55 s.
+    // Host-speed calibration (r12 protocol, pinned r13): a fixed
+    // synthetic probe — 50M-row hash scan over 8 input partitions and a
+    // tiny shuffle pinned to 8 SHUFFLE partitions (a local conf
+    // override; without it the reduce width tracked the session's
+    // cpu-count default and the ratio wasn't comparable across hosts) —
+    // timed min-of-3 and reported in the JSON. The probe's work SHAPE is
+    // now cpu-independent, but wall-clock still parallelizes up to 8
+    // cores, so: compare each round's value ONLY against the same
+    // host-class's prior rounds (r12 on this 32-cpu VM: 0.269 s with the
+    // unpinned reduce; re-baseline from the first pinned run), never
+    // against a universal constant. Purpose is drift detection (r11's
+    // 10-15% "the host felt slow today"), not cross-host normalization.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(0, 50000000L, 1, 8)
-        .select(xxhash64(col("id")).as("h"))
-        .groupBy(pmod(col("h"), lit(64)))
-        .agg(count(lit(1)), bit_xor(col("h")))
-        .collect()
-      (System.nanoTime() - t0) / 1e9
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0, 50000000L, 1, 8)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(pmod(col("h"), lit(64)))
+          .agg(count(lit(1)), bit_xor(col("h")))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     val hostCal = (1 to 3).map(_ => calibrate()).min
     val results = scala.collection.mutable.LinkedHashMap(

@@ -234,10 +234,15 @@ object Dedup {
     * map-side combine; flagged occurrences (dup volume) regroup to doc
     * grain as covered-position sets; the final cut joins doc text against
     * that doc-keyed set once and trims row-locally. Window text never
-    * shuffles. For the tighter bound where even unique windows must not
-    * shuffle, [[windowDupRemoveBloom]] adds the same Bloom prepass as
-    * [[windowDupStatsBloom]] — identical output, candidate-only
-    * exchange. */
+    * shuffles. [[windowDupRemoveBloom]] produces identical output with a
+    * Bloom prepass that bounds the SECOND exchange: only
+    * bloom-probable candidates explode and regroup for the
+    * first-occurrence test. Its pass 1 is the same digest-grain
+    * aggregate as here — one (count, min-struct) row per distinct
+    * digest per map partition still shuffles, which on a unique-heavy
+    * corpus is ~all-window volume; the tighter "unique windows never
+    * leave their row" bound belongs to [[windowDupStatsBloom]], whose
+    * stats output needs no per-occurrence positions. */
   def windowDupRemove(df: DataFrame, textCol: String, idCol: String,
       w: Int): DataFrame = {
     require(w > 0, "window width must be positive")
@@ -258,12 +263,20 @@ object Dedup {
     cutCovered(df, textCol, idCol, w, flagged)
   }
 
-  /** [[windowDupRemove]] with the [[windowDupStatsBloom]] Bloom prepass —
+  /** [[windowDupRemove]] with a Bloom prepass on the CANDIDATE exchange —
     * EXACTLY the same output (the bloom bounds intermediate volume, never
-    * the answer): unique windows (the overwhelming majority) never leave
-    * their row; only bloom-probable duplicates explode, and the exact
-    * join against the materialized dup-digest set removes bloom false
-    * positives before the first-occurrence test. */
+    * the answer). Precisely which exchange it bounds: pass 1 (dupFirsts)
+    * is the same digest-grain aggregate as the exact path — it
+    * posexplodes every window and shuffles one (count, min-struct) row
+    * per distinct digest per map partition, ~all-window volume on a
+    * unique-heavy corpus, because the remove semantics need the global
+    * first (id, pos) which no sketch can carry. What the bloom saves is
+    * pass 2: only bloom-probable duplicates explode and regroup for the
+    * first-occurrence test, and the exact join against the materialized
+    * dup-digest set removes bloom false positives before that test. The
+    * stronger "unique windows never shuffle at all" bound is
+    * [[windowDupStatsBloom]]'s, whose stats-only output doesn't need
+    * first-occurrence positions. */
   def windowDupRemoveBloom(df: DataFrame, textCol: String, idCol: String,
       w: Int, expectedDups: Long = 4000000L): DataFrame = {
     require(w > 0, "window width must be positive")

@@ -984,13 +984,26 @@ object Relational {
   // projection (pair volume = |orders|·basket², never corpus²), map-side
   // pair aggregation.
 
+  /** Total on-disk bytes of a parquet input — driver-side filesystem
+    * metadata (no Spark job), the same signal
+    * `spark.sql.autoBroadcastJoinThreshold` planning uses. Returns
+    * Long.MaxValue when the path cannot be statted so size-gated
+    * optimizations default to the scale path rather than silently
+    * downgrading. */
+  private def inputBytes(s: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case _: Exception => Long.MaxValue }
+
   /** Fallback for item domains too wide to dictionary-encode into a
     * long: per-order distinct set via collect_set, HOF pair expansion.
     * The map-side ObjectHashAggregate falls back to sorting at high
     * group counts — the residual [[coocBitmap]] eliminates whenever the
     * domain permits (sf10: 20.4 s here vs 18.2 s bitmap; the r11-verdict
     * two-level sub-block lever measured 71.0 s — refuted, SCALING.md). */
-  private def coocCollectSet(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coocCollectSet(s: SparkSession, d: String): DataFrame = {
     val sets = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       .join(t(s, d, "part").select("p_partkey", "p_brand"),
         col("l_partkey") === col("p_partkey"))
@@ -1015,8 +1028,27 @@ object Relational {
     * 16-byte rows). Indexes are assigned in brand lexicographic order
     * so bit i < bit j ⇔ brand_i < brand_j and pair expansion preserves
     * the (brand_a < brand_b) contract. Falls back to the collect_set
-    * path when the domain exceeds 64. */
+    * path when the domain exceeds 64 — or when the fact input is small:
+    * the dictionary is a fixed-cost eager job (distinct + driver
+    * collect + plan compile of the lookup maps), ~1.2 s at sf0.1 where
+    * the bitmap saves nothing (measured r12: sf0.1 1.49→2.67 s, while
+    * sf10 improves 20.4→18.2 s). Like a broadcast threshold, the path
+    * choice keys off input FILE SIZE (driver-side FS metadata, no job):
+    * below 64 MB of lineitem the sort-fallback the bitmap exists to
+    * avoid cannot bite, so the fixed cost is pure loss. Both paths are
+    * A/B-verified identical (docs/SCALING.md §r12), so the switch can
+    * never change results. */
   private def coocBitmap(s: SparkSession, d: String): DataFrame = {
+    if (inputBytes(s, s"$d/lineitem.parquet") < 64L * 1024 * 1024)
+      coocCollectSet(s, d)
+    else coocBitmapForce(s, d)
+  }
+
+  /** The bitmap path with the size gate bypassed — split out so
+    * RelationalPathsSpec can assert path equality on small data, where
+    * the gate would otherwise route around it (at scale the oracle
+    * sweeps exercise it directly). */
+  private[graft] def coocBitmapForce(s: SparkSession, d: String): DataFrame = {
     // brand dictionary: ONE distinct job (map-side combined), collected
     // driver-side — catalog-sized, the same bounded-fetch class as the
     // engine's centroid samples and bloom binaries. Lexicographic index

@@ -228,11 +228,27 @@ object Streams {
     *     them. Its state is one row per FLAGGED pair — dup-volume, not
     *     corpus-volume — but dup-volume grows without bound over an
     *     endless ingest: pass `eventTimeCol` to switch to
-    *     `dropDuplicatesWithinWatermark`, which expires pair state
-    *     `stateTtl` past the watermark (tradeoff: a pair re-flagged
-    *     after expiry re-emits — flagging is idempotent downstream).
-    *     In batch mode the default call degenerates to distinct(),
-    *     which is what the oracle checks.
+    *     `dropDuplicatesWithinWatermark`, which expires pair state once
+    *     the watermark passes (tradeoff: a pair re-flagged after expiry
+    *     re-emits — flagging is idempotent downstream). In batch mode
+    *     the default call degenerates to distinct(), which is what the
+    *     oracle checks.
+    *   - LATENESS vs STATE TTL (measured, Spark 4.1.2): the watermark
+    *     delay is `lateness` if given, else `stateTtl`. Unlike windowed
+    *     aggregates, `DeduplicateWithinWatermark` does NOT late-filter
+    *     its input — a document arriving hours behind the watermark is
+    *     still scored and flagged (StreamsSpec pins this: a 4-hour
+    *     straggler against a 10-minute delay emits, with the operator's
+    *     `numRowsDroppedByWatermark` at 0). So shrinking `stateTtl`
+    *     never silently LOSES late documents; what it does shrink is
+    *     pair-state lifetime, so a late DUPLICATE of an
+    *     already-expired pair re-emits (the tradeoff above). `lateness`
+    *     (>= stateTtl; smaller is rejected, since the watermark delay
+    *     IS the dedup-state window) widens state lifetime independently
+    *     of the nominal TTL when straggler-heavy sources would
+    *     otherwise re-emit too often — state cost scales with it. If a
+    *     Spark upgrade ever starts late-filtering this operator, the
+    *     pinned spec fails and this contract must be revisited.
     *
     * At 100 TB the static index long table re-shuffles per micro-batch
     * unless the band join broadcasts; [[writeBandedIndex]] +
@@ -244,8 +260,15 @@ object Streams {
       index: DataFrame, k: Int = 8, bands: Int = 2,
       shingleN: Int = 3, threshold: Double = 0.8,
       eventTimeCol: Option[String] = None,
-      stateTtl: String = "10 minutes"): DataFrame = {
+      stateTtl: String = "10 minutes",
+      lateness: Option[String] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    lateness.foreach { l =>
+      require(intervalMicros(l) >= intervalMicros(stateTtl),
+        s"lateness ($l) must be >= stateTtl ($stateTtl): the watermark " +
+          "delay bounds the dedup-state window, so a smaller lateness " +
+          "would silently shrink the dedup guarantee below the TTL contract")
+    }
     val rows = k / bands
     graft.functions.MinHashSig.register(newDocs.sparkSession, shingleN, k)
     def bandCol(sig: org.apache.spark.sql.Column, b: Int) =
@@ -254,11 +277,15 @@ object Streams {
     // (None) dropDuplicates state holds every flagged pair for the
     // query's lifetime — dup-volume per corpus, but unbounded over an
     // endless ingest. With it, dropDuplicatesWithinWatermark expires
-    // pair state once the watermark passes stateTtl; the documented
-    // tradeoff is that a pair re-flagged AFTER expiry is re-emitted
-    // (downstream upserts absorb this — flagging is idempotent).
+    // pair state once the watermark passes; the documented tradeoff is
+    // that a pair re-flagged AFTER expiry is re-emitted (downstream
+    // upserts absorb this — flagging is idempotent). Late rows are NOT
+    // dropped at the dedup (measured — see the scaladoc); the watermark
+    // delay only sets pair-state lifetime, and `lateness` (>= stateTtl)
+    // widens it independently of the nominal TTL.
+    val wmDelay = lateness.getOrElse(stateTtl)
     val src = eventTimeCol
-      .map(ts => watermarkable(newDocs, ts).withWatermark(ts, stateTtl))
+      .map(ts => watermarkable(newDocs, ts).withWatermark(ts, wmDelay))
       .getOrElse(newDocs)
     val carry = eventTimeCol.toSeq.map(col)
     val newLong = src
@@ -290,6 +317,15 @@ object Streams {
         .select("new_id", "old_id", "jaccard")
         .dropDuplicates("new_id", "old_id")
     }
+  }
+
+  /** Parses a `withWatermark`-style interval string to comparable
+    * microseconds (months normalized at 30 days — watermark delays are
+    * durations, where that is the convention Spark itself applies). */
+  private def intervalMicros(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    (iv.months * 30L + iv.days) * 86400L * 1000000L + iv.microseconds
   }
 
   // ---- bucketed static index (the 100 TB layout) ---------------------------

@@ -26,4 +26,15 @@ class QueriesSpec extends SparkSpec {
     val names = SparkEntry.allQs.map(_.name)
     assert(names.distinct.size == names.size)
   }
+
+  test("j_cooccurrence physical paths agree (size gate can never change " +
+      "results)") {
+    // the input-size gate routes small inputs to collect_set, so the
+    // sf0.01 oracle gate exercises only that path — this pins the
+    // bitmap path (gate bypassed) to byte-identical output on the same
+    // data; at sf1/sf10 the oracle sweeps exercise it directly
+    val a = graft.queries.Relational.coocCollectSet(spark, sf001).collect()
+    val b = graft.queries.Relational.coocBitmapForce(spark, sf001).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
 }

@@ -217,6 +217,74 @@ class StreamsSpec extends SparkSpec {
       s"pair must re-emit after its state expired, got $emissions")
   }
 
+  test("near-dup stream: a straggler behind the watermark is still " +
+      "flagged, never silently dropped (pins measured 4.1.2 behavior)") {
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val index = graft.ext.Dedup.signatureIndex(
+      Seq((100L, txt)).toDF("doc_id", "text"), "text", "doc_id")
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndlate").toString
+    // batch 1 advances the watermark to 04:00 − 10 min; batch 2 is a
+    // 4-hour-late straggler with a DIFFERENT doc id, so pair-dedup state
+    // cannot explain its fate — only a late-input filter could lose it.
+    // DeduplicateWithinWatermark does not late-filter (unlike windowed
+    // aggregates): the contract this engine documents is "late documents
+    // are never silently lost; worst case a late duplicate re-emits".
+    // If a Spark upgrade starts dropping here, this test fails and the
+    // nearDupStream lateness contract must be revisited.
+    Seq((1L, txt, t("2024-01-01 04:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    Seq((2L, txt, t("2024-01-01 00:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.nearDupStream(stream, "text", "doc_id", index,
+        eventTimeCol = Some("ts"), stateTtl = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("nd_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the straggler batch really did run behind an advanced watermark
+    val wmAtStraggler = q.recentProgress
+      .filter(_.batchId == 1).flatMap(p => Option(p.eventTime.get("watermark")))
+    assert(wmAtStraggler.exists(_.startsWith("2024-01-01T03:50")),
+      s"test setup: batch 1 must run with the advanced watermark, " +
+        s"got $wmAtStraggler")
+    assert(q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum == 0,
+      "the dedup operator must not late-filter input rows")
+    assert(spark.table("nd_late")
+      .filter($"new_id" === 2L && $"old_id" === 100L).count() == 1,
+      "a doc arriving hours behind the watermark must still be flagged")
+    // lateness below stateTtl would shrink the dedup-state window below
+    // the TTL contract (the watermark delay IS the state window)
+    intercept[IllegalArgumentException] {
+      Streams.nearDupStream(
+        Seq((1L, txt, t("2024-01-01 00:00:00"))).toDF("doc_id", "text", "ts"),
+        "text", "doc_id", index,
+        eventTimeCol = Some("ts"), stateTtl = "10 minutes",
+        lateness = Some("1 minute"))
+    }
+    // lateness above stateTtl is the valid knob: same flagging, wider
+    // pair-state lifetime (watermark delay = 6h shows in the plan/progress)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ndlat2").toString
+    Seq((1L, txt, t("2024-01-01 04:00:00"))).toDF("doc_id", "text", "ts")
+      .repartition(1).write.mode("overwrite").parquet(dir2)
+    val q2 = Streams.nearDupStream(
+        spark.readStream.schema(spark.read.parquet(dir2).schema).parquet(dir2),
+        "text", "doc_id", index,
+        eventTimeCol = Some("ts"), stateTtl = "10 minutes",
+        lateness = Some("6 hours"))
+      .writeStream.outputMode("append").format("memory").queryName("nd_lat2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val wm2 = q2.recentProgress.flatMap(p => Option(p.eventTime.get("watermark")))
+    assert(wm2.forall(w => !w.startsWith("2024-01-01T03:50")),
+      s"lateness must replace stateTtl as the watermark delay, got $wm2")
+    assert(spark.table("nd_lat2").count() == 1)
+  }
+
   test("bucketed banded index: micro-batch join leaves the index unexchanged") {
     val corpus = (0L until 40L)
       .map(i => (i, s"alpha beta gamma delta epsilon token$i marker$i"))
