@@ -355,6 +355,30 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // ---- BPE tokenizer ---------------------------------------------------
+    // Train: 8 merges at vocab grain (one corpus-sized word count, then
+    // 8 vocab-sized pair-count rounds). The oracle mirrors the algorithm
+    // CTE-for-CTE: same doubled-space symbol strings, same replace
+    // semantics, same (cnt DESC, lhs, rhs) tie-break.
+    Q("x_bpe_train", BpeOracle.trainSql(8)) { (s, d) =>
+      graft.ext.Bpe.trainDf(docs(s, d), "text", 8).orderBy("rank")
+    },
+
+    // Encode: the learned merges fold over each word row-locally (HOF,
+    // plan depth independent of merge count). Output compresses each
+    // doc's token stream to an md5 so the sweep dump stays small while
+    // every subword of every doc stays hash-verified.
+    Q("x_bpe_encode", BpeOracle.encodeSql(8)) { (s, d) =>
+      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      graft.ext.Bpe.encode(docsSpread(s, d), "text", merges)
+        .select(col("doc_id"),
+          size(filter(split(lower(col("text")), " "), w => w =!= ""))
+            .cast("long").as("n_words"),
+          col("n_bpe_tokens"),
+          md5(array_join(col("bpe_tokens"), " ")).as("bpe_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup -----------------------------------------------------------
     // Exact: one winner (min id) per content digest + group size.
     Q("x_dedup_exact",
@@ -1090,4 +1114,67 @@ private[queries] object QualityOracle {
        |       round(1/(1+exp(-(${margin("w")}))) + 1e-7, 4) AS score
        |FROM feat f CROSS JOIN s$steps w
        |ORDER BY f.doc_id""".stripMargin
+}
+
+/** DuckDB mirror of [[graft.ext.Bpe]], generated CTE-for-CTE for a fixed
+  * merge count: `words` (corpus word frequencies) → `v0` (char-grain
+  * symbol strings, doubled-space separators) → per round k: `p{k}`
+  * (freq-weighted adjacent-pair counts), `m{k}` (argmax with the
+  * (cnt DESC, lhs, rhs) tie-break), `v{k}` (merge applied via the same
+  * boundary-spaced literal replace as the Spark side — identical
+  * leftmost non-overlapping semantics in both engines, verified
+  * against a pure-Python BPE reference). Encode applies the same 8
+  * merges per word inside a lambda and md5-compresses each doc's
+  * subword stream. */
+private[queries] object BpeOracle {
+  private val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+  private val INIT =
+    "array_to_string(list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)), '  ')"
+
+  private def ctes(n: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""words AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            |    SELECT unnest($LTOKS) AS w FROM documents) GROUP BY w)""".stripMargin
+    b += s"v0 AS (SELECT $INIT AS s, freq FROM words)"
+    for (k <- 1 to n) {
+      b += s"""p$k AS (
+              |  SELECT (u).a AS a, (u).b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+              |    SELECT unnest(list_transform(generate_series(1, len(string_split(s,'  '))-1),
+              |      i -> struct_pack(a := string_split(s,'  ')[i], b := string_split(s,'  ')[i+1]))) AS u,
+              |      freq
+              |    FROM v${k - 1} WHERE len(string_split(s,'  ')) > 1)
+              |  GROUP BY 1, 2)""".stripMargin
+      b += s"m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)"
+      b += s"""v$k AS (
+              |  SELECT trim(replace(' '||s||' ', ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ')) AS s, freq
+              |  FROM v${k - 1}, m$k m)""".stripMargin
+    }
+    b.result().mkString(",\n")
+  }
+
+  def trainSql(n: Int): String = {
+    val sel = (1 to n)
+      .map(k => s"SELECT $k AS rank, a AS lhs, b AS rhs, a||b AS merged, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes(n)}\n$sel\nORDER BY rank"
+  }
+
+  def encodeSql(n: Int): String = {
+    val mcols = (1 to n).map(k => s"m$k.a AS a$k, m$k.b AS b$k").mkString(", ")
+    val mfrom = (1 to n).map(k => s"m$k").mkString(", ")
+    var inner = s"' ' || $INIT || ' '"
+    for (k <- 1 to n)
+      inner = s"replace($inner, ' '||a$k||'  '||b$k||' ', ' '||a$k||b$k||' ')"
+    s"""WITH ${ctes(n)},
+       |ms AS (SELECT $mcols FROM $mfrom),
+       |enc AS (
+       |  SELECT doc_id, list_transform($LTOKS, w -> trim($inner)) AS ws
+       |  FROM documents, ms)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(flatten(list_transform(ws, s -> string_split(s, '  ')))) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(list_transform(ws, s -> replace(s, '  ', ' ')), ' ')) AS bpe_md5
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** BPE tokenizer: hand-computed merges, greedy-apply semantics (the
+  * doubled-space replace trick), lossless-ness, and plan shape. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns hand-computable merges with deterministic ties") {
+    // freqs: "abab" x3, "ab" x2 → pairs: (a,b)=8, (b,a)=3 → merge 1 = ab
+    // then: (ab,ab)=3 → merge 2 = abab
+    val df = Seq.fill(3)("abab").toDF("text")
+      .union(Seq.fill(2)("ab").toDF("text"))
+    val m = Bpe.train(df, "text", 2)
+    assert(m.map(x => (x.lhs, x.rhs, x.count)) ==
+      Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+  }
+
+  test("merge application is greedy left-to-right: [a,a,a] -> [aa,a]") {
+    val df = Seq("aaa", "aaa").toDF("text")
+    val m = Bpe.train(df, "text", 1)
+    assert(m.head.lhs == "a" && m.head.rhs == "a")
+    val enc = Bpe.encode(Seq("aaa").toDF("text"), "text", m)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("aa", "a"))
+  }
+
+  test("merges stop early when no pair remains") {
+    val df = Seq("ab", "ab").toDF("text")
+    val m = Bpe.train(df, "text", 10)
+    // "ab" -> merge(a,b); then every word is a single symbol: no pairs
+    assert(m.size == 1)
+    assert(m.head.lhs == "a" && m.head.rhs == "b")
+  }
+
+  test("encode is lossless and compresses on real docs") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    assert(merges.size == 8)
+    val enc = Bpe.encode(docs, "text", merges)
+    // lossless: concatenating subwords reproduces the lowercased,
+    // space-stripped text
+    val broken = enc.filter(
+      array_join(col("bpe_tokens"), "") =!=
+        regexp_replace(lower(col("text")), " ", "")).count()
+    assert(broken == 0)
+    // compresses: strictly fewer tokens than characters-in-words
+    val agg = enc.agg(
+      sum("n_bpe_tokens"),
+      sum(length(regexp_replace(lower(col("text")), " ", "")))).head()
+    assert(agg.getLong(0) < agg.getLong(1))
+    // more merges never increase the token count
+    val merges4 = merges.take(4)
+    val n4 = Bpe.encode(docs, "text", merges4)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(agg.getLong(0) <= n4)
+  }
+
+  test("encode is a pure projection: no exchange, no UDF") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val merges = Bpe.train(docs, "text", 4)
+    val plan = Bpe.encode(docs, "text", merges)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      "encode must not shuffle")
+    assert(!plan.toString.contains("BatchEvalPython") &&
+      !plan.toString.toLowerCase.contains("scalaudf"),
+      "encode must stay in codegen'd builtins")
+  }
+}
