@@ -82,6 +82,49 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Fixed-length training-sequence packing — the concat-then-chunk
+    * batcher of LLM pretraining: within each stratum, documents in
+    * `idCol` order form one logical token stream that is cut into
+    * consecutive sequences of exactly `seqLen` tokens, documents
+    * SPLITTING across sequence boundaries (the complement of
+    * [[packShards]], which never splits). Emits one row per sequence:
+    * how many documents contribute, how many tokens it holds (= seqLen
+    * except each stratum's final partial), and the contributing doc-id
+    * range — the manifest a data loader needs to fetch/assemble it.
+    *
+    * Scale shape: one window cumsum per stratum (strata distribute; the
+    * same no-global-pack requirement as [[packShards]]), then a pure
+    * projection explodes each doc into the sequences it overlaps —
+    * output volume is corpus tokens / seqLen, and the per-doc explode
+    * range is ceil(n/seqLen)+1, linear in corpus tokens regardless of
+    * document skew — and one (stratum, seq) aggregation. Sequence ids
+    * come from floor division of token offsets (exact while stratum
+    * token counts stay below 2^53 — at 25T tokens per 100 TB corpus,
+    * comfortably true of any sane stratum). */
+  def packSequences(df: DataFrame, tokenCol: String, idCol: String,
+      seqLen: Int, partitionCols: Seq[String]): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    require(partitionCols.nonEmpty,
+      "packSequences needs partition columns: a global pack would " +
+        "serialize the corpus through one task — pass e.g. language/source")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen.toDouble)
+    df.withColumn("__end", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("__start", col("__end") - col(tokenCol))
+      .filter(col(tokenCol) > 0) // zero-token docs belong to no sequence
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / L).cast("long"),
+        floor((col("__end") - 1) / L).cast("long"))))
+      .groupBy(partitionCols.map(col) :+ col("seq_id"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("__end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("__start"), col("seq_id") * seqLen)).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Benchmark-contamination check: for each document, the fraction of
     * its DISTINCT n-token shingles that appear anywhere in the benchmark
     * corpus — the standard "is my training set leaking the eval set"

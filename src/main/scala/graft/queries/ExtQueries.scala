@@ -355,6 +355,37 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Fixed-length sequence packing (concat-then-chunk, docs split
+    // across boundaries — the pretraining batcher; packShards is the
+    // never-split complement). One cumsum window per lang stratum, then
+    // a pure explode/agg; every sequence holds exactly 512 tokens
+    // except each stratum's final partial.
+    Q("x_pack_sequences",
+      s"""WITH tok AS (SELECT doc_id, lang, CAST(len($TOKS) AS BIGINT) AS n
+         |            FROM documents),
+         |c AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+         |      FROM tok),
+         |x AS (SELECT lang, doc_id, e - n AS st, e FROM c WHERE n > 0),
+         |s AS (SELECT lang, doc_id, st, e,
+         |        unnest(generate_series(CAST(floor(st / 512.0) AS BIGINT),
+         |          CAST(floor((e - 1) / 512.0) AS BIGINT))) AS seq_id
+         |      FROM x)
+         |SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(least(e, (seq_id + 1) * 512) -
+         |                greatest(st, seq_id * 512)) AS BIGINT) AS n_tokens,
+         |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM s GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin) { (s, d) =>
+      val withTok = docsSpread(s, d).withColumn("n_tok",
+        size(TextAnalysis.tokens(col("text"))))
+      Curation.packSequences(withTok, "n_tok", "doc_id",
+          seqLen = 512, partitionCols = Seq("lang"))
+        .select("lang", "seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        .orderBy("lang", "seq_id")
+    },
+
     // ---- BPE tokenizer ---------------------------------------------------
     // Train: 8 merges at vocab grain (one corpus-sized word count, then
     // 8 vocab-sized pair-count rounds). The oracle mirrors the algorithm

@@ -300,4 +300,39 @@ class CurationSpec extends SparkSpec {
     assert(red == "mail [EMAIL] or [IP] or [PHONE] ok")
     assert(out(2L)._5 == "no pii here at all" && out(2L)._2 == 0)
   }
+
+  test("packSequences: exact seqLen everywhere but the stratum tail, " +
+      "token-conserving, docs split across boundaries") {
+    // stratum a: docs of 3,4,6 tokens, L=5 -> stream of 13 tokens ->
+    // seqs [5,5,3]; doc 2 (4 toks at offset 3) spans seqs 0 and 1
+    val df = Seq(
+      (1L, "a", 3), (2L, "a", 4), (3L, "a", 6),
+      (10L, "b", 5), (11L, "b", 2), (12L, "b", 0) // zero-token doc drops
+    ).toDF("doc_id", "lang", "n_tok")
+    val out = Curation.packSequences(df, "n_tok", "doc_id", 5, Seq("lang"))
+      .orderBy("lang", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 5L, 1L, 2L),   // docs 1 (3 toks) + 2's first 2
+      ("a", 1L, 2L, 5L, 2L, 3L),   // doc 2's last 2 + doc 3's first 3
+      ("a", 2L, 1L, 3L, 3L, 3L),   // doc 3's tail
+      ("b", 0L, 1L, 5L, 10L, 10L), // exact fit; zero-token doc 12 absent
+      ("b", 1L, 1L, 2L, 11L, 11L)))
+    // conservation + exactness on real docs (composes with BPE counts)
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val merges = graft.ext.Bpe.train(docs, "text", 4)
+    val withTok = graft.ext.Bpe.encode(docs, "text", merges)
+    val seqs = Curation.packSequences(
+      withTok, "n_bpe_tokens", "doc_id", 512, Seq("lang")).cache()
+    val totalIn = withTok.agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(seqs.agg(sum("n_tokens")).head().getLong(0) == totalIn)
+    import org.apache.spark.sql.expressions.Window
+    val nonTail = seqs.withColumn("__mx",
+        max("seq_id").over(Window.partitionBy("lang")))
+      .filter(col("seq_id") < col("__mx"))
+    assert(nonTail.filter(col("n_tokens") =!= 512).count() == 0,
+      "every non-tail sequence must hold exactly seqLen tokens")
+    seqs.unpersist()
+  }
 }
