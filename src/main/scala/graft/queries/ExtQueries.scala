@@ -410,6 +410,19 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Composed tokenize→pack tail of the training pipeline: the packer
+    // consumes SUBWORD counts from the learned tokenizer, and the
+    // oracle re-derives the whole chain (train → encode → pack) in one
+    // statement — certifying the two operators compose, not just run.
+    Q("x_tokenize_pack_e2e", BpeOracle.tokenizePackSql(8, 512)) { (s, d) =>
+      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      val enc = graft.ext.Bpe.encode(docsSpread(s, d), "text", merges)
+      Curation.packSequences(enc, "n_bpe_tokens", "doc_id",
+          seqLen = 512, partitionCols = Seq("lang"))
+        .select("lang", "seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+        .orderBy("lang", "seq_id")
+    },
+
     // ---- dedup -----------------------------------------------------------
     // Exact: one winner (min id) per content digest + group size.
     Q("x_dedup_exact",
@@ -1191,21 +1204,52 @@ private[queries] object BpeOracle {
     s"WITH ${ctes(n)}\n$sel\nORDER BY rank"
   }
 
-  def encodeSql(n: Int): String = {
+  /** CTE chain through `enc` (doc_id, lang, ws): training plus per-doc
+    * merge application — shared by the encode gate and the composed
+    * tokenize→pack gate. */
+  private def encCtes(n: Int): String = {
     val mcols = (1 to n).map(k => s"m$k.a AS a$k, m$k.b AS b$k").mkString(", ")
     val mfrom = (1 to n).map(k => s"m$k").mkString(", ")
     var inner = s"' ' || $INIT || ' '"
     for (k <- 1 to n)
       inner = s"replace($inner, ' '||a$k||'  '||b$k||' ', ' '||a$k||b$k||' ')"
-    s"""WITH ${ctes(n)},
+    s"""${ctes(n)},
        |ms AS (SELECT $mcols FROM $mfrom),
        |enc AS (
-       |  SELECT doc_id, list_transform($LTOKS, w -> trim($inner)) AS ws
-       |  FROM documents, ms)
+       |  SELECT doc_id, lang, list_transform($LTOKS, w -> trim($inner)) AS ws
+       |  FROM documents, ms)""".stripMargin
+  }
+
+  def encodeSql(n: Int): String =
+    s"""WITH ${encCtes(n)}
        |SELECT doc_id,
        |  CAST(len(ws) AS BIGINT) AS n_words,
        |  CAST(len(flatten(list_transform(ws, s -> string_split(s, '  ')))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list_transform(ws, s -> replace(s, '  ', ' ')), ' ')) AS bpe_md5
        |FROM enc ORDER BY doc_id""".stripMargin
-  }
+
+  /** Composed tokenize→pack: BPE-encoded token counts feed the
+    * fixed-length sequence packer — the same cumsum/explode/agg chain
+    * as `x_pack_sequences`, but over subword counts the oracle itself
+    * re-derives through the full training + encode chain. */
+  def tokenizePackSql(n: Int, seqLen: Int): String =
+    s"""WITH ${encCtes(n)},
+       |tok AS (SELECT doc_id, lang,
+       |          CAST(len(flatten(list_transform(ws, s -> string_split(s, '  ')))) AS BIGINT) AS n
+       |        FROM enc),
+       |c AS (SELECT doc_id, lang, n,
+       |        sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+       |      FROM tok),
+       |x AS (SELECT lang, doc_id, e - n AS st, e FROM c WHERE n > 0),
+       |sq AS (SELECT lang, doc_id, st, e,
+       |        unnest(generate_series(CAST(floor(st / $seqLen.0) AS BIGINT),
+       |          CAST(floor((e - 1) / $seqLen.0) AS BIGINT))) AS seq_id
+       |      FROM x)
+       |SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(least(e, (seq_id + 1) * $seqLen) -
+       |                greatest(st, seq_id * $seqLen)) AS BIGINT) AS n_tokens,
+       |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |       CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM sq GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
 }
