@@ -59,6 +59,30 @@ class BpeSpec extends SparkSpec {
     assert(agg.getLong(0) <= n4)
   }
 
+  test("encode runs unchanged on a stream (stateless projection) " +
+      "and matches batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 4)
+    val want = Bpe.encode(docs, "text", merges)
+      .select(col("doc_id"), md5(array_join(col("bpe_tokens"), " ")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpest").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Bpe.encode(stream, "text", merges)
+      .select(col("doc_id"), md5(array_join(col("bpe_tokens"), " ")).as("h"))
+      .writeStream.outputMode("append").format("memory").queryName("bpe_st")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bpe_st")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == want.size && got == want)
+  }
+
   test("encode is a pure projection: no exchange, no UDF") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val merges = Bpe.train(docs, "text", 4)
