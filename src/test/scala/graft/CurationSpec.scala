@@ -335,4 +335,22 @@ class CurationSpec extends SparkSpec {
       "every non-tail sequence must hold exactly seqLen tokens")
     seqs.unpersist()
   }
+
+  test("packSequences plan: the (stratum, seq) aggregation reuses the " +
+      "window's stratum partitioning - one exchange total") {
+    val df = Seq((1L, "a", 3), (2L, "a", 4), (3L, "b", 6))
+      .toDF("doc_id", "lang", "n_tok")
+    val plan = Curation.packSequences(df, "n_tok", "doc_id", 5, Seq("lang"))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = resolved.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size == 1,
+      s"hash(stratum) must satisfy the (stratum, seq_id) aggregation's " +
+        s"clustered distribution; got ${exchanges.size} exchanges")
+  }
 }
