@@ -29,8 +29,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The testdata layout convention — every consumer of `$dir/$name`
+    * paths (including size-gated plan choices) must derive them here. */
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(path(sfDir, name))
     if (name == "events") normalizeEventTs(df) else df
   }
 

@@ -43,8 +43,12 @@ object Bpe {
   /** One learned merge: rank-ordered, `lhs + rhs → merged`. */
   final case class Merge(rank: Int, lhs: String, rhs: String, count: Long)
 
-  private def ltoks(textCol: Column): Column =
-    filter(split(lower(textCol), " "), w => w =!= "")
+  /** The tokenizer's word stream: the engine-wide whitespace
+    * tokenization ([[TextAnalysis.tokens]]) over lowercased text — ONE
+    * definition, shared with the gate queries, so a tokenization tweak
+    * can never desynchronize encode from its reported word counts. */
+  private[graft] def ltoks(textCol: Column): Column =
+    TextAnalysis.tokens(lower(textCol))
 
   /** Initial symbol string of a word: its characters joined by the
     * doubled separator (no wrap spaces stored; merge steps add them). */

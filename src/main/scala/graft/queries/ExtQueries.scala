@@ -403,8 +403,7 @@ object ExtQueries {
       val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
       graft.ext.Bpe.encode(docsSpread(s, d), "text", merges)
         .select(col("doc_id"),
-          size(filter(split(lower(col("text")), " "), w => w =!= ""))
-            .cast("long").as("n_words"),
+          size(graft.ext.Bpe.ltoks(col("text"))).cast("long").as("n_words"),
           col("n_bpe_tokens"),
           md5(array_join(col("bpe_tokens"), " ")).as("bpe_md5"))
         .orderBy("doc_id")

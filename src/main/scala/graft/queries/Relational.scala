@@ -1039,7 +1039,7 @@ object Relational {
     * A/B-verified identical (docs/SCALING.md §r12), so the switch can
     * never change results. */
   private def coocBitmap(s: SparkSession, d: String): DataFrame = {
-    if (inputBytes(s, s"$d/lineitem.parquet") < 64L * 1024 * 1024)
+    if (inputBytes(s, Tables.path(d, "lineitem")) < 64L * 1024 * 1024)
       coocCollectSet(s, d)
     else coocBitmapForce(s, d)
   }

@@ -320,12 +320,15 @@ object Streams {
   }
 
   /** Parses a `withWatermark`-style interval string to comparable
-    * microseconds (months normalized at 30 days — watermark delays are
-    * durations, where that is the convention Spark itself applies). */
+    * microseconds, months normalized at 31 days — the convention
+    * Spark's own watermark-delay computation applies
+    * (`EventTimeWatermark.getDelayMs` → `IntervalUtils.getDuration`
+    * with its default daysPerMonth = 31), so the lateness >= stateTtl
+    * guard compares exactly what the engine will enforce. */
   private def intervalMicros(s: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    (iv.months * 30L + iv.days) * 86400L * 1000000L + iv.microseconds
+    (iv.months * 31L + iv.days) * 86400L * 1000000L + iv.microseconds
   }
 
   // ---- bucketed static index (the 100 TB layout) ---------------------------

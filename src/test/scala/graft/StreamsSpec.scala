@@ -234,6 +234,10 @@ class StreamsSpec extends SparkSpec {
     // nearDupStream lateness contract must be revisited.
     Seq((1L, txt, t("2024-01-01 04:00:00"))).toDF("doc_id", "text", "ts")
       .repartition(1).write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders pending files by modification time; a
+    // same-millisecond tie would fall back to (random) part-file names
+    // and could process the straggler first — force distinct mtimes
+    Thread.sleep(1100)
     Seq((2L, txt, t("2024-01-01 00:00:00"))).toDF("doc_id", "text", "ts")
       .repartition(1).write.mode("append").parquet(dir)
     val stream = spark.readStream
