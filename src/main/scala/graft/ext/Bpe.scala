@@ -114,6 +114,46 @@ object Bpe {
       .toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** Token-id vocabulary for a trained tokenizer: base symbols (the
+    * corpus's distinct word characters, lexicographic) take ids
+    * 0..B-1, and merge k's token takes id B+k-1 — deterministic given
+    * (corpus, merges), no RNG, no registration order. The base charset
+    * is alphabet-bounded (catalog-sized), so the driver fetch is the
+    * same bounded class as the co-occurrence brand dictionary. */
+  def tokenVocab(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): Seq[(Long, String)] = {
+    val base = df.select(explode(ltoks(col(textCol))).as("w"))
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("t"))
+      .distinct().collect().map(_.getString(0)).sorted
+    base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      merges.sortBy(_.rank)
+        .map(m => (base.length + m.rank - 1L, m.lhs + m.rhs))
+  }
+
+  /** [[tokenVocab]] as a frame — the reporting shape of `x_bpe_vocab`. */
+  def tokenVocabDf(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    tokenVocab(df, textCol, merges).toDF("token_id", "token")
+  }
+
+  /** [[encode]] plus the id stream: `bpe_ids` maps each subword through
+    * the broadcast vocabulary (a map literal — row-local, no join).
+    * `vocab` comes from [[tokenVocab]] over the TRAINING corpus; a
+    * subword of an in-vocabulary character stream cannot miss it (every
+    * subword is a base character or a merged token), while a character
+    * the training corpus never saw maps to null — the caller's OOV
+    * signal. */
+  def encodeIds(df: DataFrame, textCol: String, merges: Seq[Merge],
+      vocab: Seq[(Long, String)]): DataFrame = {
+    val vlit = typedlit(vocab.map { case (id, t) => (t, id) }.toMap)
+    encode(df, textCol, merges)
+      .withColumn("bpe_ids",
+        transform(col("bpe_tokens"), t => element_at(vlit, t)))
+  }
+
   /** Applies a learned merge list to every document: adds
     * `bpe_tokens` (array of subword tokens, word order preserved) and
     * `n_bpe_tokens`. Pure projection — the merge list folds over each

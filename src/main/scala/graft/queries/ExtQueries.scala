@@ -409,6 +409,15 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // Token-id vocabulary of the trained tokenizer: base characters
+    // (lexicographic) then merged tokens by rank — the deterministic
+    // id table a data loader ships with the packed sequences.
+    Q("x_bpe_vocab", BpeOracle.vocabSql(8)) { (s, d) =>
+      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      graft.ext.Bpe.tokenVocabDf(docs(s, d), "text", merges)
+        .orderBy("token_id")
+    },
+
     // Composed tokenize→pack tail of the training pipeline: the packer
     // consumes SUBWORD counts from the learned tokenizer, and the
     // oracle re-derives the whole chain (train → encode → pack) in one
@@ -1226,6 +1235,24 @@ private[queries] object BpeOracle {
        |  CAST(len(flatten(list_transform(ws, s -> string_split(s, '  ')))) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list_transform(ws, s -> replace(s, '  ', ' ')), ' ')) AS bpe_md5
        |FROM enc ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary table: base symbols = the corpus's distinct word
+    * characters with lexicographic row-number ids, then the n merged
+    * tokens at base_count + rank − 1. */
+  def vocabSql(n: Int): String = {
+    val merged = (1 to n)
+      .map(k => s"SELECT CAST(bc.n + ${k - 1} AS BIGINT) AS token_id, a||b AS token FROM m$k, bc")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${ctes(n)},
+       |chars AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(w)),
+       |            i -> substring(w, i, 1))) AS token FROM words),
+       |base AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id,
+       |                token FROM chars),
+       |bc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+       |SELECT token_id, token FROM base
+       |UNION ALL $merged
+       |ORDER BY token_id""".stripMargin
+  }
 
   /** Composed tokenize→pack: BPE-encoded token counts feed the
     * fixed-length sequence packer — the same cumsum/explode/agg chain

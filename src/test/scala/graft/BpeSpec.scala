@@ -83,6 +83,42 @@ class BpeSpec extends SparkSpec {
     assert(got.size == want.size && got == want)
   }
 
+  test("token ids: vocab covers every emitted subword, ids roundtrip, " +
+      "unseen characters surface as null OOV") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    val vocab = Bpe.tokenVocab(docs, "text", merges)
+    // ids are dense 0..V-1, base chars first then merges by rank
+    assert(vocab.map(_._1) == vocab.indices.map(_.toLong))
+    assert(vocab.takeRight(8).map(_._2) ==
+      merges.sortBy(_.rank).map(m => m.lhs + m.rhs))
+    val enc = Bpe.encodeIds(docs, "text", merges, vocab)
+    assert(enc.filter(exists(col("bpe_ids"), _.isNull)).count() == 0,
+      "training-corpus subwords must all be in vocab")
+    // roundtrip: ids decode back to the token stream
+    val idToTok = typedlit(vocab.toMap)
+    assert(enc.filter(
+      transform(col("bpe_ids"), i => element_at(idToTok, i)) =!=
+        col("bpe_tokens")).count() == 0)
+    // a character the training corpus never saw -> null id
+    val oov = Bpe.encodeIds(Seq((1L, "π")).toDF("doc_id", "text"),
+      "text", merges, vocab)
+    assert(oov.select(exists(col("bpe_ids"), _.isNull)).head().getBoolean(0))
+  }
+
+  test("encode plan depth is constant in merge count (1024 merges run " +
+      "through the same single projection)") {
+    val docs = Seq((1L, "abcd"), (2L, "dcba")).toDF("doc_id", "text")
+    val big = (1 to 1024).map(k => Bpe.Merge(k, s"x$k", s"y$k", 1L))
+    val out = Bpe.encode(docs, "text", big) // no-op merges, huge list
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty)
+    assert(out.select(col("bpe_tokens")).as[Seq[String]].collect().toSet ==
+      Set(Seq("a", "b", "c", "d"), Seq("d", "c", "b", "a")))
+  }
+
   test("encode is a pure projection: no exchange, no UDF") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val merges = Bpe.train(docs, "text", 4)
