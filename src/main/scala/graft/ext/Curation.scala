@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *    `TextStats` expression — no shuffle at all; the drop decision AND
   *    the reason ride on every row, so downstream audits (`GROUP BY
   *    drop_reason`) are one aggregation away.
-  *  - [[packShards]] is one window pass per stratum — packing is
-  *    PER-PARTITION-KEY by design: a single global running sum would
-  *    serialize the corpus through one task at 100 TB, while per-key
-  *    windows (language, source, date bucket) distribute and still give
-  *    deterministic, reproducible shard ids.
+  *  - [[packShards]] / [[packSequences]] run on a two-pass DISTRIBUTED
+  *    prefix sum ([[distributedCumsum]]): no window ever spans a whole
+  *    stratum, so a skewed stratum (a web corpus is ~90 % one language)
+  *    parallelizes across range buckets instead of serializing through
+  *    one task — deterministic, reproducible ids either way.
   *  - [[sampleStratified]] filters on a salted md5 prefix of the id —
   *    deterministic (re-runs pick identical rows, no RNG state), exactly
   *    reproducible in any engine with md5, and pushdown-friendly.
@@ -59,27 +59,86 @@ object Curation {
       .drop("__st")
   }
 
+  /** Two-pass distributed per-stratum running token sum — the scale
+    * engine under [[packShards]]/[[packSequences]]. A single
+    * stratum-partitioned window would funnel each stratum through ONE
+    * task (a web corpus is ~90 % one language: at 100 TB that is a
+    * single-task sort of ~90 TB), so instead:
+    *
+    *   1. range-partition on (strata…, id) into `buckets` buckets — each
+    *      bucket holds a contiguous id range of (usually) one stratum,
+    *      sized corpus/buckets;
+    *   2. per-(stratum, bucket) token totals: a map-side-combined
+    *      aggregate of buckets × strata rows (tiny);
+    *   3. exclusive per-stratum running offsets over that tiny frame
+    *      (one window over buckets × strata rows — never corpus-sized);
+    *   4. bucket-local window cumsum (bucket-sized partitions, fully
+    *      parallel) + the broadcast offset = the exact global cumsum.
+    *
+    * Output is IDENTICAL to the single-window formulation for any bucket
+    * count/boundaries (offsets cancel bucketing out), so bucket
+    * assignment needs no determinism of its own; the shared range
+    * exchange is planned once and reused by both consumers, and a
+    * user-specified repartition count is exempt from AQE
+    * coalescing/splitting, so the `spark_partition_id` bucket ids agree
+    * between them by construction. `buckets` <= 0 means
+    * spark.sql.shuffle.partitions.
+    *
+    * Precondition (determinism): `idCol` must be unique within each
+    * stratum — duplicate ids leave the intra-tie cumsum order undefined
+    * (same contract as the single-window shape it replaces). */
+  private[graft] def distributedCumsum(df: DataFrame, tokenCol: String,
+      idCol: String, partitionCols: Seq[String], buckets: Int,
+      cumCol: String, bucketCol: String): DataFrame = {
+    val b0 = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    Seq(cumCol, bucketCol, "__graft_loc", "__graft_off").foreach(c =>
+      require(!df.columns.contains(c), s"input already has column $c"))
+    val bucketed = df
+      .repartitionByRange(b0, partitionCols.map(col) :+ col(idCol): _*)
+      .withColumn(bucketCol, spark_partition_id())
+    val totals = bucketed
+      .groupBy(partitionCols.map(col) :+ col(bucketCol): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
+    val wOff = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__graft_off",
+        coalesce(sum("__graft_tot").over(wOff), lit(0L)))
+      .drop("__graft_tot")
+    val wLoc = Window
+      .partitionBy(partitionCols.map(col) :+ col(bucketCol): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__graft_loc", sum(col(tokenCol).cast("long")).over(wLoc))
+      .join(broadcast(offsets), partitionCols :+ bucketCol)
+      .withColumn(cumCol, col("__graft_loc") + col("__graft_off"))
+      .drop("__graft_loc", "__graft_off")
+  }
+
   /** Deterministic token-budget shard assignment: within each
     * `partitionCols` stratum, rows ordered by `idCol` accumulate into
     * shards of ~`budget` tokens — shard = floor(exclusive-cumsum /
     * budget), so a document lands in the shard its FIRST token falls in
     * and an oversized document (> budget tokens) gets a shard of its own
-    * rather than being dropped or split. One window pass per stratum;
-    * strata distribute across the cluster. */
+    * rather than being dropped or split. Runs on the two-pass
+    * [[distributedCumsum]], so even a 90 %-of-the-corpus stratum (or a
+    * fully global pack: `partitionCols = Nil` is legal) parallelizes
+    * across `buckets` range buckets instead of serializing through one
+    * window task. `idCol` must be unique per stratum for deterministic
+    * output. */
   def packShards(df: DataFrame, tokenCol: String, idCol: String,
-      budget: Long, partitionCols: Seq[String]): DataFrame = {
+      budget: Long, partitionCols: Seq[String],
+      buckets: Int = 0): DataFrame = {
     require(budget >= 1, "budget must be positive")
-    require(partitionCols.nonEmpty,
-      "packShards needs partition columns: a global pack would serialize " +
-        "the corpus through one task — pass e.g. language/source/date")
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+    distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
+        "__cum", "__graft_bucket")
       .withColumn("shard_id",
         floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble))
           .cast("int"))
-      .drop("__cum")
+      .drop("__cum", "__graft_bucket")
   }
 
   /** Fixed-length training-sequence packing — the concat-then-chunk
@@ -92,26 +151,26 @@ object Curation {
     * except each stratum's final partial), and the contributing doc-id
     * range — the manifest a data loader needs to fetch/assemble it.
     *
-    * Scale shape: one window cumsum per stratum (strata distribute; the
-    * same no-global-pack requirement as [[packShards]]), then a pure
-    * projection explodes each doc into the sequences it overlaps —
-    * output volume is corpus tokens / seqLen, and the per-doc explode
-    * range is ceil(n/seqLen)+1, linear in corpus tokens regardless of
-    * document skew — and one (stratum, seq) aggregation. Sequence ids
-    * come from floor division of token offsets (exact while stratum
-    * token counts stay below 2^53 — at 25T tokens per 100 TB corpus,
-    * comfortably true of any sane stratum). */
+    * Scale shape: the [[distributedCumsum]] two-pass prefix sum (no
+    * stratum-sized window anywhere — a skewed or even single stratum
+    * parallelizes across range buckets; `partitionCols = Nil` packs the
+    * whole corpus as one stream), then a pure projection explodes each
+    * doc into the sequences it overlaps — output volume is corpus
+    * tokens / seqLen, and the per-doc explode range is
+    * ceil(n/seqLen)+1, linear in corpus tokens regardless of document
+    * skew — and one (stratum, seq) aggregation. Sequence ids come from
+    * floor division of token offsets (exact while stratum token counts
+    * stay below 2^53 — at 25T tokens per 100 TB corpus, comfortably
+    * true of any sane stratum). `idCol` must be unique per stratum:
+    * duplicate ids make sequence assignment (and n_docs/first_doc/
+    * last_doc) nondeterministic across runs. */
   def packSequences(df: DataFrame, tokenCol: String, idCol: String,
-      seqLen: Int, partitionCols: Seq[String]): DataFrame = {
+      seqLen: Int, partitionCols: Seq[String],
+      buckets: Int = 0): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
-    require(partitionCols.nonEmpty,
-      "packSequences needs partition columns: a global pack would " +
-        "serialize the corpus through one task — pass e.g. language/source")
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val L = lit(seqLen.toDouble)
-    df.withColumn("__end", sum(col(tokenCol).cast("long")).over(w))
+    distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
+        "__end", "__graft_bucket")
       .withColumn("__start", col("__end") - col(tokenCol))
       .filter(col(tokenCol) > 0) // zero-token docs belong to no sequence
       .withColumn("seq_id", explode(sequence(

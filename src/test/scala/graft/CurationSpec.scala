@@ -83,11 +83,44 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
-  test("packShards refuses a global (stratum-less) pack") {
-    val ex = intercept[IllegalArgumentException] {
-      Curation.packShards(Seq((1L, 5)).toDF("id", "n"), "n", "id", 10L, Nil)
+  test("packShards supports a global (stratum-less) pack — the " +
+      "distributed prefix sum removed the one-task-per-stratum limit") {
+    val docs = (1L to 100L).map(i => (i, 100)).toDF("id", "n")
+    val out = Curation.packShards(docs, "n", "id", 1000L, Nil, buckets = 4)
+      .select($"id", $"shard_id").as[(Long, Int)].collect().toMap
+    // 100 docs × 100 tokens at budget 1000 → 10 docs per shard, in id order
+    (1L to 100L).foreach(i => assert(out(i) == ((i - 1) / 10).toInt))
+  }
+
+  test("distributedCumsum: a dominant (90%) stratum spans multiple range " +
+      "buckets — no stratum serializes through one task — and matches " +
+      "the single-window cumsum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 1000L).map { i =>
+      (i, if (i <= 900) "en" else s"l${i % 7}", rng.nextInt(50) + 1)
     }
-    assert(ex.getMessage.contains("partition"))
+    val docs = rows.toDF("doc_id", "lang", "n_tok")
+    val cum = Curation.distributedCumsum(docs, "n_tok", "doc_id",
+      Seq("lang"), buckets = 8, cumCol = "__cum", bucketCol = "__b")
+    // the skewed stratum must execute across >1 bucket (i.e. >1 task)
+    val enBuckets = cum.filter($"lang" === "en")
+      .select("__b").distinct().count()
+    assert(enBuckets > 1,
+      s"dominant stratum ran in $enBuckets bucket(s) — still serialized")
+    // exact equality with the serial single-window formulation
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = docs.withColumn("ref", sum($"n_tok".cast("long")).over(w))
+      .select($"doc_id", $"ref").as[(Long, Long)].collect().toMap
+    val got = cum.select($"doc_id", $"__cum").as[(Long, Long)]
+      .collect().toMap
+    assert(got == expect)
+    // deterministic on re-run
+    val again = Curation.distributedCumsum(docs, "n_tok", "doc_id",
+        Seq("lang"), buckets = 8, cumCol = "__cum", bucketCol = "__b")
+      .select($"doc_id", $"__cum").as[(Long, Long)].collect().toMap
+    assert(again == expect)
   }
 
   test("sampleStratified: deterministic, honors per-stratum thresholds") {
@@ -336,21 +369,47 @@ class CurationSpec extends SparkSpec {
     seqs.unpersist()
   }
 
-  test("packSequences plan: the (stratum, seq) aggregation reuses the " +
-      "window's stratum partitioning - one exchange total") {
+  test("packSequences plan: no corpus-sized shuffle keys on the stratum " +
+      "alone, one shared range exchange, bucket-grain window") {
     val df = Seq((1L, "a", 3), (2L, "a", 4), (3L, "b", 6))
       .toDF("doc_id", "lang", "n_tok")
     val plan = Curation.packSequences(df, "n_tok", "doc_id", 5, Seq("lang"))
       .queryExecution.executedPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
     val resolved = plan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    // distinct-by-identity: the reused range exchange appears in several
+    // subtrees but is ONE node (planned + executed once)
     val exchanges = resolved.collect { case e: ShuffleExchangeLike => e }
-    assert(exchanges.size == 1,
-      s"hash(stratum) must satisfy the (stratum, seq_id) aggregation's " +
-        s"clustered distribution; got ${exchanges.size} exchanges")
+    val distinctEx = exchanges
+      .map(e => System.identityHashCode(e) -> e).toMap.values.toSeq
+    val ranges = distinctEx.filter(
+      _.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(ranges.nonEmpty && ranges.size <= 2,
+      s"expected the one (shared) range exchange, got ${ranges.size}")
+    // both prefix-sum consumers must see the SAME bucketing: canonical
+    // equality makes the AQE stage cache materialize the exchange once
+    assert(ranges.map(_.canonicalized).distinct.size == 1,
+      "the two range-exchange references must be canonically equal " +
+        "(otherwise bucket ids could diverge between consumers)")
+    // the corpus-row window must partition at bucket grain, never by the
+    // stratum alone (that is the 90%-stratum one-task serialization)
+    val windows = resolved.collect { case w: WindowExec => w }
+    val corpusWindows = windows.filter(
+      _.partitionSpec.exists(_.toString.contains("__graft_bucket")))
+    assert(corpusWindows.nonEmpty,
+      "bucket-grain window missing from the prefix-sum plan")
+    val stratumOnly = windows.filter(w =>
+      w.partitionSpec.nonEmpty &&
+        !w.partitionSpec.exists(_.toString.contains("__graft_bucket")) &&
+        !w.child.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]))
+    assert(stratumOnly.isEmpty,
+      s"found a stratum-only window over non-aggregated (corpus) rows: " +
+        s"${stratumOnly.map(_.partitionSpec).mkString(";")}")
   }
 }
