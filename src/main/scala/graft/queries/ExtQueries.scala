@@ -19,6 +19,20 @@ object ExtQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
 
+  /** BPE training for the gate queries, guarded: the CTE oracle's cross
+    * joins assume EXACTLY n merges exist (a degenerate corpus that
+    * exhausts pairs early would empty every downstream CTE and the gate
+    * would "pass" on zero rows) — so an early stop fails loudly here
+    * instead of silently diverging. */
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, n: Int): Seq[graft.ext.Bpe.Merge] = {
+    val merges = graft.ext.Bpe.train(docs(s, d), "text", n)
+    require(merges.size == n,
+      s"BPE training exhausted at ${merges.size}/$n merges — the CTE " +
+        "oracle assumes exactly n; gate corpus too degenerate to compare")
+    merges
+  }
+
   /** DuckDB fragments shared across oracles (kept in sync with the Scala
     * expressions in graft.ext — same md5 seeds, same shingling). */
   private val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
@@ -392,7 +406,10 @@ object ExtQueries {
     // CTE-for-CTE: same doubled-space symbol strings, same replace
     // semantics, same (cnt DESC, lhs, rhs) tie-break.
     Q("x_bpe_train", BpeOracle.trainSql(8)) { (s, d) =>
-      graft.ext.Bpe.trainDf(docs(s, d), "text", 8).orderBy("rank")
+      import s.implicits._
+      trainedMerges(s, d, 8)
+        .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+        .toDF("rank", "lhs", "rhs", "merged", "cnt").orderBy("rank")
     },
 
     // Encode: the learned merges fold over each word row-locally (HOF,
@@ -400,7 +417,7 @@ object ExtQueries {
     // doc's token stream to an md5 so the sweep dump stays small while
     // every subword of every doc stays hash-verified.
     Q("x_bpe_encode", BpeOracle.encodeSql(8)) { (s, d) =>
-      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      val merges = trainedMerges(s, d, 8)
       graft.ext.Bpe.encode(docsSpread(s, d), "text", merges)
         .select(col("doc_id"),
           size(graft.ext.Bpe.ltoks(col("text"))).cast("long").as("n_words"),
@@ -413,7 +430,7 @@ object ExtQueries {
     // (lexicographic) then merged tokens by rank — the deterministic
     // id table a data loader ships with the packed sequences.
     Q("x_bpe_vocab", BpeOracle.vocabSql(8)) { (s, d) =>
-      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      val merges = trainedMerges(s, d, 8)
       graft.ext.Bpe.tokenVocabDf(docs(s, d), "text", merges)
         .orderBy("token_id")
     },
@@ -423,7 +440,7 @@ object ExtQueries {
     // oracle re-derives the whole chain (train → encode → pack) in one
     // statement — certifying the two operators compose, not just run.
     Q("x_tokenize_pack_e2e", BpeOracle.tokenizePackSql(8, 512)) { (s, d) =>
-      val merges = graft.ext.Bpe.train(docs(s, d), "text", 8)
+      val merges = trainedMerges(s, d, 8)
       val enc = graft.ext.Bpe.encode(docsSpread(s, d), "text", merges)
       Curation.packSequences(enc, "n_bpe_tokens", "doc_id",
           seqLen = 512, partitionCols = Seq("lang"))

@@ -107,6 +107,173 @@ class BpeSpec extends SparkSpec {
     assert(oov.select(exists(col("bpe_ids"), _.isNull)).head().getBoolean(0))
   }
 
+  test("vocab_lookup_all ≡ element_at over the map literal at 50k " +
+      "entries (unicode keys, OOV nulls), stays codegen, rejects a " +
+      "non-foldable vocab") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    val real = Bpe.tokenVocab(docs, "text", merges)
+    val vocab = real ++
+      (real.size until 50000).map(i => (i.toLong, s"tok_$i")) :+
+      (50000L, "😀π") // supplementary-plane + BMP unicode key
+    val vlit = typedlit(vocab.map { case (id, t) => (t, id) }.toMap)
+    graft.functions.VocabLookup.register(spark)
+    val toks = Seq((1L, Seq("a", "tok_49999", "😀π", "NOT_IN_VOCAB", null)))
+      .toDF("doc_id", "bpe_tokens")
+    val both = toks.select(
+      graft.functions.VocabLookup.vocabLookupAll(col("bpe_tokens"), vlit)
+        .as("hash"),
+      transform(col("bpe_tokens"), t => element_at(vlit, t)).as("linear"))
+    val r = both.head()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    assert(r.getSeq[Any](0).last == null) // null token -> null id
+    // corpus-wide parity on the full encode (null-safe compare)
+    val enc = Bpe.encode(docs, "text", merges)
+    assert(enc.filter(!(
+      graft.functions.VocabLookup.vocabLookupAll(col("bpe_tokens"), vlit)
+        <=> transform(col("bpe_tokens"), t => element_at(vlit, t))))
+      .count() == 0)
+    // the expression itself is codegen-capable: a projection of ONLY
+    // vocab_lookup_all whole-stage-codegens (`*(n) Project`). Inside the
+    // full encode the surrounding HOFs (transform/aggregate) are
+    // CodegenFallback, so that Project is interpreted regardless — both
+    // eval paths are exercised between this check and the corpus parity
+    // above.
+    val hashOnly = docs.select(
+      graft.functions.VocabLookup.vocabLookupAll(
+        split(lower(col("text")), " "), vlit).as("ids"))
+    val plan = finalPlanOf(hashOnly)
+    assert(plan.contains("*(1) Project"), plan.take(800))
+    // vocab must be a literal: a column-valued map is rejected at analysis
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      toks.select(graft.functions.VocabLookup.vocabLookupAll(
+        col("bpe_tokens"),
+        map_from_arrays(col("bpe_tokens"),
+          array(lit(1L), lit(2L), lit(3L), lit(4L), lit(5L))))).collect()
+    }
+    assert(bad.getMessage.contains("foldable"))
+  }
+
+  test("selectBatch: conflict stop, strict-dominance truncation, " +
+      "grown-symbol guards — rank-1 always survives") {
+    def sb(c: Seq[(String, String, Long)], cap: Int = 64,
+        sym: Set[String] = Set.empty) = Bpe.selectBatch(c, cap, sym)
+    // disjoint prefix, all strictly above the sentinel: all selected
+    assert(sb(Seq(("a", "b", 10L), ("c", "d", 9L), ("x", "a", 8L)))
+      == Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // tie with the sentinel: the tied trailing pick is truncated (a
+    // merge-created pair bounded by the sentinel could tie and win on
+    // lex order) — rank 1 is kept even when tied
+    assert(sb(Seq(("a", "b", 10L), ("c", "d", 8L), ("x", "a", 8L)))
+      == Seq(("a", "b", 10L)))
+    assert(sb(Seq(("a", "b", 8L), ("x", "a", 8L))) == Seq(("a", "b", 8L)))
+    // lhs/rhs/merged collisions with earlier picks stop the batch
+    assert(sb(Seq(("a", "b", 10L), ("ab", "c", 9L), ("d", "e", 8L)))
+      == Seq(("a", "b", 10L))) // "ab" = merged(rank1)
+    assert(sb(Seq(("a", "bc", 10L), ("ab", "c", 9L), ("d", "e", 8L)))
+      == Seq(("a", "bc", 10L))) // same concatenation "abc"
+    // candidate whose merged token ALREADY exists as a symbol: its
+    // merge grows pairs over that symbol — unsafe for later picks
+    assert(sb(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+        sym = Set("cd"))
+      == Seq(("a", "b", 10L)))
+    // ... including when it is rank 1: selected, batch ends there
+    assert(sb(Seq(("c", "d", 10L), ("e", "f", 9L), ("g", "h", 8L)),
+        sym = Set("cd"))
+      == Seq(("c", "d", 10L)))
+    // cap bounds the batch
+    assert(sb(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)),
+        cap = 1)
+      == Seq(("a", "b", 10L)))
+  }
+
+  test("batched ≡ sequential through pair EXHAUSTION on the gate corpus " +
+      "(asking for 512, corpus runs dry first — early-stop path)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val seq1 = Bpe.train(docs, "text", 512, batchSize = 1)
+    val seq64 = Bpe.train(docs, "text", 512)
+    // the gate corpus genuinely exhausts below 512 — this test covers the
+    // early-stop path; the ≥512 sustained proof is the next test
+    assert(seq1.size < 512, s"corpus no longer exhausts (${seq1.size})")
+    assert(seq1.nonEmpty)
+    assert(seq64 == seq1)
+  }
+
+  test("batched ≡ sequential at 512 SUSTAINED merges (pair-diverse " +
+      "corpus that does not exhaust)") {
+    val rng = new scala.util.Random(2026)
+    // 600 distinct random words of 6-10 letters: ~4500 potential merge
+    // steps (each merge removes >=1 symbol from the distinct-word table),
+    // so 512 merges are guaranteed reachable; Zipf-ish freqs via repeat
+    val docs = (1 to 600).map { i =>
+      val w = (1 to (6 + rng.nextInt(5)))
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      val freq = 1 + 600 / i
+      (i.toLong, (Seq.fill(freq)(w)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val seq1 = Bpe.train(docs, "text", 512, batchSize = 1)
+    val (seq64, rounds) = Bpe.trainRounds(docs, "text", 512)
+    assert(seq1.size == 512)
+    assert(seq64 == seq1)
+    // uniform-random letters are the tie-heavy adversarial case — the
+    // strict-dominance truncation keeps batches small here by design;
+    // the assert pins only that batching engages at all (fewer rounds
+    // than merges). Round-count economics live in trainLocal + SCALING.md.
+    assert(rounds < 512, s"batching never engaged ($rounds rounds)")
+  }
+
+  test("trainLocal ≡ distributed train: exhaustion corpus, 512-sustained " +
+      "corpus, and unicode tie-breaks") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    assert(Bpe.trainLocal(docs, "text", 512) ==
+      Bpe.train(docs, "text", 512, batchSize = 1))
+    val rng = new scala.util.Random(2026)
+    val synth = (1 to 600).map { i =>
+      val w = (1 to (6 + rng.nextInt(5)))
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      (i.toLong, Seq.fill(1 + 600 / i)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Bpe.trainLocal(synth, "text", 512) ==
+      Bpe.train(synth, "text", 512, batchSize = 1))
+    // forced count ties across BMP and supplementary-plane characters:
+    // the heap's tie-break must use binary/code-point order like Spark
+    val uni = Seq((1L, "z 😀z px py"))
+      .toDF("doc_id", "text")
+    assert(Bpe.trainLocal(uni, "text", 4) ==
+      Bpe.train(uni, "text", 4, batchSize = 1))
+  }
+
+  test("trainLocal: the maxVocabWords driver budget fails loudly before " +
+      "collecting") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs, "text", 4, maxVocabWords = 3)
+    }
+    assert(e.getMessage.contains("driver budget"))
+  }
+
+  test("batched ≡ sequential on adversarial small-alphabet corpora " +
+      "(forced ties and merged-token collisions)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      // 3-letter alphabet, short words, high repetition: maximal tie and
+      // symbol-collision pressure on the batch-selection rules
+      val docs = (1 to 400).map { i =>
+        val w = (1 to (rng.nextInt(3) + 1)).map { _ =>
+          (1 to (rng.nextInt(5) + 1))
+            .map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+        }.mkString(" ")
+        (i.toLong, w)
+      }.toDF("doc_id", "text")
+      val a = Bpe.train(docs, "text", 40, batchSize = 1)
+      val b = Bpe.train(docs, "text", 40, batchSize = 8)
+      assert(a == b, s"batched diverged from sequential at seed $seed")
+    }
+  }
+
   test("encode plan depth is constant in merge count (1024 merges run " +
       "through the same single projection)") {
     val docs = Seq((1L, "abcd"), (2L, "dcba")).toDF("doc_id", "text")
