@@ -139,6 +139,171 @@ object MiscQueries {
       }.reduce(_ unionByName _).orderBy("login")
     },
 
+    // ---- connection-history audit ingest (track_connexions.py:146-182) --
+    // The audit feed (here derived deterministically from events: error →
+    // FAILED else SUCCEEDED) loads twice — a first half-batch, then a full
+    // overlapping refetch — through the idempotent NOT EXISTS append.
+    // n_premier_chargement counts rows still carrying the FIRST load's
+    // snapshot stamp: already-loaded keys were NOT re-inserted, while the
+    // odd event_ids arrive with the second stamp. Per-login summary is the
+    // reference's "consulter l'historique" query in aggregate form.
+    Q("sec_connexion_history",
+      """WITH raw AS (
+        |  SELECT 'user_' || CAST(user_id AS VARCHAR) AS login_sql,
+        |         ts AS heure_connexion,
+        |         CASE WHEN event_type = 'error' THEN 'ECHEC'
+        |              ELSE 'SUCCES' END AS statut_session,
+        |         event_type AS application, event_id
+        |  FROM events),
+        |existing AS (
+        |  SELECT login_sql, heure_connexion, statut_session, application,
+        |         TIMESTAMP '2024-06-01 00:00:00' AS snapshot_dt
+        |  FROM raw WHERE event_id % 2 = 0),
+        |incoming AS (
+        |  SELECT login_sql, heure_connexion, statut_session, application,
+        |         TIMESTAMP '2024-06-08 00:00:00' AS snapshot_dt
+        |  FROM raw),
+        |hist AS (
+        |  SELECT * FROM existing
+        |  UNION ALL
+        |  SELECT * FROM incoming i WHERE NOT EXISTS (
+        |    SELECT 1 FROM existing e
+        |    WHERE e.login_sql = i.login_sql
+        |      AND e.heure_connexion = i.heure_connexion))
+        |SELECT login_sql,
+        |       CAST(count(*) AS BIGINT) AS n_connexions,
+        |       CAST(sum(CASE WHEN statut_session = 'SUCCES' THEN 1 ELSE 0 END) AS BIGINT) AS n_succes,
+        |       CAST(sum(CASE WHEN statut_session = 'ECHEC' THEN 1 ELSE 0 END) AS BIGINT) AS n_echec,
+        |       CAST(sum(CASE WHEN snapshot_dt = TIMESTAMP '2024-06-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_premier_chargement,
+        |       strftime(max(heure_connexion), '%Y-%m-%d %H:%M:%S') AS derniere_connexion
+        |FROM hist GROUP BY login_sql ORDER BY login_sql""".stripMargin) {
+      (s, d) =>
+        import graft.security.ConnexionAudit
+        val raw = t(s, d, "events").select(
+          concat(lit("user_"), col("user_id")).as("login_sql"),
+          col("ts").as("heure_connexion"),
+          when(col("event_type") === "error",
+            lit("DATABASE AUTHENTICATION FAILED"))
+            .otherwise(lit("DATABASE AUTHENTICATION SUCCEEDED"))
+            .as("resultat"),
+          concat(lit("10.0.0."), pmod(col("user_id"), lit(256)))
+            .as("ip_client"),
+          col("event_type").as("application"),
+          lit("dwh").as("base_de_donnees"),
+          col("event_id"))
+        val existing = ConnexionAudit.normalize(
+          raw.filter(col("event_id") % 2 === 0).drop("event_id"),
+          lit("2024-06-01 00:00:00"))
+        val hist = ConnexionAudit.appendHistory(existing,
+          ConnexionAudit.normalize(raw.drop("event_id"),
+            lit("2024-06-08 00:00:00")))
+        hist.groupBy("login_sql").agg(
+          count(lit(1)).as("n_connexions"),
+          sum(when(col("statut_session") === "SUCCES", 1L).otherwise(0L))
+            .as("n_succes"),
+          sum(when(col("statut_session") === "ECHEC", 1L).otherwise(0L))
+            .as("n_echec"),
+          sum(when(col("snapshot_dt") ===
+            lit("2024-06-01 00:00:00").cast("timestamp"), 1L).otherwise(0L))
+            .as("n_premier_chargement"),
+          date_format(max("heure_connexion"), "yyyy-MM-dd HH:mm:ss")
+            .as("derniere_connexion"))
+          .orderBy("login_sql")
+    },
+
+    // ---- active-session monitoring view (011:350-391) --------------------
+    // Live sessions = latest event per user (TopKPerKey path); identity /
+    // agency / RLS-zone joins are all broadcast; unregistered logins keep
+    // null identity and the 'Acces total (non filtre)' zone fallback;
+    // "system" sessions (user_id % 10 = 0 here) are excluded like the
+    // reference's is_user_process = 1 filter.
+    Q("sec_active_sessions",
+      """WITH sessions AS (
+        |  SELECT 'user_' || CAST(user_id AS VARCHAR) AS login_sql,
+        |         ts AS heure_connexion, event_type AS statut_session,
+        |         '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS poste_client,
+        |         'graft-cli' AS application,
+        |         user_id % 10 <> 0 AS is_user_process
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |employes AS (
+        |  SELECT 'user_' || CAST(c_custkey AS VARCHAR) AS login_sql,
+        |         c_name AS nom_complet, c_mktsegment AS niveau_hierarchique,
+        |         c_nationkey AS agence_id
+        |  FROM customer WHERE c_custkey < 100),
+        |agences AS (
+        |  SELECT n_nationkey AS agence_id, n_name AS agence_ville,
+        |         CAST(n_regionkey AS VARCHAR) AS agence_departement
+        |  FROM nation),
+        |zones AS (
+        |  SELECT 'user_' || CAST(c_custkey AS VARCHAR) AS login_sql,
+        |         CASE WHEN c_custkey % 20 = 0 THEN NULL
+        |              ELSE CAST(c_nationkey AS VARCHAR) END AS departement_code
+        |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey < 100
+        |  UNION ALL
+        |  SELECT 'user_' || CAST(c_custkey AS VARCHAR),
+        |         CAST((c_nationkey + 7) % 25 AS VARCHAR)
+        |  FROM customer WHERE c_custkey % 12 = 0 AND c_custkey < 100),
+        |zagg AS (
+        |  SELECT login_sql,
+        |         string_agg(coalesce(departement_code, 'REGION_ENTIERE'), ', '
+        |           ORDER BY coalesce(departement_code, 'REGION_ENTIERE')) AS zones_rls
+        |  FROM zones GROUP BY login_sql)
+        |SELECT s.login_sql, e.nom_complet, e.niveau_hierarchique,
+        |       a.agence_ville, a.agence_departement,
+        |       strftime(s.heure_connexion, '%Y-%m-%d %H:%M:%S') AS heure_connexion,
+        |       s.statut_session, s.poste_client, s.application,
+        |       CAST(floor((epoch(TIMESTAMP '2024-07-01 00:00:00')
+        |         - epoch(s.heure_connexion)) / 60) AS BIGINT) AS duree_connexion_min,
+        |       coalesce(z.zones_rls, 'Acces total (non filtre)') AS zones_rls
+        |FROM sessions s
+        |LEFT JOIN employes e USING (login_sql)
+        |LEFT JOIN agences a ON a.agence_id = e.agence_id
+        |LEFT JOIN zagg z USING (login_sql)
+        |WHERE s.is_user_process
+        |ORDER BY s.login_sql""".stripMargin) { (s, d) =>
+      import graft.security.ConnexionAudit
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val sessions = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(concat(lit("user_"), col("user_id")).as("login_sql"),
+          col("ts").as("heure_connexion"),
+          col("event_type").as("statut_session"),
+          concat(lit("10.0.0."), pmod(col("user_id"), lit(256)))
+            .as("poste_client"),
+          lit("graft-cli").as("application"),
+          (col("user_id") % 10 =!= 0).as("is_user_process"))
+      val cust = t(s, d, "customer")
+      val employes = cust.filter(col("c_custkey") < 100)
+        .select(concat(lit("user_"), col("c_custkey")).as("login_sql"),
+          col("c_name").as("nom_complet"),
+          col("c_mktsegment").as("niveau_hierarchique"),
+          col("c_nationkey").as("agence_id"))
+      val agences = t(s, d, "nation")
+        .select(col("n_nationkey").as("agence_id"),
+          col("n_name").as("agence_ville"),
+          col("n_regionkey").cast("string").as("agence_departement"))
+      val zones = cust.filter(col("c_custkey") % 4 === 0 &&
+          col("c_custkey") < 100)
+        .select(concat(lit("user_"), col("c_custkey")).as("login_sql"),
+          when(col("c_custkey") % 20 === 0, lit(null).cast("string"))
+            .otherwise(col("c_nationkey").cast("string"))
+            .as("departement_code"))
+        .unionByName(cust.filter(col("c_custkey") % 12 === 0 &&
+            col("c_custkey") < 100)
+          .select(concat(lit("user_"), col("c_custkey")).as("login_sql"),
+            ((col("c_nationkey") + 7) % 25).cast("string")
+              .as("departement_code")))
+      ConnexionAudit.activeSessions(sessions, employes, agences, zones,
+          lit("2024-07-01 00:00:00"))
+        .withColumn("heure_connexion",
+          date_format(col("heure_connexion"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("login_sql")
+    },
+
     // ---- streaming-equivalent analytics (batch parity of Streams ops) ----
     Q("st_tumbling_window",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
