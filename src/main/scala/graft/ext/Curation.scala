@@ -163,14 +163,36 @@ object Curation {
     * stay below 2^53 — at 25T tokens per 100 TB corpus, comfortably
     * true of any sane stratum). `idCol` must be unique per stratum:
     * duplicate ids make sequence assignment (and n_docs/first_doc/
-    * last_doc) nondeterministic across runs. */
+    * last_doc) nondeterministic across runs.
+    *
+    * `startOffsets` (incremental/streaming continuation — see
+    * [[graft.streaming.Streams.packBatchIncremental]]): per-stratum
+    * token counts already packed (`partitionCols` + `start_offset`;
+    * one global row when `partitionCols` is empty). Each stratum's
+    * token stream starts at its offset, so a later batch CONTINUES the
+    * stratum's last partial sequence instead of restarting at seq 0.
+    * The frame is offset-table-sized → broadcast; `None` compiles the
+    * exact single-exchange plan asserted in CurationSpec. */
   def packSequences(df: DataFrame, tokenCol: String, idCol: String,
       seqLen: Int, partitionCols: Seq[String],
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0, startOffsets: Option[DataFrame] = None): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
     val L = lit(seqLen.toDouble)
-    distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
-        "__end", "__graft_bucket")
+    val cum = distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
+      "__end", "__graft_bucket")
+    val offset = startOffsets match {
+      case None => cum
+      case Some(o) =>
+        require(o.columns.toSet == (partitionCols :+ "start_offset").toSet,
+          s"startOffsets must have columns $partitionCols + start_offset")
+        val ob = broadcast(o.withColumnRenamed("start_offset", "__soff"))
+        val joined =
+          if (partitionCols.isEmpty) cum.crossJoin(ob)
+          else cum.join(ob, partitionCols, "left")
+        joined.withColumn("__end",
+          col("__end") + coalesce(col("__soff"), lit(0L))).drop("__soff")
+    }
+    offset
       .withColumn("__start", col("__end") - col(tokenCol))
       .filter(col(tokenCol) > 0) // zero-token docs belong to no sequence
       .withColumn("seq_id", explode(sequence(

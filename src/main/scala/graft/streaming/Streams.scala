@@ -190,6 +190,84 @@ object Streams {
         upsertBatch(b.toDF(), targetDir, keys, orderCol))
       .start()
 
+  /** One micro-batch of incremental sequence packing
+    * ([[graft.ext.Curation.packSequences]] under streaming): packs
+    * `batch`'s documents CONTINUING each stratum's token stream from
+    * what the manifest table at `targetDir` already holds (per-stratum
+    * `start_offset` = sum of packed tokens, an offset-table-sized
+    * aggregate), merges the boundary partial sequence ADDITIVELY (the
+    * stratum's open last sequence gains the new batch's docs/tokens),
+    * and lands via [[upsertBatch]]'s crash-safe swap keyed on
+    * (stratum, seq_id). Exactly-once on top of foreachBatch's
+    * at-least-once: a replayed batch is detected by the committed
+    * `version` watermark (the swap is atomic-with-roll-forward, so a
+    * batch is either fully visible or not at all) and skipped.
+    *
+    * Arrival order IS pack order — streams must deliver documents in
+    * `idCol` order for the manifests to reconcile with one batch
+    * [[graft.ext.Curation.packSequences]] over the full corpus
+    * (StreamsSpec proves that parity); out-of-order arrival still
+    * packs every token exactly once, just in a different sequence
+    * assignment, like any order-sensitive streaming fold. */
+  def packBatchIncremental(batch: DataFrame, tokenCol: String, idCol: String,
+      seqLen: Int, partitionCols: Seq[String], targetDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (!fs.exists(target)) None
+      else {
+        graft.ops.Compaction.recoverSwap(fs, target)
+        Some(spark.read.parquet(targetDir))
+      }
+    // replay guard: versions are the source's monotone batch ids
+    val committed = old.map(_.agg(max("version")).head().getLong(0))
+    if (committed.exists(_ >= batchId)) return
+    val offsets = old.map { o =>
+      if (partitionCols.isEmpty)
+        o.agg(sum("n_tokens").cast("long").as("start_offset"))
+      else o.groupBy(partitionCols.map(col): _*)
+        .agg(sum("n_tokens").cast("long").as("start_offset"))
+    }
+    val key = partitionCols :+ "seq_id"
+    val packed = graft.ext.Curation.packSequences(batch, tokenCol, idCol,
+      seqLen, partitionCols, startOffsets = offsets)
+    val combined = old match {
+      case None => packed
+      case Some(o) =>
+        // only each stratum's open boundary sequence can collide; fold it
+        // in additively so upsert's key replacement stays one-row-per-key
+        val boundary = o.select((key ++ Seq("n_docs", "n_tokens",
+          "first_doc", "last_doc")).map(col): _*)
+          .join(packed.select(key.map(col): _*), key, "left_semi")
+        packed.unionByName(boundary)
+          .groupBy(key.map(col): _*)
+          .agg(sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            min("first_doc").as("first_doc"),
+            max("last_doc").as("last_doc"))
+    }
+    upsertBatch(combined.withColumn("version", lit(batchId)),
+      targetDir, key, "version")
+  }
+
+  /** Streaming sequence packing: encode upstream however the pipeline
+    * likes (e.g. [[graft.ext.Bpe.encode]] — a stateless projection that
+    * runs unchanged on a stream), then pack per micro-batch through
+    * [[packBatchIncremental]] into an exactly-once manifest table. */
+  def packingSink(stream: DataFrame, targetDir: String, checkpointDir: String,
+      tokenCol: String, idCol: String, seqLen: Int,
+      partitionCols: Seq[String]):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        packBatchIncremental(b.toDF(), tokenCol, idCol, seqLen,
+          partitionCols, targetDir, id))
+      .start()
+
   /** LEFT-OUTER watermarked interval join — the common enrichment shape
     * (every click, with its conversion if one arrived within the bound):
     * matched pairs emit like [[intervalJoin]]; a left event with no match

@@ -392,4 +392,46 @@ class StreamsSpec extends SparkSpec {
     // right side, once the 09:00 rows pushed the watermark past 00:10
     assert(rows == Seq((1L, false), (3L, true), (9L, false)))
   }
+
+  test("streaming sequence packing: micro-batch manifests reconcile to " +
+      "the one-shot batch packer, replayed batches are no-ops") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text", "lang")
+    val merges = graft.ext.Bpe.train(docs, "text", 4)
+    val enc = graft.ext.Bpe.encode(docs, "text", merges)
+      .select("doc_id", "lang", "n_bpe_tokens")
+    def manifestRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "seq_id", "n_docs", "n_tokens", "first_doc",
+        "last_doc").orderBy("lang", "seq_id")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = manifestRows(graft.ext.Curation.packSequences(
+      enc, "n_bpe_tokens", "doc_id", 512, Seq("lang")))
+    assert(want.length > 5)
+    // stream arrives in doc_id order: three contiguous ranges written as
+    // separate files with distinct mtimes (oldest-first trigger order)
+    val base = java.nio.file.Files.createTempDirectory("graft-packst")
+    val src = base.resolve("src").toString
+    Seq((Long.MinValue, 120L), (120L, 320L), (320L, Long.MaxValue))
+      .foreach { case (lo, hi) =>
+        enc.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+    val target = base.resolve("manifests").toString
+    val q = Streams.packingSink(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      target, base.resolve("ckpt").toString,
+      "n_bpe_tokens", "doc_id", 512, Seq("lang"))
+    q.processAllAvailable(); q.stop()
+    val table = spark.read.parquet(target)
+    // multiple micro-batches really ran (the boundary-merge path fired)
+    assert(table.agg(max("version")).head().getLong(0) >= 2L)
+    assert(manifestRows(table) == want)
+    // foreachBatch replay (at-least-once): an already-committed batch id
+    // is detected by the version watermark and skipped entirely
+    Streams.packBatchIncremental(enc, "n_bpe_tokens", "doc_id", 512,
+      Seq("lang"), target, batchId = 1L)
+    assert(manifestRows(spark.read.parquet(target)) == want)
+  }
 }
