@@ -435,6 +435,22 @@ object ExtQueries {
         .orderBy("token_id")
     },
 
+    // Id encoding: every subword mapped through the hash-indexed
+    // vocab_lookup_all expression (O(1) per probe — the element_at map
+    // literal linear-scans; docs/SCALING.md A/B); the oracle rebuilds the
+    // id table and probes it as a DuckDB MAP. md5 over each doc's id
+    // stream keeps the dump small with every id of every doc verified.
+    Q("x_bpe_encode_ids", BpeOracle.encodeIdsSql(8)) { (s, d) =>
+      val merges = trainedMerges(s, d, 8)
+      val vocab = graft.ext.Bpe.tokenVocab(docs(s, d), "text", merges)
+      graft.ext.Bpe.encodeIds(docsSpread(s, d), "text", merges, vocab)
+        .select(col("doc_id"),
+          size(col("bpe_ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("bpe_ids"), _.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    },
+
     // Composed tokenize→pack tail of the training pipeline: the packer
     // consumes SUBWORD counts from the learned tokenizer, and the
     // oracle re-derives the whole chain (train → encode → pack) in one
@@ -1269,6 +1285,32 @@ private[queries] object BpeOracle {
        |SELECT token_id, token FROM base
        |UNION ALL $merged
        |ORDER BY token_id""".stripMargin
+  }
+
+  /** Id-encoded corpus: every subword of every doc mapped through the
+    * token-id vocabulary (the [[vocabSql]] table as a DuckDB MAP, probed
+    * per subword — the oracle twin of the hash-indexed
+    * `vocab_lookup_all` expression), md5 over the per-doc id stream. */
+  def encodeIdsSql(n: Int): String = {
+    val merged = (1 to n)
+      .map(k => s"SELECT CAST(bc.n + ${k - 1} AS BIGINT) AS token_id, a||b AS token FROM m$k, bc")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${encCtes(n)},
+       |chars AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(w)),
+       |            i -> substring(w, i, 1))) AS token FROM words),
+       |base AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id,
+       |                token FROM chars),
+       |bc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |vocab AS (SELECT token_id, token FROM base UNION ALL $merged),
+       |vmap AS (SELECT map_from_entries(list(struct_pack(k := token, v := token_id))) AS m
+       |         FROM vocab),
+       |ids AS (SELECT doc_id,
+       |          list_transform(flatten(list_transform(ws, s -> string_split(s, '  '))),
+       |                         t -> map_extract(m, t)[1]) AS idl
+       |        FROM enc, vmap)
+       |SELECT doc_id, CAST(len(idl) AS BIGINT) AS n_ids,
+       |       md5(array_to_string(idl, ' ')) AS ids_md5
+       |FROM ids ORDER BY doc_id""".stripMargin
   }
 
   /** Composed tokenize→pack: BPE-encoded token counts feed the
