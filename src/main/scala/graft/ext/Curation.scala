@@ -77,11 +77,12 @@ object Curation {
     *
     * Output is IDENTICAL to the single-window formulation for any bucket
     * count/boundaries (offsets cancel bucketing out), so bucket
-    * assignment needs no determinism of its own; the shared range
-    * exchange is planned once and reused by both consumers, and a
-    * user-specified repartition count is exempt from AQE
-    * coalescing/splitting, so the `spark_partition_id` bucket ids agree
-    * between them by construction. `buckets` <= 0 means
+    * assignment needs no determinism of its own — PROVIDED both passes
+    * see one layout, which the in-body localCheckpoint guarantees
+    * physically (r14; exchange REUSE turned out to be pruning-fragile —
+    * see the body comment). A user-specified repartition count is exempt
+    * from AQE coalescing/splitting, so `spark_partition_id` is stable on
+    * the materialized frame. `buckets` <= 0 means
     * spark.sql.shuffle.partitions.
     *
     * Precondition (determinism): `idCol` must be unique within each
@@ -94,9 +95,26 @@ object Curation {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     Seq(cumCol, bucketCol, "__graft_loc", "__graft_off").foreach(c =>
       require(!df.columns.contains(c), s"input already has column $c"))
-    val bucketed = df
-      .repartitionByRange(b0, partitionCols.map(col) :+ col(idCol): _*)
+    val keyCols = partitionCols :+ idCol
+    val narrowCols = (keyCols :+ tokenCol).distinct
+    // The bucketed narrow frame MATERIALIZES (localCheckpoint — eager,
+    // lineage-truncating, spillable) before anything consumes it, for two
+    // reasons. Correctness: both the totals pass and the bucket-local
+    // cumsum must see the SAME bucket layout, but range-partition
+    // boundaries come from seeded-per-plan-instance reservoir sampling —
+    // if Catalyst plans the two consumers as separate exchanges (exchange
+    // reuse is an optimization that column pruning can and does break,
+    // observed under a count() action), their boundaries may disagree and
+    // the joined offsets would be garbage. Cost: without it the upstream
+    // (possibly an expensive projection — BPE encode in the tokenize→pack
+    // chain, measured ~9 s per pass at sf10) recomputes once per
+    // consumer. The checkpoint pins one physical layout and one upstream
+    // pass; it is (keys + token count)-wide — ~24 B/doc, corpus-DOC-sized
+    // not corpus-sized, a bounded cluster cache at any SF.
+    val bucketed = df.select(narrowCols.map(col): _*)
+      .repartitionByRange(b0, keyCols.map(col): _*)
       .withColumn(bucketCol, spark_partition_id())
+      .localCheckpoint()
     val totals = bucketed
       .groupBy(partitionCols.map(col) :+ col(bucketCol): _*)
       .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
@@ -111,11 +129,19 @@ object Curation {
       .partitionBy(partitionCols.map(col) :+ col(bucketCol): _*)
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
+    val cum = bucketed
       .withColumn("__graft_loc", sum(col(tokenCol).cast("long")).over(wLoc))
       .join(broadcast(offsets), partitionCols :+ bucketCol)
       .withColumn(cumCol, col("__graft_loc") + col("__graft_off"))
       .drop("__graft_loc", "__graft_off")
+    // narrow input (the packSequences path): done. Wider input (the
+    // packShards path, which must preserve every column): hook the cum
+    // back onto the full rows with ONE key-equi join — the full frame is
+    // traversed once, same as the serial single-window formulation, and
+    // the join parallelizes instead of funneling per-stratum.
+    if (df.columns.toSet == narrowCols.toSet) cum
+    else df.join(cum.select((keyCols :+ bucketCol :+ cumCol).map(col): _*),
+      keyCols)
   }
 
   /** Deterministic token-budget shard assignment: within each
@@ -178,8 +204,13 @@ object Curation {
       buckets: Int = 0, startOffsets: Option[DataFrame] = None): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
     val L = lit(seqLen.toDouble)
-    val cum = distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
-      "__end", "__graft_bucket")
+    // manifests need only (strata, id, token count) — project narrow so
+    // the cumsum materializes/joins nothing wider (a wide input like the
+    // tokenize→pack chain's encoded frame never enters the machinery)
+    val narrow = df.select(
+      ((partitionCols :+ idCol) :+ tokenCol).distinct.map(col): _*)
+    val cum = distributedCumsum(narrow, tokenCol, idCol, partitionCols,
+      buckets, "__end", "__graft_bucket")
     val offset = startOffsets match {
       case None => cum
       case Some(o) =>

@@ -369,12 +369,13 @@ class CurationSpec extends SparkSpec {
     seqs.unpersist()
   }
 
-  test("packSequences plan: no corpus-sized shuffle keys on the stratum " +
-      "alone, one shared range exchange, bucket-grain window") {
+  test("packSequences plan: ONE materialized bucket layout feeds both " +
+      "prefix-sum passes, bucket-grain window, no stratum serialization") {
     val df = Seq((1L, "a", 3), (2L, "a", 4), (3L, "b", 6))
       .toDF("doc_id", "lang", "n_tok")
     val plan = Curation.packSequences(df, "n_tok", "doc_id", 5, Seq("lang"))
       .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.RDDScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -382,20 +383,21 @@ class CurationSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    // distinct-by-identity: the reused range exchange appears in several
-    // subtrees but is ONE node (planned + executed once)
-    val exchanges = resolved.collect { case e: ShuffleExchangeLike => e }
-    val distinctEx = exchanges
-      .map(e => System.identityHashCode(e) -> e).toMap.values.toSeq
-    val ranges = distinctEx.filter(
-      _.outputPartitioning.toString.toLowerCase.contains("range"))
-    assert(ranges.nonEmpty && ranges.size <= 2,
-      s"expected the one (shared) range exchange, got ${ranges.size}")
-    // both prefix-sum consumers must see the SAME bucketing: canonical
-    // equality makes the AQE stage cache materialize the exchange once
-    assert(ranges.map(_.canonicalized).distinct.size == 1,
-      "the two range-exchange references must be canonically equal " +
-        "(otherwise bucket ids could diverge between consumers)")
+    // the range bucketing ran ONCE, eagerly, into a localCheckpoint —
+    // both consumers (totals pass and bucket-local cumsum) scan the SAME
+    // materialized RDD, so bucket ids cannot diverge between them (range
+    // boundary sampling is per-plan-instance; two independently planned
+    // exchanges could disagree) and an expensive upstream runs one pass
+    val scans = resolved.collect { case r: RDDScanExec => r }
+    assert(scans.nonEmpty, "expected checkpoint scans in the pack plan")
+    assert(scans.map(_.rdd.id).distinct.size == 1,
+      s"both prefix-sum passes must read ONE materialized layout, got " +
+        s"rdd ids ${scans.map(_.rdd.id).distinct}")
+    // no range exchange may remain downstream of the materialization
+    val ranges = resolved.collect { case e: ShuffleExchangeLike => e }
+      .filter(_.outputPartitioning.toString.toLowerCase.contains("range"))
+    assert(ranges.isEmpty,
+      s"bucketing must happen once at materialization, found $ranges")
     // the corpus-row window must partition at bucket grain, never by the
     // stratum alone (that is the 90%-stratum one-task serialization)
     val windows = resolved.collect { case w: WindowExec => w }
