@@ -462,6 +462,10 @@ object ScaleOracles {
     "x_quality_classifier" -> qualityClassifier,
     "x_text_features" -> docSharded("x_text_features"),
     "x_token_entropy" -> docSharded("x_token_entropy"),
+    // per-token 64-bit-vote unnest (tokens × 64 rows): OOMs a single
+    // DuckDB statement at sf10 even solo at a 110 GB limit (r14) — but
+    // each simhash depends only on its own document, so shard exactly
+    "x_dedup_simhash" -> docSharded("x_dedup_simhash"),
     "x_text_tfidf" -> tfidf,
     "x_dedup_lsh_pairs" -> lshPairs,
     "x_emb_neardup" -> embNearDup,
