@@ -87,7 +87,29 @@ object Curation {
     *
     * Precondition (determinism): `idCol` must be unique within each
     * stratum — duplicate ids leave the intra-tie cumsum order undefined
-    * (same contract as the single-window shape it replaces). */
+    * (same contract as the single-window shape it replaces). NULL keys
+    * are legal: a NULL stratum (or id) forms one group, exactly as the
+    * single-window `partitionBy` treated it — every internal join is
+    * null-safe (`<=>`), so no row is silently dropped. */
+  /** Equi-join on `keys` with NULL-SAFE (`<=>`) key matching. NULL is a
+    * legal stratum value (window partitionBy groups NULLs together, and
+    * a real corpus can carry e.g. a null `lang`), but a plain
+    * name-based equi-join never matches NULL keys — rows would vanish
+    * silently. Right-side keys are renamed before the join (so
+    * resolution never relies on self-join disambiguation) and dropped
+    * after; a `broadcast` hint on `right` survives the rename. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], joinType: String = "inner"): DataFrame = {
+    val renamed = keys.map(k => k -> s"__graft_r_$k")
+    renamed.foreach { case (_, rk) =>
+      require(!left.columns.contains(rk), s"left already has column $rk") }
+    val r2 = renamed.foldLeft(right) {
+      case (d, (k, rk)) => d.withColumnRenamed(k, rk) }
+    val cond = renamed.map { case (k, rk) => col(k) <=> col(rk) }
+      .reduce(_ && _)
+    left.join(r2, cond, joinType).drop(renamed.map(_._2): _*)
+  }
+
   private[graft] def distributedCumsum(df: DataFrame, tokenCol: String,
       idCol: String, partitionCols: Seq[String], buckets: Int,
       cumCol: String, bucketCol: String): DataFrame = {
@@ -129,19 +151,22 @@ object Curation {
       .partitionBy(partitionCols.map(col) :+ col(bucketCol): _*)
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed
-      .withColumn("__graft_loc", sum(col(tokenCol).cast("long")).over(wLoc))
-      .join(broadcast(offsets), partitionCols :+ bucketCol)
+    val cum = joinNullSafe(
+        bucketed.withColumn("__graft_loc",
+          sum(col(tokenCol).cast("long")).over(wLoc)),
+        broadcast(offsets), partitionCols :+ bucketCol)
       .withColumn(cumCol, col("__graft_loc") + col("__graft_off"))
       .drop("__graft_loc", "__graft_off")
     // narrow input (the packSequences path): done. Wider input (the
     // packShards path, which must preserve every column): hook the cum
     // back onto the full rows with ONE key-equi join — the full frame is
     // traversed once, same as the serial single-window formulation, and
-    // the join parallelizes instead of funneling per-stratum.
+    // the join parallelizes instead of funneling per-stratum. Null-safe
+    // keys, like every join here: a null stratum (or null id) is a row
+    // the single-window formulation kept, so the two-pass one must too.
     if (df.columns.toSet == narrowCols.toSet) cum
-    else df.join(cum.select((keyCols :+ bucketCol :+ cumCol).map(col): _*),
-      keyCols)
+    else joinNullSafe(df,
+      cum.select((keyCols :+ bucketCol :+ cumCol).map(col): _*), keyCols)
   }
 
   /** Deterministic token-budget shard assignment: within each
@@ -219,7 +244,7 @@ object Curation {
         val ob = broadcast(o.withColumnRenamed("start_offset", "__soff"))
         val joined =
           if (partitionCols.isEmpty) cum.crossJoin(ob)
-          else cum.join(ob, partitionCols, "left")
+          else joinNullSafe(cum, ob, partitionCols, "left")
         joined.withColumn("__end",
           col("__end") + coalesce(col("__soff"), lit(0L))).drop("__soff")
     }

@@ -147,6 +147,12 @@ object MiscQueries {
     // snapshot stamp: already-loaded keys were NOT re-inserted, while the
     // odd event_ids arrive with the second stamp. Per-login summary is the
     // reference's "consulter l'historique" query in aggregate form.
+    // The incoming CTE's QUALIFY mirrors appendHistory's within-batch
+    // first-per-key dedup (same semantics even if a generator ever emits
+    // two events sharing (user_id, ts)); the ORDER BY lists the non-key
+    // columns that VARY per key here — poste_client/base_de_donnees/
+    // snapshot_dt are constant within a key, so the tiebreak matches
+    // appendHistory's full non-key column order.
     Q("sec_connexion_history",
       """WITH raw AS (
         |  SELECT 'user_' || CAST(user_id AS VARCHAR) AS login_sql,
@@ -162,7 +168,10 @@ object MiscQueries {
         |incoming AS (
         |  SELECT login_sql, heure_connexion, statut_session, application,
         |         TIMESTAMP '2024-06-08 00:00:00' AS snapshot_dt
-        |  FROM raw),
+        |  FROM raw
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY login_sql, heure_connexion
+        |    ORDER BY statut_session, application) = 1),
         |hist AS (
         |  SELECT * FROM existing
         |  UNION ALL

@@ -62,17 +62,27 @@ object ConnexionAudit {
     * the reference's NOT EXISTS guard, so the load is idempotent and a
     * re-fetched overlapping window is a no-op. Within-batch duplicate
     * keys (the log service can emit one login twice) resolve
-    * deterministically to the first row in column order — the
-    * reference's in-order cursor loop keeps the first occurrence too. */
+    * deterministically to the row with the SMALLEST non-key column
+    * values (column order). The reference's in-order cursor loop keeps
+    * the first ARRIVAL instead; the two coincide when duplicates are
+    * byte-identical — the common log-replay case — and a Dataset has no
+    * arrival order to preserve, so smallest-by-value is the
+    * deterministic refinement. A key-only frame (no non-key columns to
+    * order by) falls back to dropDuplicates: its duplicates are
+    * identical whole rows, so any survivor is the same row. */
   def appendHistory(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val key = Seq("login_sql", "heure_connexion")
     val rest = incoming.columns.filterNot(key.contains)
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(rest.map(col): _*)
-    val newRows = incoming
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .join(existing.select(key.map(col): _*), key, "left_anti")
+    val deduped =
+      if (rest.isEmpty) incoming.dropDuplicates(key)
+      else {
+        val w = Window.partitionBy(key.map(col): _*)
+          .orderBy(rest.map(col): _*)
+        incoming.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val newRows =
+      deduped.join(existing.select(key.map(col): _*), key, "left_anti")
     existing.unionByName(newRows)
   }
 

@@ -221,8 +221,14 @@ object Streams {
         graft.ops.Compaction.recoverSwap(fs, target)
         Some(spark.read.parquet(targetDir))
       }
-    // replay guard: versions are the source's monotone batch ids
-    val committed = old.map(_.agg(max("version")).head().getLong(0))
+    // replay guard: versions are the source's monotone batch ids. The
+    // max is read null-safely: an EXISTING but EMPTY manifest table (a
+    // first micro-batch of only zero-token docs packs no sequences)
+    // yields max(version) = NULL, which means "no committed batch", not
+    // a crash-loop NPE on every restart of the replayed batch.
+    val committed = old.flatMap(o =>
+      Option(o.agg(max("version")).head().getAs[java.lang.Long](0))
+        .map(_.longValue))
     if (committed.exists(_ >= batchId)) return
     val offsets = old.map { o =>
       if (partitionCols.isEmpty)

@@ -68,6 +68,19 @@ class ConnexionAuditSpec extends SparkSpec {
     assert(hist.select("statut_session").head().getString(0) == "ECHEC")
   }
 
+  test("appendHistory on a key-only frame: duplicates are identical whole " +
+      "rows, deduped via dropDuplicates instead of an empty window order") {
+    val keyOnly = Seq(
+      ("alice", "2024-06-01 08:00:00"),
+      ("alice", "2024-06-01 08:00:00"),
+      ("bob", "2024-06-01 09:00:00"))
+      .toDF("login_sql", "heure_connexion")
+      .withColumn("heure_connexion", col("heure_connexion").cast("timestamp"))
+    val hist = ConnexionAudit.appendHistory(keyOnly.limit(0), keyOnly)
+    assert(hist.count() == 2)
+    assert(ConnexionAudit.appendHistory(hist, keyOnly).count() == 2)
+  }
+
   test("activeSessions: identity/zones fallbacks, system-session filter, " +
       "sorted zone list, minute age") {
     val sessions = Seq(

@@ -123,6 +123,49 @@ class CurationSpec extends SparkSpec {
     assert(again == expect)
   }
 
+  test("distributedCumsum keeps NULL-stratum and NULL-id rows: null-safe " +
+      "joins match the single-window formulation row for row") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (Option(1L), Option("en"), 5), (Option(2L), Option("en"), 7),
+      (Option(3L), Option.empty[String], 11),
+      (Option(4L), Option.empty[String], 13),
+      (Option.empty[Long], Option("en"), 3), (Option(5L), Option("fr"), 17))
+      .toDF("doc_id", "lang", "n_tok")
+    val cum = Curation.distributedCumsum(docs, "n_tok", "doc_id",
+      Seq("lang"), buckets = 4, cumCol = "__cum", bucketCol = "__b")
+    assert(cum.count() == 6, "a null key must never drop a row")
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = docs
+      .withColumn("ref", sum($"n_tok".cast("long")).over(w))
+      .select($"doc_id", $"lang", $"ref")
+      .as[(Option[Long], Option[String], Long)].collect().toSet
+    val got = cum.select($"doc_id", $"lang", $"__cum")
+      .as[(Option[Long], Option[String], Long)].collect().toSet
+    assert(got == expect)
+    // the wide packShards path (extra payload column → null-safe
+    // join-back) keeps the null-keyed rows too
+    val shards = Curation.packShards(
+      docs.withColumn("payload", coalesce($"doc_id", lit(-1L))),
+      "n_tok", "doc_id", 10L, Seq("lang"), buckets = 4)
+    assert(shards.count() == 6)
+    assert(shards.filter($"lang".isNull).count() == 2)
+    // packSequences with a NULL-stratum start offset: the offset must
+    // APPLY (null-safe left join), not silently coalesce to zero
+    val offs = Seq((Option("en"), 100L), (Option.empty[String], 7L))
+      .toDF("lang", "start_offset")
+    val manifest = Curation.packSequences(docs, "n_tok", "doc_id", 8,
+      Seq("lang"), startOffsets = Some(offs))
+    val nullSeqs = manifest.filter($"lang".isNull)
+      .select($"seq_id").as[Long].collect().toSet
+    // null stratum: 24 tokens from offset 7 → covers [7, 31) → seqs 0..3
+    // (a dropped offset row would coalesce to 0 and stop at seq 2)
+    assert(nullSeqs == Set(0L, 1L, 2L, 3L))
+    assert(manifest.filter($"lang".isNull)
+      .agg(sum("n_tokens")).head().getLong(0) == 24L)
+  }
+
   test("sampleStratified: deterministic, honors per-stratum thresholds") {
     val docs = (0L until 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "lang")

@@ -434,4 +434,27 @@ class StreamsSpec extends SparkSpec {
       Seq("lang"), target, batchId = 1L)
     assert(manifestRows(spark.read.parquet(target)) == want)
   }
+
+  test("packBatchIncremental: an existing-but-EMPTY manifest table reads " +
+      "as 'no committed batch' (null-safe watermark), not an NPE") {
+    val base = java.nio.file.Files.createTempDirectory("graft-packempty")
+    val target = base.resolve("manifests").toString
+    // an empty manifest table (external truncation / another writer):
+    // max(version) is NULL — this crash-looped the stream before the fix
+    Seq.empty[(String, Long, Long, Long, Long, Long, Long)]
+      .toDF("lang", "seq_id", "n_docs", "n_tokens", "first_doc",
+        "last_doc", "version")
+      .write.parquet(target)
+    val docs = Seq((3L, "en", 5), (4L, "en", 7)).toDF("doc_id", "lang", "n")
+    Streams.packBatchIncremental(docs, "n", "doc_id", 8, Seq("lang"),
+      target, batchId = 0L)
+    val table = spark.read.parquet(target)
+    assert(table.agg(sum("n_tokens")).head().getLong(0) == 12L)
+    assert(table.agg(max("version")).head().getLong(0) == 0L)
+    // and the committed batch now guards replay as usual
+    Streams.packBatchIncremental(docs, "n", "doc_id", 8, Seq("lang"),
+      target, batchId = 0L)
+    assert(spark.read.parquet(target)
+      .agg(sum("n_tokens")).head().getLong(0) == 12L)
+  }
 }
