@@ -59,38 +59,6 @@ object Curation {
       .drop("__st")
   }
 
-  /** Two-pass distributed per-stratum running token sum — the scale
-    * engine under [[packShards]]/[[packSequences]]. A single
-    * stratum-partitioned window would funnel each stratum through ONE
-    * task (a web corpus is ~90 % one language: at 100 TB that is a
-    * single-task sort of ~90 TB), so instead:
-    *
-    *   1. range-partition on (strata…, id) into `buckets` buckets — each
-    *      bucket holds a contiguous id range of (usually) one stratum,
-    *      sized corpus/buckets;
-    *   2. per-(stratum, bucket) token totals: a map-side-combined
-    *      aggregate of buckets × strata rows (tiny);
-    *   3. exclusive per-stratum running offsets over that tiny frame
-    *      (one window over buckets × strata rows — never corpus-sized);
-    *   4. bucket-local window cumsum (bucket-sized partitions, fully
-    *      parallel) + the broadcast offset = the exact global cumsum.
-    *
-    * Output is IDENTICAL to the single-window formulation for any bucket
-    * count/boundaries (offsets cancel bucketing out), so bucket
-    * assignment needs no determinism of its own — PROVIDED both passes
-    * see one layout, which the in-body localCheckpoint guarantees
-    * physically (r14; exchange REUSE turned out to be pruning-fragile —
-    * see the body comment). A user-specified repartition count is exempt
-    * from AQE coalescing/splitting, so `spark_partition_id` is stable on
-    * the materialized frame. `buckets` <= 0 means
-    * spark.sql.shuffle.partitions.
-    *
-    * Precondition (determinism): `idCol` must be unique within each
-    * stratum — duplicate ids leave the intra-tie cumsum order undefined
-    * (same contract as the single-window shape it replaces). NULL keys
-    * are legal: a NULL stratum (or id) forms one group, exactly as the
-    * single-window `partitionBy` treated it — every internal join is
-    * null-safe (`<=>`), so no row is silently dropped. */
   /** Equi-join on `keys` with NULL-SAFE (`<=>`) key matching. NULL is a
     * legal stratum value (window partitionBy groups NULLs together, and
     * a real corpus can carry e.g. a null `lang`), but a plain
@@ -110,33 +78,91 @@ object Curation {
     left.join(r2, cond, joinType).drop(renamed.map(_._2): _*)
   }
 
+  /** Two-pass distributed per-stratum running token sum — the scale
+    * engine under [[packShards]]/[[packSequences]]. A single
+    * stratum-partitioned window would funnel each stratum through ONE
+    * task (a web corpus is ~90 % one language: at 100 TB that is a
+    * single-task sort of ~90 TB), so instead:
+    *
+    *   1. split each stratum's id-ordered stream into `buckets` buckets
+    *      (two bucketing modes below);
+    *   2. per-(stratum, bucket) token totals: a map-side-combined
+    *      aggregate of buckets × strata rows (tiny);
+    *   3. exclusive per-stratum running offsets over that tiny frame
+    *      (one window over buckets × strata rows — never corpus-sized);
+    *   4. bucket-local window cumsum (bucket-sized partitions, fully
+    *      parallel) + the broadcast offset = the exact global cumsum.
+    *
+    * Output is IDENTICAL to the single-window formulation for any bucket
+    * count/boundaries (offsets cancel bucketing out) — PROVIDED the
+    * totals pass and the window pass see the SAME bucket assignment.
+    * The two modes guarantee that differently, trading materialization
+    * against upstream recompute:
+    *
+    * - `materialize = true` (default): range-partition on (strata…, id),
+    *   stamp `spark_partition_id`, and localCheckpoint (eager,
+    *   spillable, lineage-truncating) the frame ONCE — both consumers
+    *   read the pinned physical layout. Needed because range boundaries
+    *   come from seeded-per-plan-instance reservoir sampling, and
+    *   exchange REUSE is pruning-fragile (r14: separate exchanges under
+    *   a count() action → divergent boundaries → garbage offsets). One
+    *   upstream pass — right when upstream is expensive (BPE encode
+    *   measured ~9 s per pass at sf10). The checkpoint is as wide as
+    *   `df`: project fat columns (text, embeddings) away BEFORE packing.
+    * - `materialize = false`: bucket = a pure FUNCTION of the id VALUE —
+    *   approx-quantile boundaries of `idCol` computed once on the
+    *   driver (bounded: `buckets`-1 doubles) and inlined as a codegen'd
+    *   comparison-sum. Both consumers evaluate the same literal
+    *   expression, so they cannot diverge and NOTHING materializes; the
+    *   price is upstream recompute per pass (the boundary pass reads
+    *   `idCol` only — column-pruned — and totals + window each read
+    *   (keys, token)). Right when upstream is a cheap pruned scan.
+    *   Monotonicity makes it exact: long→double casting is monotone and
+    *   the per-bound comparisons are strict, so id₁ < id₂ ⇒ bucket(id₁)
+    *   ≤ bucket(id₂) within every stratum even where the cast rounds,
+    *   and boundary-value balance is the only thing approximation can
+    *   affect. Requires a numeric `idCol` — non-numeric ids fall back
+    *   to the materialized mode.
+    *
+    * `buckets` <= 0 means spark.sql.shuffle.partitions.
+    *
+    * Precondition (determinism): `idCol` must be unique within each
+    * stratum — duplicate ids leave the intra-tie cumsum order undefined
+    * (same contract as the single-window shape it replaces). NULL keys
+    * are legal: a NULL stratum (or id) forms one group, exactly as the
+    * single-window `partitionBy` treated it — every internal join is
+    * null-safe (`<=>`), a NULL id value-buckets to bucket 0 (all
+    * comparisons fail), matching NULLS FIRST ordering. */
   private[graft] def distributedCumsum(df: DataFrame, tokenCol: String,
       idCol: String, partitionCols: Seq[String], buckets: Int,
-      cumCol: String, bucketCol: String): DataFrame = {
+      cumCol: String, bucketCol: String,
+      materialize: Boolean = true): DataFrame = {
     val b0 = if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
     Seq(cumCol, bucketCol, "__graft_loc", "__graft_off").foreach(c =>
       require(!df.columns.contains(c), s"input already has column $c"))
     val keyCols = partitionCols :+ idCol
-    val narrowCols = (keyCols :+ tokenCol).distinct
-    // The bucketed narrow frame MATERIALIZES (localCheckpoint — eager,
-    // lineage-truncating, spillable) before anything consumes it, for two
-    // reasons. Correctness: both the totals pass and the bucket-local
-    // cumsum must see the SAME bucket layout, but range-partition
-    // boundaries come from seeded-per-plan-instance reservoir sampling —
-    // if Catalyst plans the two consumers as separate exchanges (exchange
-    // reuse is an optimization that column pruning can and does break,
-    // observed under a count() action), their boundaries may disagree and
-    // the joined offsets would be garbage. Cost: without it the upstream
-    // (possibly an expensive projection — BPE encode in the tokenize→pack
-    // chain, measured ~9 s per pass at sf10) recomputes once per
-    // consumer. The checkpoint pins one physical layout and one upstream
-    // pass; it is (keys + token count)-wide — ~24 B/doc, corpus-DOC-sized
-    // not corpus-sized, a bounded cluster cache at any SF.
-    val bucketed = df.select(narrowCols.map(col): _*)
-      .repartitionByRange(b0, keyCols.map(col): _*)
-      .withColumn(bucketCol, spark_partition_id())
-      .localCheckpoint()
+    val numericId = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bucketed =
+      if (materialize || !numericId)
+        df.repartitionByRange(b0, keyCols.map(col): _*)
+          .withColumn(bucketCol, spark_partition_id())
+          .localCheckpoint()
+      else {
+        val bounds: Seq[Double] =
+          if (b0 <= 1) Nil
+          else {
+            val probs = (1 until b0).map(_.toDouble / b0)
+            val q = df.select(percentile_approx(col(idCol).cast("double"),
+              typedlit(probs), lit(10000)).as("q")).head()
+            if (q.isNullAt(0)) Nil else q.getSeq[Double](0)
+          }
+        val bucketExpr = bounds
+          .map(x => when(col(idCol).cast("double") > lit(x), 1).otherwise(0))
+          .reduceOption(_ + _).getOrElse(lit(0))
+        df.withColumn(bucketCol, bucketExpr)
+      }
     val totals = bucketed
       .groupBy(partitionCols.map(col) :+ col(bucketCol): _*)
       .agg(sum(col(tokenCol).cast("long")).as("__graft_tot"))
@@ -157,16 +183,13 @@ object Curation {
         broadcast(offsets), partitionCols :+ bucketCol)
       .withColumn(cumCol, col("__graft_loc") + col("__graft_off"))
       .drop("__graft_loc", "__graft_off")
-    // narrow input (the packSequences path): done. Wider input (the
-    // packShards path, which must preserve every column): hook the cum
-    // back onto the full rows with ONE key-equi join — the full frame is
-    // traversed once, same as the serial single-window formulation, and
-    // the join parallelizes instead of funneling per-stratum. Null-safe
-    // keys, like every join here: a null stratum (or null id) is a row
-    // the single-window formulation kept, so the two-pass one must too.
-    if (df.columns.toSet == narrowCols.toSet) cum
-    else joinNullSafe(df,
-      cum.select((keyCols :+ bucketCol :+ cumCol).map(col): _*), keyCols)
+    // Every input column rides through the window pass (r15: the r14
+    // narrow-projection + key-join-back recomputed an expensive upstream
+    // a SECOND time for the join input and shuffled the wide frame anyway
+    // — strictly worse than carrying the columns through the one shuffle
+    // the window needs). Callers control the materialized/shuffled width
+    // by projecting before they pack.
+    cum
   }
 
   /** Deterministic token-budget shard assignment: within each
@@ -179,13 +202,16 @@ object Curation {
     * fully global pack: `partitionCols = Nil` is legal) parallelizes
     * across `buckets` range buckets instead of serializing through one
     * window task. `idCol` must be unique per stratum for deterministic
-    * output. */
+    * output. Every input column rides through the pack shuffle (and the
+    * default materialization) — project fat columns (text, embeddings)
+    * away before packing; `materialize = false` (numeric ids) trades the
+    * checkpoint for upstream recompute — see [[distributedCumsum]]. */
   def packShards(df: DataFrame, tokenCol: String, idCol: String,
       budget: Long, partitionCols: Seq[String],
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0, materialize: Boolean = true): DataFrame = {
     require(budget >= 1, "budget must be positive")
     distributedCumsum(df, tokenCol, idCol, partitionCols, buckets,
-        "__cum", "__graft_bucket")
+        "__cum", "__graft_bucket", materialize)
       .withColumn("shard_id",
         floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble))
           .cast("int"))
@@ -226,16 +252,17 @@ object Curation {
     * exact single-exchange plan asserted in CurationSpec. */
   def packSequences(df: DataFrame, tokenCol: String, idCol: String,
       seqLen: Int, partitionCols: Seq[String],
-      buckets: Int = 0, startOffsets: Option[DataFrame] = None): DataFrame = {
+      buckets: Int = 0, startOffsets: Option[DataFrame] = None,
+      materialize: Boolean = true): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
     val L = lit(seqLen.toDouble)
     // manifests need only (strata, id, token count) — project narrow so
-    // the cumsum materializes/joins nothing wider (a wide input like the
-    // tokenize→pack chain's encoded frame never enters the machinery)
+    // the cumsum materializes/shuffles nothing wider (a wide input like
+    // the tokenize→pack chain's encoded frame never enters the machinery)
     val narrow = df.select(
       ((partitionCols :+ idCol) :+ tokenCol).distinct.map(col): _*)
     val cum = distributedCumsum(narrow, tokenCol, idCol, partitionCols,
-      buckets, "__end", "__graft_bucket")
+      buckets, "__end", "__graft_bucket", materialize)
     val offset = startOffsets match {
       case None => cum
       case Some(o) =>

@@ -308,10 +308,14 @@ object ExtQueries {
          |SELECT doc_id, lang, n_tokens,
          |       CAST(floor((cum - n_tokens) / 1000.0) AS INT) AS shard_id
          |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      // narrow projection + the no-materialization mode: upstream is a
+      // pruned parquet scan, so recomputing it per pass beats paying the
+      // checkpoint (the boundary pass reads doc_id only)
       val withTok = docsSpread(s, d).withColumn("n_tokens",
         size(TextAnalysis.tokens(col("text"))))
+        .select("doc_id", "lang", "n_tokens")
       Curation.packShards(withTok, "n_tokens", "doc_id",
-          budget = 1000L, partitionCols = Seq("lang"))
+          budget = 1000L, partitionCols = Seq("lang"), materialize = false)
         .select("doc_id", "lang", "n_tokens", "shard_id")
         .orderBy("lang", "doc_id")
     },
@@ -395,7 +399,7 @@ object ExtQueries {
       val withTok = docsSpread(s, d).withColumn("n_tok",
         size(TextAnalysis.tokens(col("text"))))
       Curation.packSequences(withTok, "n_tok", "doc_id",
-          seqLen = 512, partitionCols = Seq("lang"))
+          seqLen = 512, partitionCols = Seq("lang"), materialize = false)
         .select("lang", "seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
         .orderBy("lang", "seq_id")
     },

@@ -345,9 +345,14 @@ object ScaleQueries {
         .select(col("doc_id"), col("split"))
       val chunks = Curation.chunk(clean.join(split, "doc_id"), "text",
         chunkTokens = 32, overlap = 8)
+      // project the chunk/doc text away BEFORE packing: packShards
+      // carries (and its default mode materializes) every input column,
+      // and only these six ride into the output
       val keyed = chunks.withColumn("__key", Curation.shuffleKey(
         concat(col("doc_id").cast("string"), lit("_"),
           col("chunk_idx").cast("string")), "ep1"))
+        .select("doc_id", "chunk_idx", "lang", "split", "n_chunk_tokens",
+          "__key")
       Curation.packShards(keyed, "n_chunk_tokens", "__key",
           budget = 1000L, partitionCols = Seq("split", "lang"))
         .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
