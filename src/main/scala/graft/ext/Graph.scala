@@ -120,13 +120,18 @@ object Graph {
             mat
           case None if hasDangling =>
             // the dangling branch references `ranks` TWICE (contribs +
-            // the dang aggregate) — left lazy, the plan between
-            // checkpoints would double per iteration (2^checkpointEvery
-            // duplicated rank sub-plans to analyze/execute). Eager
-            // materialization keeps the lineage linear in iters, same
-            // as the tol path; one node-grain checkpoint per iteration
-            // is the cost PageRank pays anyway on asymmetric graphs.
-            next.localCheckpoint()
+            // the dang aggregate) — left as a plain lazy plan, the
+            // Catalyst tree between checkpoints would double per
+            // iteration (logical plans are TREES; a shared subplan
+            // appears 2^k times). A LAZY localCheckpoint solves that
+            // without per-iteration blocking: the Dataset's plan becomes
+            // a LogicalRDD leaf IMMEDIATELY (depth resets), while the
+            // double reference lives in the RDD DAG — a real dag, where
+            // the shared node is one persisted node computed once. The
+            // whole horizon then executes as one job cascade at the
+            // final eager checkpoint instead of iters driver-blocking
+            // jobs (r15: measured below in docs/SCALING.md).
+            next.localCheckpoint(eager = false)
           case None =>
             if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
               next.localCheckpoint(eager = false)
