@@ -675,6 +675,73 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental connected-components maintenance: fold one ingest
+    * batch's near-dup pairs into an existing corpus clustering without
+    * re-running components over the corpus — the cluster-table analogue
+    * of [[incrementalNearDupPairs]]' signature-index maintenance, and
+    * the last piece of the incremental dedup story (index → pairs →
+    * clusters).
+    *
+    * Inputs: `existing` = the maintained `(id, cluster_id)` table, one
+    * row per corpus doc including singletons, cluster_id = smallest
+    * member id (i.e. a CONVERGED [[clusterPairs]]/[[clusterPairsStar]]
+    * output extended with self-labeled singletons); `newIds` = every doc
+    * id of the new batch as a column `id` (singletons included; disjoint
+    * from `existing`); `newPairs` = the batch's near-dup pairs — the
+    * new×old shape [[incrementalNearDupPairs]] returns plus the batch's
+    * internal new×new pairs (old×old pairs are legal too). Every pair
+    * endpoint must appear in `existing` or `newIds`; unknown endpoints
+    * influence labels but emit no output row.
+    *
+    * Shape: CONTRACT each pair endpoint to its current cluster label
+    * (batch-grain: only the touched corpus rows are fetched, via a
+    * broadcast semi-join), run [[clusterPairs]] on the contracted graph
+    * — its vertices are touched cluster reps + new ids, never
+    * corpus-grain — then EXPAND by broadcasting the batch-grain relabel
+    * map back over `existing`. The corpus is SCANNED twice (label fetch,
+    * relabel) and SHUFFLED zero times; a batch re-cluster would pay
+    * O(diameter) corpus-grain shuffles instead. `newPairs` is evaluated
+    * twice (endpoint extraction + contraction) — cache upstream if it is
+    * an expensive LSH pipeline.
+    *
+    * Exactness (the gate oracle checks it literally against a full
+    * batch re-cluster): contracting a converged min-label clustering
+    * preserves connectivity — new edges connect exactly the clusters
+    * whose representatives the contracted edges connect — and mins
+    * compose: min over merged clusters of per-cluster min ids = the
+    * merged component's smallest member id. */
+  def clusterPairsIncremental(existing: DataFrame, newIds: DataFrame,
+      newPairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    val pairs = newPairs.select(col(aCol), col(bCol))
+    val ends = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+    // batch-grain: current labels of the touched corpus endpoints only
+    val touched = existing.join(broadcast(ends), Seq("id"), "left_semi")
+    val la = touched.select(col("id").as(aCol), col("cluster_id").as("__la"))
+    val lb = touched.select(col("id").as(bCol), col("cluster_id").as("__lb"))
+    val contracted = pairs
+      .join(la, Seq(aCol), "left")
+      .join(lb, Seq(bCol), "left")
+      .select(coalesce(col("__la"), col(aCol)).as("__ca"),
+        coalesce(col("__lb"), col(bCol)).as("__cb"))
+      .filter(col("__ca") =!= col("__cb"))
+    // merged: (old label | new id) → smallest merged member id. Already
+    // locally checkpointed by clusterPairs, so the expand plan below is
+    // two broadcast joins over leaf frames — nothing iterative survives.
+    val merged = clusterPairs(contracted, "__ca", "__cb", maxIter)
+    val updated = existing
+      .join(broadcast(merged.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__m"))), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__m"), col("cluster_id")).as("cluster_id"))
+    val fresh = newIds.select(col("id"))
+      .join(broadcast(merged.select(col("id"),
+        col("cluster_id").as("__m"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+    updated.unionByName(fresh)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the token set. Per-token 64-bit hash = first 16 hex

@@ -163,6 +163,92 @@ object ScaleQueries {
         .orderBy("cluster_id")
     },
 
+    // Incremental cluster maintenance: the corpus is clustered once
+    // (docs with doc_id % 7 != 0), then one ingest batch (% 7 == 0)
+    // folds in through contract→cluster→expand — the corpus never
+    // re-clusters (two broadcast-join scans, zero corpus shuffles). The
+    // oracle knows nothing about the split: it re-clusters old∪new FROM
+    // SCRATCH (same recursive-CTE transitive closure as
+    // x_dedup_clusters, singletons included), so a green row PROVES
+    // incremental ≡ batch. Output = cluster-size histogram with id-sum
+    // checksums (bounded rows at any SF).
+    Q("x_dedup_clusters_incr", {
+      val LTOKS = "list_filter(string_split(lower(text),' '), x -> x <> '')"
+      val SHINGLES = "list_transform(range(len(ltoks)-2), " +
+        "i -> ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3])"
+      def mh(src: String, seed: Int) =
+        s"list_min(list_transform($src, t -> substr(md5('$seed:'||t),1,16)))"
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $LTOKS AS ltoks FROM documents),
+         |sh AS (SELECT doc_id, $SHINGLES AS shingles FROM tok WHERE len(ltoks) >= 3),
+         |sig AS (SELECT doc_id, list_distinct(shingles) AS dsh,
+         |  ${(0 until 8).map(i => mh("shingles", i) + s" AS mh$i").mkString(",\n  ")}
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, dsh, 0 AS band_idx, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_val FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, dsh, 1, md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.dsh, x -> list_contains(sb.dsh, x))) AS inter,
+         |    len(sa.dsh) + len(sb.dsh) AS tot
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM jac
+         |  WHERE CAST(inter AS DOUBLE) / nullif(tot - inter, 0) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src, dst FROM edges
+         |          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |full_l AS (SELECT d.doc_id AS id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         |cl AS (SELECT cluster_id, count(*) AS n, max(id) AS mx
+         |       FROM full_l GROUP BY cluster_id)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(cluster_id) AS BIGINT) AS sum_cluster,
+         |       CAST(sum(mx) AS BIGINT) AS sum_max_doc
+         |FROM cl GROUP BY n ORDER BY n_docs""".stripMargin
+    }) { (s, d) =>
+      val all = t(s, d, "documents")
+      val isNew = col("doc_id") % 7 === 0
+      val old = all.filter(!isNew)
+      val nw = all.filter(isNew)
+      // the maintained table: converged old clustering + singletons
+      val existing = old.select(col("doc_id").as("id"))
+        .join(Dedup.clusterPairs(Dedup.nearDupPairs(old, "text", "doc_id")
+          .filter(col("jaccard") >= 0.8)), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      // the batch's pairs: new×old via the signature index, new×new via
+      // the batch-internal LSH pass — signatures are per-doc, so these
+      // are exactly the batch pipeline's pairs that touch a new doc
+      val crossPairs = Dedup.incrementalNearDupPairs(nw, "text", "doc_id",
+          Dedup.signatureIndex(old, "text", "doc_id"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("new_id").as("a_id"), col("old_id").as("b_id"))
+      val newNewPairs = Dedup.nearDupPairs(nw, "text", "doc_id")
+        .filter(col("jaccard") >= 0.8).select("a_id", "b_id")
+      Dedup.clusterPairsIncremental(existing,
+          nw.select(col("doc_id").as("id")),
+          crossPairs.unionByName(newNewPairs))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), max("id").as("mx"))
+        .groupBy(col("n").as("n_docs"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_id").as("sum_cluster"),
+          sum("mx").as("sum_max_doc"))
+        .orderBy("n_docs")
+    },
+
     // Leakage-safe train/val/test split: whole near-dup clusters (same
     // MinHash-LSH + connected-components machinery as x_dedup_clusters)
     // draw ONE md5 uniform, so no near-dup pair ever straddles the

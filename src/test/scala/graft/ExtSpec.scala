@@ -262,6 +262,54 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("clusterPairsIncremental matches a from-scratch re-cluster on " +
+      "random graphs (merges across old clusters, singleton new docs)") {
+    val rnd = new scala.util.Random(3)
+    (1 to 5).foreach { trial =>
+      val n = 60
+      val ids = (0L until n.toLong)
+      val newSet = ids.filter(_ % 3 == 0).toSet
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val oldEdges = edges.filter(e => !newSet(e._1) && !newSet(e._2))
+      val newEdges = edges.filterNot(e => !newSet(e._1) && !newSet(e._2))
+      def cluster(ns: Seq[Long], es: Seq[(Long, Long)]) = {
+        val cc = Dedup.clusterPairs(es.toDF("a_id", "b_id"))
+        ns.toDF("id").join(cc, Seq("id"), "left")
+          .select($"id", coalesce($"cluster_id", $"id").as("cluster_id"))
+      }
+      val existing = cluster(ids.filterNot(newSet), oldEdges)
+      val got = Dedup.clusterPairsIncremental(existing,
+          newSet.toSeq.toDF("id"), newEdges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      val want = cluster(ids, edges).as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: incremental must equal batch")
+    }
+  }
+
+  test("clusterPairsIncremental expand plan: broadcast joins only — the " +
+      "corpus table is scanned, never shuffled") {
+    val existing = (0L until 1000L).map(i => (i, i / 2 * 2))
+      .toDF("id", "cluster_id").localCheckpoint()
+    val out = Dedup.clusterPairsIncremental(existing,
+      Seq(2000L, 2001L).toDF("id"),
+      Seq((2000L, 4L), (2000L, 8L)).toDF("a_id", "b_id"))
+    val plan = finalPlanOf(out)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    val shuffles = plan.split('\n').filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning"))
+    assert(shuffles.isEmpty, shuffles.mkString("\n"))
+    // and the merge itself is right: 4's and 8's old clusters united
+    // with the new doc under the smallest member id
+    val m = out.as[(Long, Long)].collect().toMap
+    assert(m(4L) == 4L && m(5L) == 4L && m(8L) == 4L && m(9L) == 4L &&
+      m(2000L) == 4L, m.toSeq.sortBy(_._1).take(12).toString)
+    assert(m(2001L) == 2001L, "pairless new doc stays a singleton")
+    assert(m(6L) == 6L && m(7L) == 6L, "untouched clusters unchanged")
+    assert(m.size == 1002)
+  }
+
   test("clusterPairsStar keeps self-loop-only ids as singletons") {
     val pairs = Seq((1L, 2L), (7L, 7L), (9L, 9L), (2L, 3L))
       .toDF("a_id", "b_id")
