@@ -713,6 +713,28 @@ object Dedup {
   def clusterPairsIncremental(existing: DataFrame, newIds: DataFrame,
       newPairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 50): DataFrame = {
+    val merged = contractedMerge(existing, newPairs, aCol, bCol, maxIter)
+    val updated = existing
+      .join(broadcast(merged.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__m"))), Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__m"), col("cluster_id")).as("cluster_id"))
+    val fresh = newIds.select(col("id"))
+      .join(broadcast(merged.select(col("id"),
+        col("cluster_id").as("__m"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+    updated.unionByName(fresh)
+  }
+
+  /** The CONTRACT + CLUSTER core of [[clusterPairsIncremental]], exposed
+    * for sinks that expand DELTA-wise (only the touched corpus rows) —
+    * [[graft.streaming.Streams.clusterBatchIncremental]]. Returns the
+    * batch-grain relabel map `(id = old cluster label | new id,
+    * cluster_id = smallest merged member id)`, locally checkpointed by
+    * [[clusterPairs]]. */
+  private[graft] def contractedMerge(existing: DataFrame,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
     val pairs = newPairs.select(col(aCol), col(bCol))
     val ends = pairs
       .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
@@ -726,20 +748,7 @@ object Dedup {
       .select(coalesce(col("__la"), col(aCol)).as("__ca"),
         coalesce(col("__lb"), col(bCol)).as("__cb"))
       .filter(col("__ca") =!= col("__cb"))
-    // merged: (old label | new id) → smallest merged member id. Already
-    // locally checkpointed by clusterPairs, so the expand plan below is
-    // two broadcast joins over leaf frames — nothing iterative survives.
-    val merged = clusterPairs(contracted, "__ca", "__cb", maxIter)
-    val updated = existing
-      .join(broadcast(merged.select(col("id").as("cluster_id"),
-        col("cluster_id").as("__m"))), Seq("cluster_id"), "left")
-      .select(col("id"),
-        coalesce(col("__m"), col("cluster_id")).as("cluster_id"))
-    val fresh = newIds.select(col("id"))
-      .join(broadcast(merged.select(col("id"),
-        col("cluster_id").as("__m"))), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
-    updated.unionByName(fresh)
+    clusterPairs(contracted, "__ca", "__cb", maxIter)
   }
 
   // ---- SimHash -----------------------------------------------------------

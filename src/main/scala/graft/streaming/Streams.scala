@@ -274,6 +274,128 @@ object Streams {
           partitionCols, targetDir, id))
       .start()
 
+  /** One micro-batch of streaming near-dup cluster maintenance: the
+    * batch's documents join the corpus as they arrive, with BOTH dedup
+    * tables kept current — the MinHash signature index at `indexDir`
+    * (what future batches band-join against) and the (id, cluster_id)
+    * cluster table at `clustersDir`.
+    *
+    * Per batch: new×old pairs via
+    * [[graft.ext.Dedup.incrementalNearDupPairs]] against the stored
+    * index, new×new pairs via the batch-internal LSH pass, then
+    * [[graft.ext.Dedup.contractedMerge]] — components run on the
+    * BATCH-GRAIN contracted graph, and the cluster table receives only
+    * the DELTA (relabeled old rows via one broadcast inner join + the
+    * batch's rows), so per-batch write volume is touched-rows-sized,
+    * not corpus-sized.
+    *
+    * Exactly-once across BOTH tables on top of foreachBatch's
+    * at-least-once: the cluster table's committed `version` watermark
+    * guards replay, and the index is written FIRST with a latest-wins
+    * upsert keyed on `idCol` — so a crash between the two writes
+    * replays into an idempotent index re-upsert, and pair generation
+    * against an index already containing the batch's own signatures
+    * yields the same merged labels (the extra new×new collisions it
+    * surfaces are edges the within-batch pass already found). */
+  def clusterBatchIncremental(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, clustersDir: String,
+      threshold: Double, batchId: Long): Unit = {
+    import graft.ext.Dedup
+    val spark = batch.sparkSession
+    def tableIfExists(dir: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        graft.ops.Compaction.recoverSwap(fs, p)
+        Some(spark.read.parquet(dir))
+      }
+    }
+    val clusters = tableIfExists(clustersDir)
+    val committed = clusters.flatMap(c =>
+      Option(c.agg(max("version")).head().getAs[java.lang.Long](0))
+        .map(_.longValue))
+    if (committed.exists(_ >= batchId)) return
+    val idx = tableIfExists(indexDir).map(_.drop("version"))
+    // an at-least-once SOURCE can re-deliver a doc in a DIFFERENT batch
+    // (the version watermark only covers same-batch replay): ids already
+    // ingested are dropped — one corpus scan against the broadcast batch,
+    // then a batch-grain anti join. Membership is tested against the
+    // CLUSTERS table, not the index: the index is written first, so
+    // after a crash between the two writes a doc can be index-present
+    // but cluster-absent — an index-keyed guard would drop it forever,
+    // while the clusters-keyed guard lets the replay finish its cluster
+    // rows (the index re-upsert is idempotent, and pairs generated
+    // against an index already holding the batch's own signatures merge
+    // to the same labels). The checkpoint pins the filtered batch so the
+    // passes below scan the corpus once for the guard.
+    val b = (clusters match {
+      case None => batch
+      case Some(c) =>
+        val known = c.join(broadcast(batch.select(col(idCol).as("id"))),
+          Seq("id"), "left_semi").select(col("id").as(idCol))
+        batch.join(broadcast(known), Seq(idCol), "left_anti")
+    }).localCheckpoint()
+    val within = Dedup.nearDupPairs(b, textCol, idCol)
+      .filter(col("jaccard") >= threshold).select("a_id", "b_id")
+    val pairs = idx match {
+      case None => within
+      case Some(i) =>
+        Dedup.incrementalNearDupPairs(b, textCol, idCol, i)
+          .filter(col("jaccard") >= threshold)
+          .select(col("new_id").as("a_id"), col("old_id").as("b_id"))
+          .unionByName(within)
+    }
+    val existing = clusters
+      .map(_.select(col("id"), col("cluster_id")))
+      .getOrElse(batch.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            batch.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            batch.schema(idCol).dataType)))))
+    val merged = Dedup.contractedMerge(existing, pairs, "a_id", "b_id",
+      maxIter = 50)
+    // index write sits AFTER the merge (contractedMerge materializes the
+    // pair plan eagerly, so the old index files it read are no longer
+    // referenced once the upsert swaps them) but BEFORE the clusters
+    // write — the crash-ordering that makes the two-table commit heal:
+    // index-present/cluster-absent replays re-upsert the index
+    // idempotently and then finish the cluster rows.
+    upsertBatch(Dedup.signatureIndex(b, textCol, idCol)
+        .withColumn("version", lit(batchId)),
+      indexDir, Seq(idCol), "version")
+    val changedOld = existing
+      .join(broadcast(merged.select(col("id").as("cluster_id"),
+        col("cluster_id").as("__m"))), Seq("cluster_id"))
+      .select(col("id"), col("__m").as("cluster_id"))
+    val fresh = b.select(col(idCol).as("id"))
+      .join(broadcast(merged.select(col("id"),
+        col("cluster_id").as("__m"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), col("id")).as("cluster_id"))
+    upsertBatch(changedOld.unionByName(fresh)
+        .withColumn("version", lit(batchId)),
+      clustersDir, Seq("id"), "version")
+  }
+
+  /** Streaming dedup-cluster sink: every micro-batch of documents folds
+    * into the maintained signature index + cluster table through
+    * [[clusterBatchIncremental]]. After any prefix of the stream, the
+    * cluster table equals a from-scratch batch clustering of the
+    * documents seen so far (StreamsSpec proves that parity). */
+  def dedupClusterSink(stream: DataFrame, textCol: String, idCol: String,
+      indexDir: String, clustersDir: String, checkpointDir: String,
+      threshold: Double = 0.8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        clusterBatchIncremental(b.toDF(), textCol, idCol, indexDir,
+          clustersDir, threshold, id))
+      .start()
+
   /** LEFT-OUTER watermarked interval join — the common enrichment shape
     * (every click, with its conversion if one arrived within the bound):
     * matched pairs emit like [[intervalJoin]]; a left event with no match

@@ -435,6 +435,67 @@ class StreamsSpec extends SparkSpec {
     assert(manifestRows(spark.read.parquet(target)) == want)
   }
 
+  test("streaming dedup clustering: cluster table equals a from-scratch " +
+      "batch clustering; replays, duplicate re-deliveries and " +
+      "half-committed batches all heal") {
+    import graft.ext.Dedup
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    def batchClustering(sub: org.apache.spark.sql.DataFrame) = {
+      val cc = Dedup.clusterPairs(Dedup.nearDupPairs(sub, "text", "doc_id")
+        .filter(col("jaccard") >= 0.8))
+      sub.select(col("doc_id").as("id")).join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id"))
+          .as("cluster_id"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val want = batchClustering(docs)
+    val base = java.nio.file.Files.createTempDirectory("graft-ccstream")
+    val src = base.resolve("src").toString
+    Seq((Long.MinValue, 120L), (120L, 320L), (320L, Long.MaxValue))
+      .foreach { case (lo, hi) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+    val indexDir = base.resolve("index").toString
+    val clustersDir = base.resolve("clusters").toString
+    val q = Streams.dedupClusterSink(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      "text", "doc_id", indexDir, clustersDir,
+      base.resolve("ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    def table() = spark.read.parquet(clustersDir)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(spark.read.parquet(clustersDir).agg(max("version"))
+      .head().getLong(0) >= 2L, "multiple micro-batches must have run")
+    assert(table() == want)
+    // same-batch replay (foreachBatch at-least-once): version-guarded no-op
+    Streams.clusterBatchIncremental(docs.filter(col("doc_id") < 120),
+      "text", "doc_id", indexDir, clustersDir, 0.8, batchId = 0L)
+    assert(table() == want)
+    // cross-batch duplicate re-delivery: already-clustered ids dropped
+    Streams.clusterBatchIncremental(docs.filter(col("doc_id") < 120),
+      "text", "doc_id", indexDir, clustersDir, 0.8, batchId = 99L)
+    assert(table() == want)
+    // half-committed batch: the index got a new doc's signature but the
+    // clusters write crashed — the replay must still cluster the doc
+    // (an index-keyed duplicate guard would drop it forever)
+    val extra = docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Streams.upsertBatch(Dedup.signatureIndex(extra, "text", "doc_id")
+        .withColumn("version", lit(100L)),
+      indexDir, Seq("doc_id"), "version")
+    assert(!table().contains(1000001L))
+    Streams.clusterBatchIncremental(extra, "text", "doc_id",
+      indexDir, clustersDir, 0.8, batchId = 100L)
+    val healed = table()
+    assert(healed.contains(1000001L), "half-committed doc must be clustered")
+    // it is a copy of doc 1's text, so it joins doc 1's cluster
+    assert(healed(1000001L) == healed(1L))
+  }
+
   test("packBatchIncremental: an existing-but-EMPTY manifest table reads " +
       "as 'no committed batch' (null-safe watermark), not an NPE") {
     val base = java.nio.file.Files.createTempDirectory("graft-packempty")
