@@ -308,9 +308,10 @@ object ExtQueries {
          |SELECT doc_id, lang, n_tokens,
          |       CAST(floor((cum - n_tokens) / 1000.0) AS INT) AS shard_id
          |FROM c ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
-      // narrow projection + the no-materialization mode: upstream is a
-      // pruned parquet scan, so recomputing it per pass beats paying the
-      // checkpoint (the boundary pass reads doc_id only)
+      // narrow projection + the no-materialization mode (this gate keeps
+      // the fast path oracle-verified at every SF; sf1 A/B vs
+      // materialized is a wash here — the boundary pass reads doc_id
+      // only, but the totals pass re-tokenizes)
       val withTok = docsSpread(s, d).withColumn("n_tokens",
         size(TextAnalysis.tokens(col("text"))))
         .select("doc_id", "lang", "n_tokens")
@@ -396,10 +397,15 @@ object ExtQueries {
          |       CAST(min(doc_id) AS BIGINT) AS first_doc,
          |       CAST(max(doc_id) AS BIGINT) AS last_doc
          |FROM s GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin) { (s, d) =>
+      // materialized mode: the upstream includes tokenization (a
+      // computed projection, not a bare scan), so one tokenize pass +
+      // the narrow checkpoint beats the fast path's tokenize-per-pass
+      // (sf1 A/B: 1.04 vs 1.65 s; x_shard_pack keeps the fast path so
+      // BOTH modes stay oracle-verified at every SF)
       val withTok = docsSpread(s, d).withColumn("n_tok",
         size(TextAnalysis.tokens(col("text"))))
       Curation.packSequences(withTok, "n_tok", "doc_id",
-          seqLen = 512, partitionCols = Seq("lang"), materialize = false)
+          seqLen = 512, partitionCols = Seq("lang"), materialize = true)
         .select("lang", "seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
         .orderBy("lang", "seq_id")
     },
