@@ -17,16 +17,17 @@ import org.apache.spark.sql.functions._
   *     the same pattern as [[Graph.pageRank]]. Merge application is a
   *     row-local string `replace`; lineage is truncated every
   *     `checkpointEvery` rounds so the plan never grows unbounded.
-  *   - Encoding is a pure projection: the learned merge list broadcasts
-  *     as an array literal and an `aggregate` HOF folds it over each
-  *     word's symbol string — O(1) plan depth regardless of merge count
-  *     (a naive chain of `replace` calls would nest the plan
-  *     `numMerges` deep and break analysis at real vocab sizes), all
-  *     builtins, no UDF, no shuffle. Precisely: higher-order functions
-  *     are `CodegenFallback` in Spark, so the encode Project runs
-  *     interpreted (row-local and parallel all the same); the id lookup
-  *     ([[encodeIds]]) IS codegen-capable via [[graft.functions
-  *     .VocabLookupAll]].
+  *   - Encoding is a pure projection: the learned merge list ships as
+  *     the plan-time-built rank index of ONE native expression
+  *     ([[graft.functions.BpeEncodeText]]) — O(1) plan depth regardless
+  *     of merge count (a naive chain of `replace` calls would nest the
+  *     plan `numMerges` deep and break analysis at real vocab sizes),
+  *     O(appliedMerges × wordLen) per word independent of the list's
+  *     length, whole-stage-codegen'd, no UDF, no shuffle. The id
+  *     lookup ([[encodeIds]]) is the same pattern
+  *     ([[graft.functions.VocabLookupAll]]); the r13 all-builtins
+  *     `aggregate`-HOF fold survives as [[encodeFold]], the
+  *     independently-derived parity baseline.
   *
   * Symbol-string representation (shared with the DuckDB oracle, which
   * mirrors the algorithm CTE-for-CTE): a word's symbols are joined by
@@ -433,11 +434,35 @@ object Bpe {
 
   /** Applies a learned merge list to every document: adds
     * `bpe_tokens` (array of subword tokens, word order preserved) and
-    * `n_bpe_tokens`. Pure projection — the merge list folds over each
-    * word via an `aggregate` HOF (plan depth independent of merge
-    * count), so the encode parallelizes embarrassingly and survives
-    * any corpus size the scan survives. */
+    * `n_bpe_tokens`. Pure projection — the merge list ships as the
+    * rank index of one codegen-capable native expression
+    * ([[graft.functions.BpeEncodeText]]): O(appliedMerges × wordLen)
+    * per word regardless of the list's length, whole-stage-codegen'd,
+    * no UDF, no shuffle — so the encode parallelizes embarrassingly
+    * and survives any corpus size the scan survives, at production
+    * 32k–100k vocab sizes where the r13 `aggregate`-HOF fold (kept
+    * below as [[encodeFold]], the parity baseline) pays one
+    * interpreted replace-all pass per MERGE per word. */
   def encode(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    graft.functions.BpeEncode.register(df.sparkSession)
+    val mlit = typedlit(merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
+    df.withColumn("bpe_tokens",
+        graft.functions.BpeEncode.bpeEncodeText(lower(col(textCol)), mlit))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
+  /** The r13 all-builtins encode (an `aggregate`-HOF fold of the merge
+    * list over each word's doubled-space symbol string — see the
+    * object scaladoc for the representation): kept as the
+    * independently-derived parity baseline for [[encode]]'s native
+    * expression (BpeSpec proves bit-equality on the gate corpus and
+    * adversarial fixtures) and as the reference implementation of the
+    * pass-per-rank semantics both engines and the DuckDB oracle
+    * share. Interpreted (HOFs are `CodegenFallback`) and
+    * O(numMerges × wordLen) per word — correct at any scale, but
+    * numMerges-bound at production vocab sizes. */
+  private[graft] def encodeFold(df: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val mlit = typedlit(merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)))
     val encWord = (w: Column) =>

@@ -286,6 +286,78 @@ class BpeSpec extends SparkSpec {
       Set(Seq("a", "b", "c", "d"), Seq("d", "c", "b", "a")))
   }
 
+  test("native encode ≡ the r13 HOF fold: gate corpus at 64 merges, " +
+      "null text, and adversarial merge lists") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.trainLocal(docs, "text", 64)
+    assert(merges.size >= 32) // enough ranks to exercise the cursor walk
+    val fast = Bpe.encode(docs, "text", merges)
+    val fold = Bpe.encodeFold(docs, "text", merges)
+    assert(fast.schema == fold.schema)
+    val joined = fast.select(col("doc_id"), col("bpe_tokens").as("ft"),
+        col("n_bpe_tokens").as("fn"))
+      .join(fold.select(col("doc_id"), col("bpe_tokens").as("gt"),
+        col("n_bpe_tokens").as("gn")), "doc_id")
+    assert(joined.filter(!(col("ft") <=> col("gt")) ||
+      !(col("fn") <=> col("gn"))).count() == 0)
+    // null text -> null tokens on both paths
+    val nulls = Seq((1L, null: String), (2L, "ab ab")).toDF("doc_id", "text")
+    val fN = Bpe.encode(nulls, "text", merges.take(4))
+    val gN = Bpe.encodeFold(nulls, "text", merges.take(4))
+    assert(fN.filter(col("doc_id") === 1L && col("bpe_tokens").isNotNull)
+      .count() == 0)
+    assert(fN.select("doc_id", "bpe_tokens").exceptAll(
+      gN.select("doc_id", "bpe_tokens")).count() == 0)
+    // adversarial lists where shortcuts diverge from pass-per-rank:
+    def parity(merges: Seq[Bpe.Merge], words: Seq[String]): Unit = {
+      val df = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val a = Bpe.encode(df, "text", merges)
+        .select("doc_id", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      val b = Bpe.encodeFold(df, "text", merges)
+        .select("doc_id", "bpe_tokens").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      assert(a == b, s"diverged on $words with $merges")
+    }
+    // rank 1 (ab,c) only becomes adjacent AFTER rank 2 (a,b) runs — the
+    // fold never revisits rank 1, so "abc" must encode to [ab, c] (a
+    // naive merge-the-minimum-present-rank loop would emit [abc])
+    val crossRank = Seq(Bpe.Merge(1, "ab", "c", 1L), Bpe.Merge(2, "a", "b", 1L))
+    parity(crossRank, Seq("abc", "abcabc", "cab"))
+    assert(Bpe.encode(Seq((1L, "abc")).toDF("doc_id", "text"),
+        "text", crossRank)
+      .select("bpe_tokens").as[Seq[String]].head() == Seq("ab", "c"))
+    // duplicate pair at two ranks (degenerate list): both are indexed
+    parity(Seq(Bpe.Merge(1, "a", "b", 1L), Bpe.Merge(2, "x", "y", 1L),
+      Bpe.Merge(3, "a", "b", 1L)), Seq("abxyab", "aabb", "xyxy"))
+    // overlap chains: greedy leftmost non-overlapping within one pass
+    parity(Seq(Bpe.Merge(1, "x", "x", 1L), Bpe.Merge(2, "xx", "x", 1L)),
+      Seq("x", "xx", "xxx", "xxxx", "xxxxx", "xxxxxx", "xxxxxxx"))
+    parity(Seq(Bpe.Merge(1, "x", "xx", 1L)), Seq("xxxx xxxxxx"))
+    // supplementary-plane code points are single symbols
+    parity(Seq(Bpe.Merge(1, "😀", "😀", 1L),
+      Bpe.Merge(2, "😀😀", "a", 1L)),
+      Seq("😀😀a", "a😀",
+        "😀😀😀a"))
+    // empty merge list: pure code-point split
+    parity(Seq.empty, Seq("abc", "a", "😀a"))
+  }
+
+  test("native encode whole-stage-codegens (the HOF fold could not)") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+    val merges = Bpe.train(docs, "text", 4)
+    val plan = finalPlanOf(Bpe.encode(docs, "text", merges)
+      .select("doc_id", "bpe_tokens", "n_bpe_tokens"))
+    // the Project holding bpe_encode_text must sit INSIDE a
+    // WholeStageCodegen span (starred) — the r13 HOF fold forced that
+    // Project to interpreted fallback (unstarred)
+    val encLines = plan.split("\n").filter(_.contains("bpe_encode_text"))
+    assert(encLines.nonEmpty && encLines.forall(_.contains("*(")),
+      plan.take(1200))
+  }
+
   test("encode is a pure projection: no exchange, no UDF") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val merges = Bpe.train(docs, "text", 4)
