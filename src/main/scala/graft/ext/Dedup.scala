@@ -458,32 +458,76 @@ object Dedup {
     * then append the survivors' signatures to the index. */
   def incrementalNearDupPairs(newBatch: DataFrame, textCol: String,
       idCol: String, index: DataFrame, k: Int = 8,
+      bands: Int = 2): DataFrame =
+    // NO persist of the batch signatures: this API runs once per ingest
+    // batch in a long-lived session, and cacheManager would pin a
+    // persisted frame until an explicit unpersist nobody holds a handle
+    // for. The two consumers (band join + jaccard fetch) recompute the
+    // signature pass instead — one extra codegen scan of the NEW BATCH,
+    // which is batch-sized by definition, against the full corpus index
+    // either way. A caller that has already materialized both indexes
+    // (the stored-table deployment shape) uses
+    // [[incrementalNearDupPairsFromIndex]] directly.
+    incrementalNearDupPairsFromIndex(
+      signatureIndex(newBatch, textCol, idCol, k), index, idCol, k, bands)
+
+  /** [[incrementalNearDupPairs]] when the new batch's signatures are
+    * already computed (e.g. both sides are stored [[signatureIndex]]
+    * tables): new×old banded candidates + exact Jaccard, zero text
+    * scans. */
+  def incrementalNearDupPairsFromIndex(newIndex: DataFrame,
+      index: DataFrame, idCol: String, k: Int = 8,
       bands: Int = 2): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // NO persist: this API runs once per ingest batch in a long-lived
-    // session, and cacheManager would pin a persisted frame until an
-    // explicit unpersist nobody holds a handle for. The two consumers
-    // (band join + jaccard fetch) recompute the signature pass instead —
-    // one extra codegen scan of the NEW BATCH, which is batch-sized by
-    // definition, against the full corpus index either way.
-    val newSig = signatureIndex(newBatch, textCol, idCol, k)
     def long(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
       posexplode(array((0 until bands).map(b => bandValue(
         (0 until rows).map(r => col("sig")(b * rows + r)))): _*))
         .as(Seq("band_idx", "band_val")))
-    val cand = long(newSig, "new_id")
+    val cand = long(newIndex, "new_id")
       .join(long(index, "old_id"), Seq("band_idx", "band_val"))
       .filter(col("new_id") =!= col("old_id"))
       .select("new_id", "old_id").distinct()
     cand
-      .join(newSig.select(col(idCol).as("new_id"), col("dsh").as("__da"),
+      .join(newIndex.select(col(idCol).as("new_id"), col("dsh").as("__da"),
         col("n_shingles").as("__na")), "new_id")
       .join(index.select(col(idCol).as("old_id"), col("dsh").as("__db"),
         col("n_shingles").as("__nb")), "old_id")
       .withColumn("__inter",
         size(array_intersect(col("__da"), col("__db"))).cast("long"))
       .select(col("new_id"), col("old_id"),
+        (col("__inter").cast("double") /
+          nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
+          .as("jaccard"))
+  }
+
+  /** [[nearDupPairs]] over an already-materialized [[signatureIndex]]
+    * (the stored-table deployment shape): banded within-index candidate
+    * pairs + exact Jaccard, zero text scans, no internal persist — the
+    * caller owns the index's materialization (a stored table reads at
+    * scan cost; an in-session frame should be checkpointed ONCE instead
+    * of letting each of the three consumers here re-run its lineage). */
+  def nearDupPairsFromIndex(index: DataFrame, idCol: String,
+      k: Int = 8, bands: Int = 2): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val long = index.select(col(idCol),
+      posexplode(array((0 until bands).map(b => bandValue(
+        (0 until rows).map(r => col("sig")(b * rows + r)))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = long.select(col(idCol).as("a_id"), col("band_idx"), col("band_val"))
+      .join(long.select(col(idCol).as("b_id"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(index.select(col(idCol).as("a_id"), col("dsh").as("__da"),
+        col("n_shingles").as("__na")), "a_id")
+      .join(index.select(col(idCol).as("b_id"), col("dsh").as("__db"),
+        col("n_shingles").as("__nb")), "b_id")
+      .withColumn("__inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .select(col("a_id"), col("b_id"),
         (col("__inter").cast("double") /
           nullif(col("__na") + col("__nb") - col("__inter"), lit(0L)))
           .as("jaccard"))

@@ -222,20 +222,29 @@ object ScaleQueries {
       val isNew = col("doc_id") % 7 === 0
       val old = all.filter(!isNew)
       val nw = all.filter(isNew)
+      // deployment shape: the signature index is a STORED table
+      // (signatureIndex scaladoc) — materialize each side's index ONCE
+      // and derive every pass from it, so each corpus side's text runs
+      // the fused MinHashSig scan exactly once (the first cut ran the
+      // old side three times: pairs pass + the lazy index's two reads)
+      val oldIdx = Dedup.signatureIndex(old, "text", "doc_id")
+        .localCheckpoint()
+      val newIdx = Dedup.signatureIndex(nw, "text", "doc_id")
+        .localCheckpoint()
       // the maintained table: converged old clustering + singletons
       val existing = old.select(col("doc_id").as("id"))
-        .join(Dedup.clusterPairs(Dedup.nearDupPairs(old, "text", "doc_id")
+        .join(Dedup.clusterPairs(Dedup.nearDupPairsFromIndex(oldIdx, "doc_id")
           .filter(col("jaccard") >= 0.8)), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       // the batch's pairs: new×old via the signature index, new×new via
       // the batch-internal LSH pass — signatures are per-doc, so these
       // are exactly the batch pipeline's pairs that touch a new doc
-      val crossPairs = Dedup.incrementalNearDupPairs(nw, "text", "doc_id",
-          Dedup.signatureIndex(old, "text", "doc_id"))
+      val crossPairs = Dedup
+        .incrementalNearDupPairsFromIndex(newIdx, oldIdx, "doc_id")
         .filter(col("jaccard") >= 0.8)
         .select(col("new_id").as("a_id"), col("old_id").as("b_id"))
-      val newNewPairs = Dedup.nearDupPairs(nw, "text", "doc_id")
+      val newNewPairs = Dedup.nearDupPairsFromIndex(newIdx, "doc_id")
         .filter(col("jaccard") >= 0.8).select("a_id", "b_id")
       Dedup.clusterPairsIncremental(existing,
           nw.select(col("doc_id").as("id")),
