@@ -345,6 +345,50 @@ class BpeSpec extends SparkSpec {
     parity(Seq.empty, Seq("abc", "a", "😀a"))
   }
 
+  test("fuzz: native encode ≡ fold on random small-alphabet corpora and " +
+      "random (duplicate/overlapping/cross-rank) merge lists") {
+    val rng = new scala.util.Random(20260816)
+    val alphabets = Seq("ab", "abc", "ab😀", "xyz")
+    (1 to 12).foreach { trial =>
+      val alpha = alphabets(rng.nextInt(alphabets.size))
+      val syms: Seq[String] = {
+        val b = Seq.newBuilder[String]
+        var i = 0
+        while (i < alpha.length) {
+          val cp = alpha.codePointAt(i)
+          b += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        b.result()
+      }
+      def tok(maxLen: Int): String =
+        (1 to (1 + rng.nextInt(maxLen)))
+          .map(_ => syms(rng.nextInt(syms.size))).mkString
+      // random merges over short symbol strings: duplicates, overlap
+      // chains, and cross-rank (later merge creates an earlier pair's
+      // lhs) all arise naturally at this alphabet size
+      val merges = (1 to rng.nextInt(13))
+        .map(k => Bpe.Merge(k, tok(3), tok(3), 1L))
+      // texts with irregular spacing: empty strings, doubled/leading/
+      // trailing spaces exercise the fused split's empty-segment skip
+      val texts = (0 until 150).map { i =>
+        if (i == 0) ""
+        else (1 to rng.nextInt(6)).map(_ => tok(9))
+          .mkString(if (rng.nextBoolean()) " " else "  ") +
+          (if (rng.nextInt(4) == 0) " " else "")
+      }
+      val df = texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2) }
+        .toDF("doc_id", "text")
+      val a = Bpe.encode(df, "text", merges)
+        .select(col("doc_id"), col("bpe_tokens").as("ta"))
+      val b = Bpe.encodeFold(df, "text", merges)
+        .select(col("doc_id"), col("bpe_tokens").as("tb"))
+      val diff = a.join(b, "doc_id").filter(!(col("ta") <=> col("tb")))
+      assert(diff.count() == 0,
+        s"trial $trial diverged (merges=$merges): ${diff.head(3).toSeq}")
+    }
+  }
+
   test("native encode whole-stage-codegens (the HOF fold could not)") {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
     val merges = Bpe.train(docs, "text", 4)
