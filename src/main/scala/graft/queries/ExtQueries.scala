@@ -456,7 +456,10 @@ object ExtQueries {
       graft.ext.Bpe.encodeIds(docsSpread(s, d), "text", merges, vocab)
         .select(col("doc_id"),
           size(col("bpe_ids")).cast("long").as("n_ids"),
-          md5(array_join(transform(col("bpe_ids"), _.cast("string")), " "))
+          // array<bigint> -> array<string> via Cast (codegen), not a
+          // transform HOF (CodegenFallback) — keeps the reporting
+          // projection inside the same whole-stage span as the encode
+          md5(array_join(col("bpe_ids").cast("array<string>"), " "))
             .as("ids_md5"))
         .orderBy("doc_id")
     },
