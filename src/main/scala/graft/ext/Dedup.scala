@@ -382,6 +382,24 @@ object Dedup {
   def bandValue(sig: Seq[Column]): Column =
     md5(concat_ws("|", sig: _*).cast("binary"))
 
+  /** Guarded access into a stored signature index's `sig` array: the
+    * elements are non-null by construction ([[signatureIndex]] filters
+    * null signatures), so a null read means position `i` is OUT OF RANGE
+    * — the caller's `k` is wider than the index was built with. Without
+    * this guard, concat_ws inside [[bandValue]] silently drops the null
+    * and band digests collide/diverge, degrading candidate recall with
+    * no error. Raise loudly instead. (A k NARROWER than the stored index
+    * is fine: seeds are positional, so a prefix is itself a valid
+    * k-signature.) */
+  private def sigAt(i: Int, k: Int): Column = {
+    // get() (not apply) so an out-of-range read surfaces as null here and
+    // raises OUR message, not ANSI's positionless INVALID_ARRAY_INDEX
+    val v = get(col("sig"), lit(i))
+    when(v.isNull, raise_error(lit(
+      s"signature index narrower than k=$k (sig[$i] missing) — " +
+        "was the index built with a smaller k?"))).otherwise(v)
+  }
+
   /** Candidate near-duplicate pairs (aId < bId) from banded minhash
     * signatures, with exact shingle-set Jaccard computed per candidate
     * pair. Docs shorter than one shingle are excluded (no signature).
@@ -482,7 +500,7 @@ object Dedup {
     val rows = k / bands
     def long(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
       posexplode(array((0 until bands).map(b => bandValue(
-        (0 until rows).map(r => col("sig")(b * rows + r)))): _*))
+        (0 until rows).map(r => sigAt(b * rows + r, k)))): _*))
         .as(Seq("band_idx", "band_val")))
     val cand = long(newIndex, "new_id")
       .join(long(index, "old_id"), Seq("band_idx", "band_val"))
@@ -513,7 +531,7 @@ object Dedup {
     val rows = k / bands
     val long = index.select(col(idCol),
       posexplode(array((0 until bands).map(b => bandValue(
-        (0 until rows).map(r => col("sig")(b * rows + r)))): _*))
+        (0 until rows).map(r => sigAt(b * rows + r, k)))): _*))
         .as(Seq("band_idx", "band_val")))
     val cand = long.select(col(idCol).as("a_id"), col("band_idx"), col("band_val"))
       .join(long.select(col(idCol).as("b_id"), col("band_idx"), col("band_val")),

@@ -182,16 +182,38 @@ case class BpeEncodeText(left: Expression, right: Expression)
     case StringType => right.dataType match {
       case ArrayType(st: StructType, _)
           if st.length == 2 && st.forall(_.dataType == StringType) =>
-        if (right.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName: merges must be foldable (a literal) — the rank " +
             "index is built once at plan time")
+        else checkMergesValue()
       case t => TypeCheckResult.TypeCheckFailure(
         s"$prettyName: merges must be ARRAY<STRUCT<STRING,STRING>>, " +
           s"got ${t.sql}")
     }
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName: text must be STRING, got ${t.sql}")
+  }
+
+  /** The foldable merges value must be a fully non-null array — a NULL
+    * array, NULL element or NULL lhs/rhs would otherwise NPE when the
+    * lazy merge table is built at plan time; surface it as a typed
+    * analysis error instead. */
+  private def checkMergesValue(): TypeCheckResult = {
+    val arr = right.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr == null) return TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: merges must not be NULL")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: merges[$i] is NULL")
+      val row = arr.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1))
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: merges[$i] has a NULL lhs or rhs")
+      i += 1
+    }
+    TypeCheckResult.TypeCheckSuccess
   }
 
   /** Driver-built merge table over the literal list; strings are

@@ -389,17 +389,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("null merges literal is a typed analysis error, not an NPE") {
+    graft.functions.BpeEncode.register(spark)
+    val df = Seq("abc").toDF("text")
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("bpe_encode_text(text, " +
+        "CAST(NULL AS ARRAY<STRUCT<lhs: STRING, rhs: STRING>>))").collect()
+    }
+    assert(eNull.getMessage.contains("must not be NULL"), eNull.getMessage)
+    val eElem = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("bpe_encode_text(text, array(" +
+        "named_struct('lhs', 'a', 'rhs', 'b'), " +
+        "CAST(NULL AS STRUCT<lhs: STRING, rhs: STRING>)))").collect()
+    }
+    assert(eElem.getMessage.contains("is NULL"), eElem.getMessage)
+    val eField = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("bpe_encode_text(text, array(" +
+        "named_struct('lhs', 'a', 'rhs', CAST(NULL AS STRING))))").collect()
+    }
+    assert(eField.getMessage.contains("NULL lhs or rhs"), eField.getMessage)
+  }
+
   test("native encode whole-stage-codegens (the HOF fold could not)") {
-    val docs = graft.core.Tables.load(spark, sf001, "documents")
-    val merges = Bpe.train(docs, "text", 4)
-    val plan = finalPlanOf(Bpe.encode(docs, "text", merges)
-      .select("doc_id", "bpe_tokens", "n_bpe_tokens"))
-    // the Project holding bpe_encode_text must sit INSIDE a
-    // WholeStageCodegen span (starred) — the r13 HOF fold forced that
-    // Project to interpreted fallback (unstarred)
-    val encLines = plan.split("\n").filter(_.contains("bpe_encode_text"))
-    assert(encLines.nonEmpty && encLines.forall(_.contains("*(")),
-      plan.take(1200))
+    // fallback=false + CODEGEN_ONLY: a starred plan string alone would
+    // still pass if Janino failed to compile the generated cast to the
+    // object-nested MergeTable and Spark fell back to interpreted — with
+    // fallback disabled, a compile failure fails the collect() instead
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val docs = graft.core.Tables.load(spark, sf001, "documents")
+      val merges = Bpe.train(docs, "text", 4)
+      val plan = finalPlanOf(Bpe.encode(docs, "text", merges)
+        .select("doc_id", "bpe_tokens", "n_bpe_tokens"))
+      // the Project holding bpe_encode_text must sit INSIDE a
+      // WholeStageCodegen span (starred) — the r13 HOF fold forced that
+      // Project to interpreted fallback (unstarred)
+      val encLines = plan.split("\n").filter(_.contains("bpe_encode_text"))
+      assert(encLines.nonEmpty && encLines.forall(_.contains("*(")),
+        plan.take(1200))
+    }
   }
 
   test("encode is a pure projection: no exchange, no UDF") {

@@ -216,6 +216,32 @@ class ExtSpec extends SparkSpec {
     assert(!inc.keys.exists { case (n, _) => n == 3L })      // 3 is old-side
   }
 
+  test("index dedup fails loudly when k is wider than the stored index") {
+    // index built at k=4; asking for k=8 would read sig[4..7] as null and
+    // silently change banding recall — the guard must raise instead
+    val narrow = Dedup.signatureIndex(docs, "text", "doc_id", k = 4)
+    val e = intercept[Exception] {
+      Dedup.nearDupPairsFromIndex(narrow, "doc_id", k = 8, bands = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("narrower than k=8")), e.toString)
+    val e2 = intercept[Exception] {
+      Dedup.incrementalNearDupPairsFromIndex(
+        Dedup.signatureIndex(docs, "text", "doc_id", k = 8),
+        narrow, "doc_id", k = 8, bands = 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("narrower than k=8")), e2.toString)
+    // a WIDER stored index is a valid prefix read: k=4 over a k=8 index
+    // must equal a native k=4 index run (seeds are positional)
+    val wide = Dedup.signatureIndex(docs, "text", "doc_id", k = 8)
+    val fromWide = Dedup.nearDupPairsFromIndex(wide, "doc_id", k = 4, bands = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val native = Dedup.nearDupPairsFromIndex(narrow, "doc_id", k = 4, bands = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromWide == native)
+  }
+
   test("nearDedup drops the higher id of confirmed near-dups") {
     val kept = Dedup.nearDedup(docs, "text", "doc_id", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet

@@ -19,4 +19,16 @@ trait SparkSpec extends AnyFunSuite {
     df.collect()
     df.queryExecution.executedPlan.toString
   }
+
+  /** Run `body` with the given SQL confs set, restoring previous values
+    * (or unsetting) afterwards — the shared session outlives each suite. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
