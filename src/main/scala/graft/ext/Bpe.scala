@@ -233,16 +233,33 @@ object Bpe {
     * maintenance + a lazy-deletion heap: a 32k–100k vocab trains in
     * driver seconds with ZERO per-merge Spark jobs, vs [[train]]'s
     * one-job-per-round (measured ~0.2 s/round floor — hours at 100k
-    * rounds; docs/SCALING.md has the table). */
+    * rounds; docs/SCALING.md has the table).
+    *
+    * `minWordFreq` is the raw-web-crawl valve: a 100 TB crawl's
+    * distinct-word count (URLs, typos, numbers, hashes) blows past any
+    * driver budget, but its mass is concentrated — a small frequency
+    * floor applied INSIDE the distributed word count (before anything
+    * is fetched) collapses the heavy tail to a bounded vocabulary, the
+    * same knob every production trainer exposes (SentencePiece/HF
+    * `min_frequency`). Effect on learned merges: a word below the floor
+    * contributes NOTHING to pair counts, so merges can differ from the
+    * unfloored run only where sub-floor words' pair mass would have
+    * changed a ranking — negligible by construction (each dropped word
+    * contributes < minWordFreq per pair occurrence) and floor=1 is
+    * bit-identical to no floor (spec-proven). */
   def trainLocal(df: DataFrame, textCol: String, numMerges: Int,
-      maxVocabWords: Long = 10000000L): Seq[Merge] = {
+      maxVocabWords: Long = 10000000L, minWordFreq: Long = 1L): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    val words = vocab(df, textCol)
+    require(minWordFreq >= 1L, "minWordFreq must be >= 1")
+    // floor applied pre-collect, distributed — the whole point: the
+    // driver never sees (nor counts against its budget) sub-floor words
+    val words = vocab(df, textCol).filter(col("freq") >= minWordFreq)
     val n = words.count()
     require(n <= maxVocabWords,
-      s"distinct-word vocabulary ($n) exceeds the driver budget " +
-        s"($maxVocabWords): raise maxVocabWords, pre-filter the corpus, " +
-        "or use the distributed train()")
+      s"distinct-word vocabulary ($n, at minWordFreq=$minWordFreq) " +
+        s"exceeds the driver budget ($maxVocabWords): raise " +
+        "maxVocabWords or minWordFreq, pre-filter the corpus, or use " +
+        "the distributed train()")
     val rows = words.collect()
       .map(r => (r.getString(0), r.getLong(1)))
     trainOnVocab(rows, numMerges)

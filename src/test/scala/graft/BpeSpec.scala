@@ -255,6 +255,35 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("driver budget"))
   }
 
+  test("trainLocal minWordFreq: floor=1 ≡ no floor on the gate corpus; " +
+      "the floor prunes pre-collect and keeps a tail-heavy vocab in " +
+      "budget") {
+    val docs = graft.core.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text")
+    // floor=1 is the default and must be bit-identical to the unfloored
+    // trainer (it IS the unfloored trainer: freq >= 1 drops nothing)
+    assert(Bpe.trainLocal(docs, "text", 128, minWordFreq = 1L) ==
+      Bpe.trainLocal(docs, "text", 128))
+    // a raw-crawl-shaped corpus: 3 head words carry the mass, a long
+    // tail of singleton "URLs" blows a tiny driver budget…
+    val tail = (1 to 200).map(i => s"httpx${i}zz").mkString(" ")
+    val crawl = Seq((1L, ("the quick fox " * 50) + tail))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.trainLocal(crawl, "text", 4, maxVocabWords = 10)
+    }
+    // …but a freq floor of 2 collapses the tail INSIDE the distributed
+    // count, so the same budget passes and merges are learned from the
+    // head words only
+    val floored = Bpe.trainLocal(crawl, "text", 4,
+      maxVocabWords = 10, minWordFreq = 2L)
+    assert(floored.nonEmpty)
+    // the merges must equal training on just the head (sub-floor words
+    // contribute zero pair mass)
+    val headOnly = Seq((1L, "the quick fox " * 50)).toDF("doc_id", "text")
+    assert(floored == Bpe.trainLocal(headOnly, "text", 4))
+  }
+
   test("batched ≡ sequential on adversarial small-alphabet corpora " +
       "(forced ties and merged-token collisions)") {
     for (seed <- Seq(1, 7, 42)) {
