@@ -105,13 +105,21 @@ object SecurityGenerators {
     else if (population >= 15000) ("MOYENNE", 5)
     else ("PETITE", 3)
 
+  /** Column form of [[agencyClass]]: the same population thresholds as
+    * `when()` chains, so the generators stay codegen-pure (main carries
+    * zero `udf()` calls). */
+  private def agencyClassCols(population: Column): (Column, Column) = (
+    when(population >= 50000, "GRANDE")
+      .when(population >= 15000, "MOYENNE").otherwise("PETITE"),
+    when(population >= 50000, 6)
+      .when(population >= 15000, 5).otherwise(3))
+
   /** Agencies from a commune table: population ≥ 10k, deterministic order. */
   def agencies(communes: DataFrame): DataFrame = {
-    val cls = udf((p: Int) => agencyClass(p)._1)
-    val collabs = udf((p: Int) => agencyClass(p)._2)
+    val (cls, collabs) = agencyClassCols(col("population"))
     communes.filter(col("population") >= 10000)
       .orderBy(col("departement_code").asc, col("population").desc)
-      .withColumn("classe", cls(col("population")))
-      .withColumn("nb_collaborateurs", collabs(col("population")))
+      .withColumn("classe", cls)
+      .withColumn("nb_collaborateurs", collabs)
   }
 }

@@ -54,6 +54,14 @@ class RlsSpec extends SparkSpec {
     val classes = ag.select("nom", "classe").as[(String, String)].collect().toMap
     assert(classes("Lille") == "GRANDE" && classes("Roubaix") == "GRANDE")
     assert(classes("Petite") == "PETITE")
+    // when()-chain columns must match the scalar thresholds exactly and
+    // keep the generator UDF-free (codegen-pure main)
+    ag.select("population", "classe", "nb_collaborateurs")
+      .as[(Int, String, Int)].collect().foreach { case (p, c, n) =>
+        assert((c, n) == SecurityGenerators.agencyClass(p))
+      }
+    assert(!ag.queryExecution.executedPlan.toString
+      .toLowerCase.contains("scalaudf"))
   }
 
   test("login folding strips accents (reference NFKD normalize)") {
