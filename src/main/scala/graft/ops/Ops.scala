@@ -307,6 +307,55 @@ object Compaction {
     * clean; after it, the swap ROLLS FORWARD via [[recoverSwap]]. */
   private val ManifestName = "._graft_swap_manifest"
 
+  /** Name of the single-writer lease file, dot-prefixed inside the
+    * target leaf like the manifest. The swap protocol is SINGLE-WRITER
+    * per table directory: two concurrent swappers (a compaction sweep
+    * racing a streaming upsert on the same dir) would clobber each
+    * other's manifest — the second `commitManifest` rename replaces the
+    * first swap's commit record, stranding its old files forever. The
+    * lease makes that contract fail FAST: [[swapDataFiles]] and
+    * [[recoverSwap]] take it create-exclusively before mutating and
+    * release it when done; a second writer gets a loud IOException
+    * instead of silent corruption. Best-effort by design — atomic
+    * create-if-absent holds on local/HDFS; on eventually-consistent
+    * object stores it narrows the race without closing it (deployments
+    * needing hard exclusion coordinate writers externally, e.g. one
+    * compactor per table). A holder that crashes leaves a stale lease;
+    * it is broken after `ttlMs` (default 15 min — longer than any sane
+    * single-leaf swap, which is rename-bound) and the dead holder's
+    * manifest, if committed, rolls forward under the new lease. */
+  private val LeaseName = "._graft_swap_lease"
+  private[graft] val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Take the single-writer swap lease on `target`, failing fast if a
+    * live holder exists (see [[LeaseName]] for the contract). */
+  private[graft] def acquireSwapLease(fs: FileSystem, target: HPath,
+      ttlMs: Long = DefaultLeaseTtlMs): HPath = {
+    val lease = new HPath(target, LeaseName)
+    if (fs.exists(lease)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      if (age < ttlMs) throw new java.io.IOException(
+        s"swap lease on $target held by another writer (age ${age}ms < " +
+          s"ttl ${ttlMs}ms): concurrent compaction/upsert on one table " +
+          "dir violates the single-writer swap contract — failing fast")
+      // stale: the holder died; any committed manifest it left rolls
+      // forward under OUR lease
+      fs.delete(lease, false)
+    }
+    try {
+      val out = fs.create(lease, false) // create-exclusive = the lock
+      try out.write(java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      lease
+    } catch {
+      case e: java.io.IOException => throw new java.io.IOException(
+        s"lost the swap-lease race on $target (concurrent writer)", e)
+    }
+  }
+
   /** Crash-safe swap of a leaf's data files, with roll-forward recovery:
     *
     *  1. verify no staged name collides with an existing target file —
@@ -327,32 +376,35 @@ object Compaction {
     * streaming upsert sink: one copy of the durability-critical
     * protocol. */
   private[graft] def swapDataFiles(fs: FileSystem, staging: HPath,
-      target: HPath): Unit = {
-    val old = fs.listStatus(target)
-      .filter(s => s.isFile && isDataFile(s.getPath))
-    val fresh = fs.listStatus(staging)
-      .filter(s => s.isFile && isDataFile(s.getPath))
-    // collision check BEFORE the commit point: an abort here is clean
-    fresh.foreach { f =>
-      val dest = new HPath(target, f.getPath.getName)
-      if (fs.exists(dest))
-        throw new java.io.IOException(
-          s"swap aborted: rename ${f.getPath} -> $dest failed; " +
-            "old files left in place")
-    }
-    commitManifest(fs, staging, target, old.map(_.getPath.getName))
-    fresh.foreach { f =>
-      val dest = new HPath(target, f.getPath.getName)
-      if (!fs.rename(f.getPath, dest))
-        // past the commit point the swap must not un-happen: leave the
-        // manifest in place so the next recoverSwap retries the adoption
-        throw new java.io.IOException(
-          s"swap interrupted: rename ${f.getPath} -> $dest failed; " +
-            "manifest left for roll-forward recovery")
-    }
-    old.foreach(p => fs.delete(p.getPath, false))
-    fs.delete(new HPath(target, ManifestName), false)
-    fs.delete(staging, true)
+      target: HPath, leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
+    val lease = acquireSwapLease(fs, target, leaseTtlMs)
+    try {
+      val old = fs.listStatus(target)
+        .filter(s => s.isFile && isDataFile(s.getPath))
+      val fresh = fs.listStatus(staging)
+        .filter(s => s.isFile && isDataFile(s.getPath))
+      // collision check BEFORE the commit point: an abort here is clean
+      fresh.foreach { f =>
+        val dest = new HPath(target, f.getPath.getName)
+        if (fs.exists(dest))
+          throw new java.io.IOException(
+            s"swap aborted: rename ${f.getPath} -> $dest failed; " +
+              "old files left in place")
+      }
+      commitManifest(fs, staging, target, old.map(_.getPath.getName))
+      fresh.foreach { f =>
+        val dest = new HPath(target, f.getPath.getName)
+        if (!fs.rename(f.getPath, dest))
+          // past the commit point the swap must not un-happen: leave the
+          // manifest in place so the next recoverSwap retries the adoption
+          throw new java.io.IOException(
+            s"swap interrupted: rename ${f.getPath} -> $dest failed; " +
+              "manifest left for roll-forward recovery")
+      }
+      old.foreach(p => fs.delete(p.getPath, false))
+      fs.delete(new HPath(target, ManifestName), false)
+      fs.delete(staging, true)
+    } finally fs.delete(new HPath(target, LeaseName), false)
   }
 
   /** Write + atomically rename the swap commit record (see
@@ -375,8 +427,23 @@ object Compaction {
     * the manifest lists, then drop manifest + staging. Idempotent —
     * crashing inside recovery just means recovering again. Returns true
     * when a manifest was found and completed. */
-  private[graft] def recoverSwap(fs: FileSystem, target: HPath): Boolean = {
+  private[graft] def recoverSwap(fs: FileSystem, target: HPath,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean = {
+    if (!fs.exists(new HPath(target, ManifestName))) return false
+    // recovery MUTATES the leaf, so it needs the same single-writer
+    // exclusion: a live lease means the manifest belongs to an in-flight
+    // swap that will complete (or crash and be recovered later) — a
+    // caller about to write must fail fast, not adopt files under the
+    // holder's feet
+    val lease = acquireSwapLease(fs, target, leaseTtlMs)
+    try recoverSwapLocked(fs, target)
+    finally fs.delete(new HPath(target, LeaseName), false)
+  }
+
+  private def recoverSwapLocked(fs: FileSystem, target: HPath): Boolean = {
     val manifest = new HPath(target, ManifestName)
+    // re-check under the lease: the prior holder may have finished
+    // between our probe and our acquisition
     if (!fs.exists(manifest)) return false
     val in = fs.open(manifest)
     val content = try new String(

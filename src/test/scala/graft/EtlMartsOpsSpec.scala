@@ -340,6 +340,49 @@ class EtlMartsOpsSpec extends SparkSpec {
     assert(oldFiles.subsetOf(target.listFiles().map(_.getName).toSet))
   }
 
+  test("swap lease: a concurrent writer fails fast, a stale lease is " +
+      "broken, success releases the lease") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-lease")
+    val target = new java.io.File(base.toFile, "table")
+    val staging = new java.io.File(base.toFile, ".table__upserting")
+    Seq((1L, "old")).toDF("id", "v").coalesce(1).write.parquet(target.toString)
+    Seq((2L, "new")).toDF("id", "v").coalesce(1).write.parquet(staging.toString)
+    val fs = new HPath(target.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new HPath(target.toString)
+    // another writer (live lease) → the swap must fail fast, untouched
+    Compaction.acquireSwapLease(fs, tgt)
+    val before = target.listFiles().map(_.getName).toSet
+    val e = intercept[java.io.IOException] {
+      Compaction.swapDataFiles(fs, new HPath(staging.toString), tgt)
+    }
+    assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    assert(target.listFiles().map(_.getName).toSet == before)
+    assert(staging.exists()) // staged files not consumed
+    // recovery under a live lease fails fast too (it mutates the leaf)
+    Compaction.commitManifest(fs, new HPath(staging.toString), tgt, Nil)
+    val e2 = intercept[java.io.IOException] {
+      Compaction.recoverSwap(fs, tgt)
+    }
+    assert(e2.getMessage.contains("held by another writer"), e2.getMessage)
+    fs.delete(new HPath(tgt, "._graft_swap_manifest"), false)
+    // a STALE lease (holder died) is broken: ttl=0 makes ours stale now
+    val swapped = intercept[java.io.IOException] { // still held live at default ttl
+      Compaction.swapDataFiles(fs, new HPath(staging.toString), tgt)
+    }
+    assert(swapped.getMessage.contains("held by another writer"))
+    Compaction.swapDataFiles(fs, new HPath(staging.toString), tgt,
+      leaseTtlMs = 0L)
+    val rows = spark.read.parquet(target.toString)
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "new")))
+    // clean completion released the lease: a fresh writer acquires freely
+    assert(!new java.io.File(target, "._graft_swap_lease").exists())
+    Compaction.acquireSwapLease(fs, tgt)
+    fs.delete(new HPath(tgt, "._graft_swap_lease"), false)
+  }
+
   test("a swap crashed past its commit point rolls forward on recovery") {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = java.nio.file.Files.createTempDirectory("graft-swap-rec")
