@@ -33,6 +33,56 @@ object ScdQueries {
       when(col("c_acctbal") > 5000, "PREMIUM").otherwise(col("c_mktsegment"))
         .as("c_mktsegment"))
 
+  /** One `Scd.scd2Cdc` MERGE round as oracle CTE fragments: `$out` ends
+    * as the merged dimension with columns (c_custkey, c_name,
+    * c_mktsegment, version, est_actif, date_debut_validite,
+    * date_fin_validite); tracked attribute = c_mktsegment. Mirrors the
+    * engine branch-for-branch: in-batch latest-wins window, scd2's
+    * full-outer classification (unchanged ∪ dim-only / closed / new
+    * version / brand-new), then the delete-close pass. */
+  private def cdcRoundSql(dim: String, ch: String, out: String,
+      eff: String): String =
+    s"""${out}_latest AS (SELECT * FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM $ch)
+       |  WHERE rn = 1),
+       |${out}_up AS (SELECT c_custkey, c_name, c_mktsegment
+       |  FROM ${out}_latest WHERE op <> 'D'),
+       |${out}_del AS (SELECT c_custkey FROM ${out}_latest WHERE op = 'D'),
+       |${out}_j AS (
+       |  SELECT d.c_custkey AS d_key, u.c_custkey AS u_key,
+       |         d.c_name AS d_name, u.c_name AS u_name,
+       |         d.c_mktsegment AS d_seg, u.c_mktsegment AS u_seg,
+       |         d.version AS v, d.date_debut_validite AS deb
+       |  FROM (SELECT * FROM $dim WHERE est_actif = 1) d
+       |  FULL OUTER JOIN ${out}_up u ON d.c_custkey = u.c_custkey),
+       |${out}_m AS (
+       |  SELECT * FROM $dim WHERE est_actif = 0
+       |  UNION ALL
+       |  SELECT d_key, d_name, d_seg, v, 1, deb, CAST(NULL AS DATE)
+       |  FROM ${out}_j WHERE d_key IS NOT NULL
+       |    AND (u_key IS NULL OR d_seg IS NOT DISTINCT FROM u_seg)
+       |  UNION ALL
+       |  SELECT d_key, d_name, d_seg, v, 0, deb, DATE '$eff'
+       |  FROM ${out}_j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+       |    AND d_seg IS DISTINCT FROM u_seg
+       |  UNION ALL
+       |  SELECT u_key, u_name, u_seg, v + 1, 1, DATE '$eff', CAST(NULL AS DATE)
+       |  FROM ${out}_j WHERE d_key IS NOT NULL AND u_key IS NOT NULL
+       |    AND d_seg IS DISTINCT FROM u_seg
+       |  UNION ALL
+       |  SELECT u_key, u_name, u_seg, 1, 1, DATE '$eff', CAST(NULL AS DATE)
+       |  FROM ${out}_j WHERE d_key IS NULL),
+       |$out AS (
+       |  SELECT m.c_custkey, m.c_name, m.c_mktsegment, m.version,
+       |         CASE WHEN x.c_custkey IS NOT NULL THEN 0
+       |              ELSE m.est_actif END AS est_actif,
+       |         m.date_debut_validite,
+       |         CASE WHEN x.c_custkey IS NOT NULL AND m.est_actif = 1
+       |              THEN DATE '$eff'
+       |              ELSE m.date_fin_validite END AS date_fin_validite
+       |  FROM ${out}_m m
+       |  LEFT JOIN ${out}_del x ON m.c_custkey = x.c_custkey)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // M1: SCD1 overwrite with audit flag.
@@ -193,6 +243,76 @@ object ScdQueries {
 
     // PIT fact enrichment: orders join the customer-segment VERSION valid
     // at order date (v1 through 1995, v2 — PREMIUM promotion — from
+    // CDC feed → SCD2 dimension (Scd.scd2Cdc — the merge each micro-batch
+    // of Streams.scd2CdcSink applies): TWO sequential rounds so the
+    // oracle covers every branch — in-batch latest-wins, update
+    // close-and-append, value-identical update (no version bump), hard
+    // delete (close only), insert, re-insert after delete (fresh version
+    // chain), and a second round stacking versions to 3.
+    Q("m_scd2_cdc",
+      s"""WITH dim0 AS (
+         |  SELECT c_custkey, c_name, c_mktsegment, 1 AS version,
+         |         1 AS est_actif, DATE '2020-01-01' AS date_debut_validite,
+         |         CAST(NULL AS DATE) AS date_fin_validite
+         |  FROM customer WHERE c_custkey % 10 < 8),
+         |ch1 AS (
+         |  SELECT c_custkey, c_name, 'SEG_X' AS c_mktsegment, 1 AS seq, 'U' AS op
+         |  FROM customer WHERE c_custkey % 10 = 0
+         |  UNION ALL SELECT c_custkey, c_name, 'SEG_B1', 2, 'U'
+         |  FROM customer WHERE c_custkey % 10 = 0
+         |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 3, 'D'
+         |  FROM customer WHERE c_custkey % 10 = 1
+         |  UNION ALL SELECT c_custkey, c_name, 'SEG_NEW', 4, 'I'
+         |  FROM customer WHERE c_custkey % 10 = 8
+         |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 5, 'U'
+         |  FROM customer WHERE c_custkey % 10 = 2),
+         |${cdcRoundSql("dim0", "ch1", "dim1", "2024-01-01")},
+         |ch2 AS (
+         |  SELECT c_custkey, 'REINS' AS c_name, 'SEG_RE' AS c_mktsegment,
+         |         10 AS seq, 'I' AS op
+         |  FROM customer WHERE c_custkey % 10 = 1
+         |  UNION ALL SELECT c_custkey, c_name, 'SEG_B2', 11, 'U'
+         |  FROM customer WHERE c_custkey % 10 = 0
+         |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 12, 'D'
+         |  FROM customer WHERE c_custkey % 10 = 8),
+         |${cdcRoundSql("dim1", "ch2", "dim2", "2024-02-01")}
+         |SELECT c_mktsegment, CAST(est_actif AS INT) AS est_actif,
+         |       CAST(version AS INT) AS version,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(min(date_debut_validite) AS VARCHAR) AS min_debut,
+         |       coalesce(CAST(max(date_fin_validite) AS VARCHAR), 'open') AS max_fin
+         |FROM dim2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val cust = customer(s, d)
+      val k = col("c_custkey")
+      def ch(m: Int, name: org.apache.spark.sql.Column,
+          seg: org.apache.spark.sql.Column, seq: Int, op: String) =
+        cust.filter(k % 10 === m).select(k.as("c_custkey"),
+          name.as("c_name"), seg.as("c_mktsegment"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val dim0 = Scd.seed(cust.filter(k % 10 < 8)
+        .select("c_custkey", "c_name", "c_mktsegment"), "2020-01-01")
+      val b1 = ch(0, col("c_name"), lit("SEG_X"), 1, "U")
+        .unionByName(ch(0, col("c_name"), lit("SEG_B1"), 2, "U"))
+        .unionByName(ch(1, col("c_name"), col("c_mktsegment"), 3, "D"))
+        .unionByName(ch(8, col("c_name"), lit("SEG_NEW"), 4, "I"))
+        .unionByName(ch(2, col("c_name"), col("c_mktsegment"), 5, "U"))
+      val dim1 = Scd.scd2Cdc(dim0, b1, Seq("c_custkey"),
+        Seq("c_mktsegment"), "seq", "op", "2024-01-01")
+      val b2 = ch(1, lit("REINS"), lit("SEG_RE"), 10, "I")
+        .unionByName(ch(0, col("c_name"), lit("SEG_B2"), 11, "U"))
+        .unionByName(ch(8, col("c_name"), col("c_mktsegment"), 12, "D"))
+      val dim2 = Scd.scd2Cdc(dim1, b2, Seq("c_custkey"),
+        Seq("c_mktsegment"), "seq", "op", "2024-02-01")
+      dim2.groupBy(col("c_mktsegment"),
+          col("est_actif").cast("int").as("est_actif"),
+          col("version").cast("int").as("version"))
+        .agg(count(lit(1)).as("n"),
+          min(col("date_debut_validite").cast("string")).as("min_debut"),
+          coalesce(max(col("date_fin_validite").cast("string")), lit("open"))
+            .as("max_fin"))
+        .orderBy("c_mktsegment", "est_actif", "version")
+    },
+
     // 1996), so the same customer contributes to different segments in
     // different years. Equi join on the key; the interval predicate is a
     // residual, never a range-join shuffle. Validity ends are EXCLUSIVE

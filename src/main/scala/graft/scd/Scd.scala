@@ -152,6 +152,42 @@ object Scd {
       .unionByName(latest.filter(col(opCol) =!= "D").drop(opCol, seqCol))
   }
 
+  /** SCD2 MERGE of a CDC feed (insert/update/delete rows with a monotone
+    * `seqCol`): the latest change per key wins ([[applyCdc]]'s window —
+    * change-sized, never base-sized), upserts run the one-pass [[scd2]]
+    * close-and-append, and hard deletes — which plain SCD2 never sees —
+    * CLOSE the key's current version without opening a successor, so the
+    * dimension keeps full history and the key simply has no active row
+    * afterwards. Re-inserting a previously deleted key starts a fresh
+    * version chain at 1: validity intervals stay disjoint ([[asOf]] and
+    * [[pitJoin]] read correctly), only the version NUMBER repeats —
+    * documented honestly; the reference's batch MERGE
+    * (`Terraform/sql/010_scd_dimensions.sql:391-521`) has no delete
+    * branch at all, so there is no reference semantic to diverge from.
+    * `changes` carries the dim's attribute columns plus (`seqCol`,
+    * `opCol` ∈ {'I','U','D'}). */
+  def scd2Cdc(dim: DataFrame, changes: DataFrame, bk: Seq[String],
+      tracked: Seq[String], seqCol: String, opCol: String,
+      effectiveDate: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bk.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    val delKeys = latest.filter(col(opCol) === "D")
+      .select(bk.map(col): _*).withColumn("__del", lit(1))
+    val merged = scd2(dim, upserts, bk, tracked, effectiveDate)
+    val eff = lit(effectiveDate).cast("date")
+    // delete-close: date_fin stamped while est_actif is still readable
+    merged.join(delKeys, bk, "left")
+      .withColumn("date_fin_validite",
+        when(col("__del") === 1 && col("est_actif") === 1, eff)
+          .otherwise(col("date_fin_validite")))
+      .withColumn("est_actif",
+        when(col("__del") === 1, 0).otherwise(col("est_actif")))
+      .drop("__del")
+  }
+
   /** Point-in-time FACT enrichment (M2's read side): each fact row joins
     * the dimension version whose `[date_debut_validite,
     * date_fin_validite)` interval covers the fact's own date — "which

@@ -190,6 +190,87 @@ object Streams {
         upsertBatch(b.toDF(), targetDir, keys, orderCol))
       .start()
 
+  /** One micro-batch of the CDC → SCD2 dimension sink: merges the
+    * batch's change rows (insert/update/delete + monotone `seqCol`) into
+    * the parquet dimension at `targetDir` via [[graft.scd.Scd.scd2Cdc]]
+    * — the streaming form of the reference's batch MERGE
+    * (`Terraform/sql/010_scd_dimensions.sql:391-521`).
+    *
+    * Exactly-once on top of foreachBatch's at-least-once, the
+    * [[packBatchIncremental]] pattern: every written row is stamped with
+    * the source's monotone `batch_id`; a replayed batch is detected by
+    * the committed max(batch_id) watermark and skipped, and the rewrite
+    * lands through the crash-safe swap (manifest commit + roll-forward
+    * via `Compaction.recoverSwap` before every read), so a batch is
+    * either fully visible or not at all.
+    *
+    * One effective date per micro-batch — the feed's max `effDateCol` —
+    * matching the reference MERGE's single per-run @date_chargement;
+    * per-ROW effective dating would be event-time SCD, which neither the
+    * reference nor [[graft.scd.Scd.scd2]] defines. The whole dimension
+    * is rewritten per batch: dimension-sized work by definition (facts
+    * never flow through this sink); at warehouse scale the dim would be
+    * partitioned on a stable attribute and only touched partitions
+    * rewritten, as [[upsertBatch]] notes. The first batch seeds the
+    * dimension (every key lands as version 1 via scd2's brand-new
+    * branch against an empty seed). */
+  def scd2CdcBatch(batch: DataFrame, targetDir: String, bk: Seq[String],
+      tracked: Seq[String], seqCol: String, opCol: String,
+      effDateCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(target)) None
+      else {
+        graft.ops.Compaction.recoverSwap(fs, target)
+        Some(spark.read.parquet(targetDir))
+      }
+    // replay guard: null-safe like packBatchIncremental's (an existing
+    // but empty dim yields max = NULL = "no committed batch")
+    val committed = existing.flatMap(o =>
+      Option(o.agg(max("batch_id")).head().getAs[java.lang.Long](0))
+        .map(_.longValue))
+    if (committed.exists(_ >= batchId)) return
+    val effDate = batch.agg(max(col(effDateCol).cast("date"))).head().getDate(0)
+    require(effDate != null,
+      s"scd2CdcBatch: every change row has a null $effDateCol — no " +
+        "effective date for the batch")
+    val eff = effDate.toString
+    // the CDC bookkeeping columns (op, seq, change date) are not dim
+    // attributes: the seed drops them, and scd2 projects updates by the
+    // DIM's attribute names, so they ride along unreferenced
+    val dim = existing.map(_.drop("batch_id")).getOrElse(
+      graft.scd.Scd.seed(batch.drop(opCol, seqCol, effDateCol).limit(0), eff))
+    val merged = graft.scd.Scd
+      .scd2Cdc(dim, batch, bk, tracked, seqCol, opCol, eff)
+      .withColumn("batch_id", lit(batchId))
+    existing match {
+      case None => merged.write.parquet(targetDir)
+      case Some(_) =>
+        val staging = new org.apache.hadoop.fs.Path(target.getParent,
+          "." + target.getName + "__scd2cdc")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        graft.ops.Compaction.swapDataFiles(fs, staging, target)
+    }
+  }
+
+  /** Streaming CDC/SCD2 sink: a change stream maintains an SCD2
+    * dimension exactly-once (see [[scd2CdcBatch]]). */
+  def scd2CdcSink(stream: DataFrame, targetDir: String,
+      checkpointDir: String, bk: Seq[String], tracked: Seq[String],
+      seqCol: String, opCol: String, effDateCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scd2CdcBatch(b.toDF(), targetDir, bk, tracked, seqCol, opCol,
+          effDateCol, id))
+      .start()
+
   /** One micro-batch of incremental sequence packing
     * ([[graft.ext.Curation.packSequences]] under streaming): packs
     * `batch`'s documents CONTINUING each stratum's token stream from

@@ -435,6 +435,73 @@ class StreamsSpec extends SparkSpec {
     assert(manifestRows(spark.read.parquet(target)) == want)
   }
 
+  test("CDC/SCD2 sink: streamed dimension equals sequential batch merges; " +
+      "replayed batches are no-ops") {
+    // change feed: (k, name, seg, seq, op, change_date); seg is tracked
+    val b1 = Seq(
+      (1L, "one", "A", 1L, "I", "2024-01-01"),
+      (2L, "two", "A", 2L, "I", "2024-01-01"),
+      (3L, "three", "B", 3L, "I", "2024-01-01"))
+    val b2 = Seq(
+      (1L, "one", "C", 10L, "U", "2024-02-01"), // superseded in-batch…
+      (1L, "one", "B", 11L, "U", "2024-02-01"), // …latest change wins
+      (3L, "three", "B", 12L, "D", "2024-02-01")) // hard delete: close only
+    val b3 = Seq(
+      (3L, "three-bis", "C", 20L, "I", "2024-03-01"), // re-insert after D
+      (2L, "two", "A", 21L, "U", "2024-03-01")) // value-identical: no bump
+    val cols = Seq("k", "name", "seg", "seq", "op", "change_date")
+    def df(rows: Seq[(Long, String, String, Long, String, String)]) =
+      rows.toDF(cols: _*)
+    // batch reference: sequential scd2Cdc merges from an empty seed
+    val seed = graft.scd.Scd.seed(
+      df(b1).drop("op", "seq", "change_date").limit(0), "2024-01-01")
+    val want = Seq(b1, b2, b3).zip(
+      Seq("2024-01-01", "2024-02-01", "2024-03-01"))
+      .foldLeft(seed) { case (dim, (rows, eff)) =>
+        graft.scd.Scd.scd2Cdc(dim, df(rows), Seq("k"), Seq("seg"),
+          "seq", "op", eff)
+      }
+    def dimRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("name"), col("seg"), col("version"),
+        col("est_actif"),
+        col("date_debut_validite").cast("string"),
+        col("date_fin_validite").cast("string"))
+        .as[(Long, String, String, Int, Int, String, String)]
+        .collect().toSeq.sorted
+    // hand-check the semantics before trusting parity: k=1 closed A +
+    // active B v2; k=2 single active v1 (no bump); k=3 closed B v1 (the
+    // delete) + active C v1 (fresh chain after re-insert)
+    val wantRows = dimRows(want)
+    assert(wantRows == Seq(
+      (1L, "one", "A", 1, 0, "2024-01-01", "2024-02-01"),
+      (1L, "one", "B", 2, 1, "2024-02-01", null),
+      (2L, "two", "A", 1, 1, "2024-01-01", null),
+      (3L, "three", "B", 1, 0, "2024-01-01", "2024-02-01"),
+      (3L, "three-bis", "C", 1, 1, "2024-03-01", null)), wantRows.toString)
+    // streamed: three files, oldest-first, one per micro-batch
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2cdc")
+    val src = base.resolve("src").toString
+    Seq(b1, b2, b3).foreach { rows =>
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val target = base.resolve("dim").toString
+    val q = Streams.scd2CdcSink(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      target, base.resolve("ckpt").toString,
+      Seq("k"), Seq("seg"), "seq", "op", "change_date")
+    q.processAllAvailable(); q.stop()
+    val table = spark.read.parquet(target)
+    assert(table.agg(max("batch_id")).head().getLong(0) >= 2L) // 3 batches ran
+    assert(dimRows(table.drop("batch_id")) == wantRows)
+    // foreachBatch replay (at-least-once): an already-committed batch id
+    // is skipped entirely — even with different (stale) content
+    Streams.scd2CdcBatch(df(b2), target, Seq("k"), Seq("seg"),
+      "seq", "op", "change_date", batchId = 1L)
+    assert(dimRows(spark.read.parquet(target).drop("batch_id")) == wantRows)
+  }
+
   test("streaming dedup clustering: cluster table equals a from-scratch " +
       "batch clustering; replays, duplicate re-deliveries and " +
       "half-committed batches all heal") {
