@@ -25,6 +25,46 @@ import org.apache.spark.sql.types._
   * keeps memory at one record batch (decode buffers are per-row,
   * row-strided — never a whole-partition pixel buffer).
   */
+/** SPI for real video-frame decoding. No JDK codec can decode mp4
+  * FRAMES, so the engine ships NO default provider — [[Multimodal
+  * .decodeMedia]] keeps the honest `mp4` codec label and byte-histogram
+  * stub feature. A deployment with a real codec (e.g. a jcodec-backed
+  * provider) plugs in WITHOUT forking, either programmatically
+  * ([[VideoFrameDecoder.register]]) or by dropping a jar with a
+  * `META-INF/services/graft.ext.VideoFrameDecoder` entry on the
+  * classpath (`java.util.ServiceLoader`). Providers must be
+  * Serializable: the instance is resolved once on the driver and
+  * shipped inside the task closure. */
+trait VideoFrameDecoder extends Serializable {
+  /** Short provenance label; decoded rows are tagged `mp4+<name>`. */
+  def name: String
+
+  /** Average-pooled feature over up to `maxFrames` decoded frames, or
+    * None when this provider cannot decode the payload (the row then
+    * falls back to the honest stub path). */
+  def decode(bytes: Array[Byte], maxFrames: Int): Option[Array[Float]]
+}
+
+object VideoFrameDecoder {
+  @volatile private var registered: Option[VideoFrameDecoder] = None
+
+  /** Install a provider for this JVM (tests, embedding applications);
+    * takes precedence over ServiceLoader discovery. */
+  def register(d: VideoFrameDecoder): Unit = registered = Some(d)
+
+  /** Remove the programmatic provider (ServiceLoader jars, if any,
+    * become visible again). */
+  def clear(): Unit = registered = None
+
+  /** Resolution order: programmatic > ServiceLoader > none (the honest
+    * default). */
+  def installed: Option[VideoFrameDecoder] = registered.orElse {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[VideoFrameDecoder])
+      .iterator().asScala.nextOption()
+  }
+}
+
 object Multimodal {
 
   // decode from memory: ImageIO's default disk cache would write a temp
@@ -346,13 +386,21 @@ object Multimodal {
   /** Batched four-way decode: image readers first, audio readers next,
     * MP4 container metadata third, byte-stub last — total over any
     * payload, one row per input, same mapPartitions batch shape as
-    * [[decodeImages]]. The mp4 feature stays the byte histogram (no JDK
-    * frame decoder exists — the codec column keeps that honest) while
-    * width/height/duration are REAL container measurements. */
+    * [[decodeImages]]. By default the mp4 feature stays the byte
+    * histogram (no JDK frame decoder exists — the codec column keeps
+    * that honest) while width/height/duration are REAL container
+    * measurements; a deployment with a real codec plugs a
+    * [[VideoFrameDecoder]] in (programmatic register or ServiceLoader
+    * jar) and mp4 rows route through it, labeled `mp4+<name>` so
+    * provenance stays visible. */
   def decodeMedia(df: DataFrame, idCol: String, binCol: String):
       Dataset[DecodedAny] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // resolved ON THE DRIVER (one lookup per query, not per row) and
+    // serialized into the closure — the SPI contract requires providers
+    // to be Serializable for exactly this reason
+    val dec = VideoFrameDecoder.installed
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
@@ -367,7 +415,11 @@ object Multimodal {
               DecodedAny(id, "wav", None, None, Some(ms), f)
             case None => parseMp4Meta(b) match {
               case Some((ms, w, h)) =>
-                DecodedAny(id, "mp4", Some(w), Some(h), Some(ms), decodeStub(b))
+                dec.flatMap(p => p.decode(b, maxFrames = 4).map(f =>
+                  DecodedAny(id, "mp4+" + p.name, Some(w), Some(h),
+                    Some(ms), f)))
+                  .getOrElse(DecodedAny(id, "mp4", Some(w), Some(h),
+                    Some(ms), decodeStub(b)))
               case None =>
                 DecodedAny(id, "stub", None, None, None, decodeStub(b))
             }

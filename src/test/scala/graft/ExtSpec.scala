@@ -587,6 +587,59 @@ class ExtSpec extends SparkSpec {
     assert(fd.codec == "stub" && fd.duration_ms.isEmpty)
   }
 
+  test("multimodal: a plugged VideoFrameDecoder routes mp4 rows; the " +
+      "default still refuses honestly") {
+    val mp4 = Multimodal.syntheticMp4(durationMs = 900, width = 64, height = 48)
+    val rows = Seq((11L, mp4)).toDF("media_id", "content")
+    // no provider installed: honest mp4 label + byte-histogram stub
+    assert(graft.ext.VideoFrameDecoder.installed.isEmpty)
+    val before = Multimodal.decodeMedia(rows, "media_id", "content")
+      .collect().head
+    assert(before.codec == "mp4" &&
+      before.feature.sameElements(Multimodal.decodeStub(mp4)))
+    // a fake provider (stands in for a jcodec-backed deployment jar):
+    // deterministic feature so the assertion is exact
+    object Fake extends graft.ext.VideoFrameDecoder {
+      def name = "fake"
+      def decode(bytes: Array[Byte], maxFrames: Int): Option[Array[Float]] =
+        Some(Array(bytes.length.toFloat, maxFrames.toFloat))
+    }
+    graft.ext.VideoFrameDecoder.register(Fake)
+    try {
+      val d = Multimodal.decodeMedia(rows, "media_id", "content")
+        .collect().head
+      // routed through the provider, provenance visible, REAL container
+      // metadata still measured by the engine (not the provider)
+      assert(d.codec == "mp4+fake", d.codec)
+      assert(d.feature.sameElements(Array(mp4.length.toFloat, 4f)))
+      assert(d.width.contains(64) && d.duration_ms.contains(900))
+      // a provider that refuses a payload falls back to the stub path
+      object Refuses extends graft.ext.VideoFrameDecoder {
+        def name = "refuses"
+        def decode(bytes: Array[Byte], maxFrames: Int) = None
+      }
+      graft.ext.VideoFrameDecoder.register(Refuses)
+      val r = Multimodal.decodeMedia(rows, "media_id", "content")
+        .collect().head
+      assert(r.codec == "mp4" &&
+        r.feature.sameElements(Multimodal.decodeStub(mp4)))
+      // images never consult the video SPI (magic-byte gate first)
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      graft.ext.VideoFrameDecoder.register(Fake)
+      val i = Multimodal.decodeMedia(
+        Seq((12L, baos.toByteArray)).toDF("media_id", "content"),
+        "media_id", "content").collect().head
+      assert(i.codec == "png")
+    } finally graft.ext.VideoFrameDecoder.clear()
+    // cleared: the honest default is back
+    val after = Multimodal.decodeMedia(rows, "media_id", "content")
+      .collect().head
+    assert(after.codec == "mp4")
+  }
+
   test("multimodal: jpeg routes through its own codec label") {
     val img = new java.awt.image.BufferedImage(24, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
