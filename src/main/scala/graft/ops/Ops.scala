@@ -375,10 +375,29 @@ object Compaction {
     * merge reads the table. Shared by the compaction sweep and the
     * streaming upsert sink: one copy of the durability-critical
     * protocol. */
+  /** Run `body` holding the single-writer lease on `target`, releasing
+    * it afterwards. The critical section should cover the WHOLE
+    * read→merge→stage→swap sequence of a table rewrite, not just the
+    * swap: a writer whose base read races another writer's swap would
+    * otherwise silently lose the other's rows (its merge was computed
+    * against the pre-swap base), and a compaction's swap-time listing
+    * would delete a racing upsert's freshly adopted files. */
+  private[graft] def withSwapLease[A](fs: FileSystem, target: HPath,
+      ttlMs: Long = DefaultLeaseTtlMs)(body: => A): A = {
+    acquireSwapLease(fs, target, ttlMs)
+    try body
+    finally fs.delete(new HPath(target, LeaseName), false)
+  }
+
   private[graft] def swapDataFiles(fs: FileSystem, staging: HPath,
-      target: HPath, leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
-    val lease = acquireSwapLease(fs, target, leaseTtlMs)
-    try {
+      target: HPath, leaseTtlMs: Long = DefaultLeaseTtlMs): Unit =
+    withSwapLease(fs, target, leaseTtlMs)(
+      swapDataFilesLocked(fs, staging, target))
+
+  /** [[swapDataFiles]] for a caller already inside [[withSwapLease]]. */
+  private[graft] def swapDataFilesLocked(fs: FileSystem, staging: HPath,
+      target: HPath): Unit = {
+    {
       val old = fs.listStatus(target)
         .filter(s => s.isFile && isDataFile(s.getPath))
       val fresh = fs.listStatus(staging)
@@ -404,7 +423,7 @@ object Compaction {
       old.foreach(p => fs.delete(p.getPath, false))
       fs.delete(new HPath(target, ManifestName), false)
       fs.delete(staging, true)
-    } finally fs.delete(new HPath(target, LeaseName), false)
+    }
   }
 
   /** Write + atomically rename the swap commit record (see
@@ -435,12 +454,12 @@ object Compaction {
     // swap that will complete (or crash and be recovered later) — a
     // caller about to write must fail fast, not adopt files under the
     // holder's feet
-    val lease = acquireSwapLease(fs, target, leaseTtlMs)
-    try recoverSwapLocked(fs, target)
-    finally fs.delete(new HPath(target, LeaseName), false)
+    withSwapLease(fs, target, leaseTtlMs)(recoverSwapLocked(fs, target))
   }
 
-  private def recoverSwapLocked(fs: FileSystem, target: HPath): Boolean = {
+  /** [[recoverSwap]] for a caller already inside [[withSwapLease]]. */
+  private[graft] def recoverSwapLocked(fs: FileSystem,
+      target: HPath): Boolean = {
     val manifest = new HPath(target, ManifestName)
     // re-check under the lease: the prior holder may have finished
     // between our probe and our acquisition
@@ -506,23 +525,28 @@ object Compaction {
     require(targetBytes >= 1, "targetBytes must be positive")
     val root = new HPath(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the lease spans the leaf's WHOLE recover→read→rewrite→swap
+    // sequence: releasing between the listing and the swap would let a
+    // racing upsert's adopted files be read as "old" and deleted
     leafDirs(fs, root).flatMap { d =>
-      // a swap that crashed past its commit point rolls FORWARD first...
-      recoverSwap(fs, d)
-      // ...then any uncommitted hidden rewrite dir is plain abort debris
-      val tmp = tmpDirFor(d)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      val parts = fs.listStatus(d).filter(s => s.isFile && isDataFile(s.getPath))
-      val bytes = parts.map(_.getLen).sum
-      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (parts.length <= want) None
-      else {
-        spark.read.parquet(d.toString).coalesce(want)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val freshCount = fs.listStatus(tmp)
-          .count(s => s.isFile && isDataFile(s.getPath))
-        swapDataFiles(fs, tmp, d)
-        Some(Report(d.toString, parts.length, freshCount, bytes))
+      withSwapLease(fs, d) {
+        // a swap that crashed past its commit point rolls FORWARD first...
+        recoverSwapLocked(fs, d)
+        // ...then any uncommitted hidden rewrite dir is plain abort debris
+        val tmp = tmpDirFor(d)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val parts = fs.listStatus(d).filter(s => s.isFile && isDataFile(s.getPath))
+        val bytes = parts.map(_.getLen).sum
+        val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (parts.length <= want) None
+        else {
+          spark.read.parquet(d.toString).coalesce(want)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val freshCount = fs.listStatus(tmp)
+            .count(s => s.isFile && isDataFile(s.getPath))
+          swapDataFilesLocked(fs, tmp, d)
+          Some(Report(d.toString, parts.length, freshCount, bytes))
+        }
       }
     }
   }

@@ -153,19 +153,25 @@ object Streams {
       val target = new org.apache.hadoop.fs.Path(targetDir)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
-      // a swap that crashed past its commit point left old+new file sets
-      // coexisting — roll it forward BEFORE reading, or the duplicates of
-      // every key absent from this batch would be baked into the merge
-      graft.ops.Compaction.recoverSwap(fs, target)
-      val merged = spark.read.parquet(targetDir)
-        .join(latest, keys, "left_anti").unionByName(latest)
-      val staging = new org.apache.hadoop.fs.Path(target.getParent,
-        "." + target.getName + "__upserting")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      merged.write.parquet(staging.toString)
-      // shared crash-safe protocol (rename results checked; see
-      // Compaction.swapDataFiles)
-      graft.ops.Compaction.swapDataFiles(fs, staging, target)
+      // single-writer lease across the WHOLE recover→read→merge→stage→
+      // swap sequence: a merge computed against a base another writer
+      // swaps mid-flight would silently lose that writer's rows
+      graft.ops.Compaction.withSwapLease(fs, target) {
+        // a swap that crashed past its commit point left old+new file
+        // sets coexisting — roll it forward BEFORE reading, or the
+        // duplicates of every key absent from this batch would be baked
+        // into the merge
+        graft.ops.Compaction.recoverSwapLocked(fs, target)
+        val merged = spark.read.parquet(targetDir)
+          .join(latest, keys, "left_anti").unionByName(latest)
+        val staging = new org.apache.hadoop.fs.Path(target.getParent,
+          "." + target.getName + "__upserting")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        // shared crash-safe protocol (rename results checked; see
+        // Compaction.swapDataFiles)
+        graft.ops.Compaction.swapDataFilesLocked(fs, staging, target)
+      }
     } finally latest.unpersist()
   }
 
@@ -221,39 +227,44 @@ object Streams {
     if (batch.isEmpty) return
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (!fs.exists(target)) None
-      else {
-        graft.ops.Compaction.recoverSwap(fs, target)
-        Some(spark.read.parquet(targetDir))
+
+    def mergeAndLand(existing: Option[DataFrame]): Unit = {
+      // replay guard: null-safe like packBatchIncremental's (an existing
+      // but empty dim yields max = NULL = "no committed batch")
+      val committed = existing.flatMap(o =>
+        Option(o.agg(max("batch_id")).head().getAs[java.lang.Long](0))
+          .map(_.longValue))
+      if (committed.exists(_ >= batchId)) return
+      val effDate = batch.agg(max(col(effDateCol).cast("date"))).head().getDate(0)
+      require(effDate != null,
+        s"scd2CdcBatch: every change row has a null $effDateCol — no " +
+          "effective date for the batch")
+      val eff = effDate.toString
+      // the CDC bookkeeping columns (op, seq, change date) are not dim
+      // attributes: the seed drops them, and scd2 projects updates by the
+      // DIM's attribute names, so they ride along unreferenced
+      val dim = existing.map(_.drop("batch_id")).getOrElse(
+        graft.scd.Scd.seed(batch.drop(opCol, seqCol, effDateCol).limit(0), eff))
+      val merged = graft.scd.Scd
+        .scd2Cdc(dim, batch, bk, tracked, seqCol, opCol, eff)
+        .withColumn("batch_id", lit(batchId))
+      existing match {
+        case None => merged.write.parquet(targetDir)
+        case Some(_) =>
+          val staging = new org.apache.hadoop.fs.Path(target.getParent,
+            "." + target.getName + "__scd2cdc")
+          if (fs.exists(staging)) fs.delete(staging, true)
+          merged.write.parquet(staging.toString)
+          graft.ops.Compaction.swapDataFilesLocked(fs, staging, target)
       }
-    // replay guard: null-safe like packBatchIncremental's (an existing
-    // but empty dim yields max = NULL = "no committed batch")
-    val committed = existing.flatMap(o =>
-      Option(o.agg(max("batch_id")).head().getAs[java.lang.Long](0))
-        .map(_.longValue))
-    if (committed.exists(_ >= batchId)) return
-    val effDate = batch.agg(max(col(effDateCol).cast("date"))).head().getDate(0)
-    require(effDate != null,
-      s"scd2CdcBatch: every change row has a null $effDateCol — no " +
-        "effective date for the batch")
-    val eff = effDate.toString
-    // the CDC bookkeeping columns (op, seq, change date) are not dim
-    // attributes: the seed drops them, and scd2 projects updates by the
-    // DIM's attribute names, so they ride along unreferenced
-    val dim = existing.map(_.drop("batch_id")).getOrElse(
-      graft.scd.Scd.seed(batch.drop(opCol, seqCol, effDateCol).limit(0), eff))
-    val merged = graft.scd.Scd
-      .scd2Cdc(dim, batch, bk, tracked, seqCol, opCol, eff)
-      .withColumn("batch_id", lit(batchId))
-    existing match {
-      case None => merged.write.parquet(targetDir)
-      case Some(_) =>
-        val staging = new org.apache.hadoop.fs.Path(target.getParent,
-          "." + target.getName + "__scd2cdc")
-        if (fs.exists(staging)) fs.delete(staging, true)
-        merged.write.parquet(staging.toString)
-        graft.ops.Compaction.swapDataFiles(fs, staging, target)
+    }
+
+    if (!fs.exists(target)) mergeAndLand(None)
+    else graft.ops.Compaction.withSwapLease(fs, target) {
+      // single-writer lease across recover→read→merge→stage→swap, same
+      // reasoning as upsertBatch
+      graft.ops.Compaction.recoverSwapLocked(fs, target)
+      mergeAndLand(Some(spark.read.parquet(targetDir)))
     }
   }
 

@@ -115,6 +115,31 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3)
   }
 
+  test("upsertBatch holds the single-writer lease for its whole " +
+      "read-merge-stage-swap section") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-lease")
+    val target = base.resolve("kv").toString
+    Streams.upsertBatch(Seq((1L, 1L, "a")).toDF("k", "ver", "v"),
+      target, Seq("k"), "ver")
+    val fs = new HPath(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another writer live on the table: the merge must fail fast BEFORE
+    // computing against a base that writer is about to replace
+    graft.ops.Compaction.acquireSwapLease(fs, new HPath(target))
+    val e = intercept[java.io.IOException] {
+      Streams.upsertBatch(Seq((2L, 1L, "b")).toDF("k", "ver", "v"),
+        target, Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    assert(spark.read.parquet(target).count() == 1) // untouched
+    fs.delete(new HPath(target, "._graft_swap_lease"), false)
+    // writer gone: the same batch lands
+    Streams.upsertBatch(Seq((2L, 1L, "b")).toDF("k", "ver", "v"),
+      target, Seq("k"), "ver")
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
   test("stream-static enrichment matches the batch broadcast join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     graft.core.Tables.load(spark, sf001, "events")
