@@ -294,7 +294,7 @@ object Compaction {
   final case class Report(dir: String, filesBefore: Int, filesAfter: Int,
       bytes: Long)
 
-  private[ops] def isDataFile(p: HPath): Boolean = {
+  private[graft] def isDataFile(p: HPath): Boolean = {
     val n = p.getName
     n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
   }
@@ -316,16 +316,75 @@ object Compaction {
     * lease makes that contract fail FAST: [[swapDataFiles]] and
     * [[recoverSwap]] take it create-exclusively before mutating and
     * release it when done; a second writer gets a loud IOException
-    * instead of silent corruption. Best-effort by design — atomic
-    * create-if-absent holds on local/HDFS; on eventually-consistent
-    * object stores it narrows the race without closing it (deployments
-    * needing hard exclusion coordinate writers externally, e.g. one
-    * compactor per table). A holder that crashes leaves a stale lease;
-    * it is broken after `ttlMs` (default 15 min — longer than any sane
-    * single-leaf swap, which is rename-bound) and the dead holder's
-    * manifest, if committed, rolls forward under the new lease. */
+    * instead of silent corruption. Atomicity of the create step is
+    * store-dependent: on a LOCAL filesystem the lease is created with
+    * O_CREAT|O_EXCL via NIO (Hadoop's `RawLocalFileSystem.create(path,
+    * overwrite=false)` is check-then-create, NOT atomic across
+    * processes, so it is bypassed); on HDFS `create(overwrite=false)`
+    * is atomic natively; on eventually-consistent object stores the
+    * protocol narrows the race without closing it (deployments needing
+    * hard exclusion there coordinate writers externally, e.g. one
+    * compactor per table). Each acquisition writes a UNIQUE holder
+    * token and re-reads it after create — the belt-and-suspenders that
+    * catches takeover interleavings on stores without atomic create.
+    *
+    * A holder that crashes leaves a stale lease; it is broken after
+    * `ttlMs` (default 15 min) by an ATOMIC RENAME to a unique tombstone
+    * — two breakers that both observed the expired lease cannot both
+    * win (the second rename finds no source), where delete-then-create
+    * would let breaker B delete breaker A's FRESH lease. The dead
+    * holder's manifest, if committed, rolls forward under the new
+    * lease. The TTL bounds crash-DETECTION latency only, not critical-
+    * section length: [[withSwapLease]] heartbeats the lease mtime
+    * (every ttl/3) while the body runs, so a live holder whose
+    * read→merge→stage→swap Spark jobs outlast the TTL is never
+    * mistaken for a dead one; and [[commitManifest]] re-verifies
+    * ownership immediately before the commit rename, aborting rather
+    * than interleaving with a usurper's swap. */
   private val LeaseName = "._graft_swap_lease"
   private[graft] val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Holder tokens of leases acquired through THIS JVM, keyed by the
+    * qualified lease path: lets [[commitManifest]] re-verify ownership
+    * at the commit point without threading a handle through every call
+    * site. */
+  private val leaseHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def leaseKey(fs: FileSystem, lease: HPath): String =
+    fs.makeQualified(lease).toUri.toString
+
+  private def newLeaseToken(): String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "#" + java.util.UUID.randomUUID()
+
+  /** The holder token stored in `lease`, or None if the file is gone or
+    * unreadable (mid-replacement). */
+  private[graft] def readLeaseToken(fs: FileSystem,
+      lease: HPath): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def isLocalFs(fs: FileSystem): Boolean =
+    fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+
+  /** Create-exclusive stream for the lease file. Local filesystems get
+    * true O_CREAT|O_EXCL through NIO (atomic across processes, which
+    * `RawLocalFileSystem.create` is not); everything else uses the
+    * store's own `create(overwrite=false)`. */
+  private def createLeaseExclusive(fs: FileSystem,
+      lease: HPath): java.io.OutputStream =
+    if (isLocalFs(fs))
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else fs.create(lease, false)
 
   /** Take the single-writer swap lease on `target`, failing fast if a
     * live holder exists (see [[LeaseName]] for the contract). */
@@ -339,21 +398,47 @@ object Compaction {
         s"swap lease on $target held by another writer (age ${age}ms < " +
           s"ttl ${ttlMs}ms): concurrent compaction/upsert on one table " +
           "dir violates the single-writer swap contract — failing fast")
-      // stale: the holder died; any committed manifest it left rolls
-      // forward under OUR lease
-      fs.delete(lease, false)
+      // stale: the holder died. Break by ATOMIC RENAME to a unique
+      // tombstone so only one breaker can win; any committed manifest
+      // the dead holder left rolls forward under OUR lease.
+      val tomb = new HPath(target,
+        LeaseName + ".tomb-" + java.util.UUID.randomUUID())
+      val renamed = try fs.rename(lease, tomb)
+      catch { case _: java.io.IOException => false }
+      if (!renamed) throw new java.io.IOException(
+        s"lost the stale-lease takeover race on $target " +
+          "(another breaker renamed it first)")
+      fs.delete(tomb, false)
     }
-    try {
-      val out = fs.create(lease, false) // create-exclusive = the lock
-      try out.write(java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getName
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      lease
-    } catch {
+    val token = newLeaseToken()
+    val out = try createLeaseExclusive(fs, lease)
+    catch {
       case e: java.io.IOException => throw new java.io.IOException(
         s"lost the swap-lease race on $target (concurrent writer)", e)
     }
+    // the create succeeded — from here a failure must not strand an
+    // orphan lease that blocks every writer for a full TTL with no
+    // live holder
+    try {
+      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        try out.close() catch { case _: java.io.IOException => () }
+        try fs.delete(lease, false) catch { case _: java.io.IOException => () }
+        throw new java.io.IOException(
+          s"swap-lease payload write failed on $target (lease removed)", e)
+    }
+    // re-read and verify the payload is OURS: closes the takeover
+    // interleavings an un-atomic create can't exclude (two breakers
+    // whose delete/create steps interleave end with ONE file — only
+    // the writer whose token survived proceeds)
+    val holder = readLeaseToken(fs, lease)
+    if (!holder.contains(token)) throw new java.io.IOException(
+      s"lost the swap-lease race on $target " +
+        s"(holder now ${holder.getOrElse("<unreadable>")})")
+    leaseHolders.put(leaseKey(fs, lease), token)
+    lease
   }
 
   /** Crash-safe swap of a leaf's data files, with roll-forward recovery:
@@ -384,9 +469,43 @@ object Compaction {
     * would delete a racing upsert's freshly adopted files. */
   private[graft] def withSwapLease[A](fs: FileSystem, target: HPath,
       ttlMs: Long = DefaultLeaseTtlMs)(body: => A): A = {
-    acquireSwapLease(fs, target, ttlMs)
+    val lease = acquireSwapLease(fs, target, ttlMs)
+    val token = leaseHolders.get(leaseKey(fs, lease))
+    // heartbeat: the critical section spans whole Spark jobs, which can
+    // legitimately outlast ttlMs — re-touching the lease mtime keeps a
+    // LIVE holder from being broken as a dead one mid-body. Daemon +
+    // best-effort: a failed touch only re-opens the TTL window, and the
+    // commit-point ownership check below still catches a takeover.
+    @volatile var stop = false
+    val beat = math.max(250L, ttlMs / 3)
+    val hb = new Thread(() => {
+      var alive = true
+      while (alive && !stop) {
+        try Thread.sleep(beat)
+        catch { case _: InterruptedException => alive = false }
+        if (alive && !stop)
+          try fs.setTimes(lease, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () }
+      }
+    }, s"graft-swap-lease-heartbeat-${target.getName}")
+    hb.setDaemon(true)
+    hb.start()
     try body
-    finally fs.delete(new HPath(target, LeaseName), false)
+    finally {
+      stop = true
+      hb.interrupt()
+      releaseSwapLease(fs, lease, token)
+    }
+  }
+
+  /** Release a lease acquired by [[withSwapLease]]: delete it only if
+    * it still carries OUR token — if it was broken and taken over
+    * mid-body, deleting would kill the new holder's lease. */
+  private def releaseSwapLease(fs: FileSystem, lease: HPath,
+      token: String): Unit = {
+    leaseHolders.remove(leaseKey(fs, lease))
+    if (token != null && readLeaseToken(fs, lease).contains(token))
+      try fs.delete(lease, false) catch { case _: java.io.IOException => () }
   }
 
   private[graft] def swapDataFiles(fs: FileSystem, staging: HPath,
@@ -431,6 +550,21 @@ object Compaction {
     * crash between commit and completion. */
   private[graft] def commitManifest(fs: FileSystem, staging: HPath,
       target: HPath, oldNames: Seq[String]): Unit = {
+    // commit-point ownership check: if OUR lease was broken mid-body
+    // (TTL expiry despite the heartbeat, an operator deleting the file)
+    // and another writer took the leaf, renaming our manifest in would
+    // clobber theirs and strand their old files forever — abort BEFORE
+    // the commit instead. Only applies to leases acquired through this
+    // JVM's withSwapLease (tests drive commitManifest bare to simulate
+    // crashes; those skip the check).
+    val lease = new HPath(target, LeaseName)
+    Option(leaseHolders.get(leaseKey(fs, lease))).foreach { ours =>
+      val holder = readLeaseToken(fs, lease)
+      if (!holder.contains(ours)) throw new java.io.IOException(
+        s"swap lease on $target was taken over mid-critical-section " +
+          s"(holder now ${holder.getOrElse("<missing>")}) — aborting " +
+          "before the manifest commit")
+    }
     val tmp = new HPath(target, ManifestName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write((staging.getName +: oldNames).mkString("\n")

@@ -152,7 +152,13 @@ object Streams {
       if (latest.isEmpty) return
       val target = new org.apache.hadoop.fs.Path(targetDir)
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(target)) { latest.write.parquet(targetDir); return }
+      // EVERY mutation of the table dir runs under the single-writer
+      // lease, the seed write included: a bare first-write path would
+      // race a concurrent writer creating the same table on nothing
+      // stronger than ErrorIfExists (TOCTOU on the exists probe). The
+      // dir is created first so the lease file has somewhere to live —
+      // mkdirs is idempotent.
+      fs.mkdirs(target)
       // single-writer lease across the WHOLE recover→read→merge→stage→
       // swap sequence: a merge computed against a base another writer
       // swaps mid-flight would silently lose that writer's rows
@@ -162,8 +168,12 @@ object Streams {
         // duplicates of every key absent from this batch would be baked
         // into the merge
         graft.ops.Compaction.recoverSwapLocked(fs, target)
-        val merged = spark.read.parquet(targetDir)
-          .join(latest, keys, "left_anti").unionByName(latest)
+        val hasData = fs.listStatus(target).exists(s =>
+          s.isFile && graft.ops.Compaction.isDataFile(s.getPath))
+        val merged =
+          if (!hasData) latest // seed: the swap adopts it like any batch
+          else spark.read.parquet(targetDir)
+            .join(latest, keys, "left_anti").unionByName(latest)
         val staging = new org.apache.hadoop.fs.Path(target.getParent,
           "." + target.getName + "__upserting")
         if (fs.exists(staging)) fs.delete(staging, true)
@@ -248,23 +258,27 @@ object Streams {
       val merged = graft.scd.Scd
         .scd2Cdc(dim, batch, bk, tracked, seqCol, opCol, eff)
         .withColumn("batch_id", lit(batchId))
-      existing match {
-        case None => merged.write.parquet(targetDir)
-        case Some(_) =>
-          val staging = new org.apache.hadoop.fs.Path(target.getParent,
-            "." + target.getName + "__scd2cdc")
-          if (fs.exists(staging)) fs.delete(staging, true)
-          merged.write.parquet(staging.toString)
-          graft.ops.Compaction.swapDataFilesLocked(fs, staging, target)
-      }
+      // the seed lands through the same stage+swap as every later batch
+      // (the target dir already exists for the lease, so ErrorIfExists
+      // can't gate the first write — and shouldn't: only the lease may)
+      val staging = new org.apache.hadoop.fs.Path(target.getParent,
+        "." + target.getName + "__scd2cdc")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      merged.write.parquet(staging.toString)
+      graft.ops.Compaction.swapDataFilesLocked(fs, staging, target)
     }
 
-    if (!fs.exists(target)) mergeAndLand(None)
-    else graft.ops.Compaction.withSwapLease(fs, target) {
+    // mkdirs-then-lease, like upsertBatch: the seed write is lease-
+    // protected too, closing the TOCTOU where a concurrent writer
+    // creating the same table races the exists probe
+    fs.mkdirs(target)
+    graft.ops.Compaction.withSwapLease(fs, target) {
       // single-writer lease across recover→read→merge→stage→swap, same
       // reasoning as upsertBatch
       graft.ops.Compaction.recoverSwapLocked(fs, target)
-      mergeAndLand(Some(spark.read.parquet(targetDir)))
+      val hasData = fs.listStatus(target).exists(s =>
+        s.isFile && graft.ops.Compaction.isDataFile(s.getPath))
+      mergeAndLand(if (hasData) Some(spark.read.parquet(targetDir)) else None)
     }
   }
 

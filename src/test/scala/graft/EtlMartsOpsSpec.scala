@@ -383,6 +383,80 @@ class EtlMartsOpsSpec extends SparkSpec {
     fs.delete(new HPath(tgt, "._graft_swap_lease"), false)
   }
 
+  test("swap lease: two barrier-started racing writers — exactly one " +
+      "acquires, the loser's IOException names the lease") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-lease-race")
+    val tgt = new HPath(new java.io.File(base.toFile, "table").toString)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tgt)
+    // the local-FS lock is NIO O_CREAT|O_EXCL (RawLocalFileSystem's
+    // create(overwrite=false) is check-then-create): a true concurrent
+    // race must be deterministic, not merely likely, to pass 20 rounds
+    (1 to 20).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          barrier.await()
+          try {
+            Compaction.acquireSwapLease(fs, tgt)
+            results.add(Right(()))
+          } catch { case e: Throwable => results.add(Left(e)) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val wins = results.asScala.count(_.isRight)
+      assert(wins == 1, s"round $round: expected exactly one winner, " +
+        s"got $wins (${results.asScala.toSeq})")
+      val loser = results.asScala.collectFirst { case Left(e) => e }.get
+      assert(loser.isInstanceOf[java.io.IOException], loser.toString)
+      assert(loser.getMessage.contains("lease"), loser.getMessage)
+      fs.delete(new HPath(tgt, "._graft_swap_lease"), false)
+    }
+  }
+
+  test("swap lease: the heartbeat keeps a live holder's lease fresh " +
+      "past the TTL; a mid-body takeover aborts before the commit") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-lease-hb")
+    val tgt = new HPath(new java.io.File(base.toFile, "table").toString)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tgt)
+    val ttl = 800L // beat = max(250, ttl/3) ≈ 266ms → several touches
+    // (1) a body that outlives the TTL is NOT broken: a competing
+    // acquire late in the body still sees a live (heartbeat-fresh) lease
+    Compaction.withSwapLease(fs, tgt, ttl) {
+      Thread.sleep(2 * ttl + 200)
+      val e = intercept[java.io.IOException] {
+        Compaction.acquireSwapLease(fs, tgt, ttl)
+      }
+      assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    }
+    // clean release: the next writer acquires freely
+    Compaction.withSwapLease(fs, tgt, ttl)(())
+    // (2) if the lease IS usurped mid-body (simulated by replacing the
+    // payload with a foreign token), the commit point must abort rather
+    // than clobber the usurper's swap
+    val e2 = intercept[java.io.IOException] {
+      Compaction.withSwapLease(fs, tgt, ttl) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tgt.toUri.getPath, "._graft_swap_lease"),
+          "usurper@elsewhere#not-our-token".getBytes("UTF-8"))
+        Compaction.commitManifest(fs,
+          new HPath(tgt.getParent, ".table__staging"), tgt, Nil)
+      }
+    }
+    assert(e2.getMessage.contains("taken over"), e2.getMessage)
+    assert(!fs.exists(new HPath(tgt, "._graft_swap_manifest")))
+    // release must NOT have deleted the usurper's lease
+    assert(fs.exists(new HPath(tgt, "._graft_swap_lease")))
+    fs.delete(new HPath(tgt, "._graft_swap_lease"), false)
+  }
+
   test("a swap crashed past its commit point rolls forward on recovery") {
     import org.apache.hadoop.fs.{Path => HPath}
     val base = java.nio.file.Files.createTempDirectory("graft-swap-rec")

@@ -140,6 +140,42 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("the SEED write is lease-protected too: a concurrent writer on a " +
+      "brand-new table fails fast instead of racing ErrorIfExists") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-seed-lease")
+    val fs = new HPath(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // upsertBatch: another writer already holds the (empty) table dir
+    val kv = new HPath(base.resolve("kv").toString)
+    fs.mkdirs(kv)
+    graft.ops.Compaction.acquireSwapLease(fs, kv)
+    val e = intercept[java.io.IOException] {
+      Streams.upsertBatch(Seq((1L, 1L, "a")).toDF("k", "ver", "v"),
+        kv.toString, Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    fs.delete(new HPath(kv, "._graft_swap_lease"), false)
+    Streams.upsertBatch(Seq((1L, 1L, "a")).toDF("k", "ver", "v"),
+      kv.toString, Seq("k"), "ver") // writer gone: the seed lands
+    assert(spark.read.parquet(kv.toString).count() == 1)
+    // scd2CdcBatch: same contract on the dimension seed
+    val dim = new HPath(base.resolve("dim").toString)
+    fs.mkdirs(dim)
+    graft.ops.Compaction.acquireSwapLease(fs, dim)
+    val changes = Seq((1L, "one", "A", 1L, "I", "2024-01-01"))
+      .toDF("k", "name", "seg", "seq", "op", "change_date")
+    val e2 = intercept[java.io.IOException] {
+      Streams.scd2CdcBatch(changes, dim.toString, Seq("k"), Seq("seg"),
+        "seq", "op", "change_date", batchId = 0L)
+    }
+    assert(e2.getMessage.contains("held by another writer"), e2.getMessage)
+    fs.delete(new HPath(dim, "._graft_swap_lease"), false)
+    Streams.scd2CdcBatch(changes, dim.toString, Seq("k"), Seq("seg"),
+      "seq", "op", "change_date", batchId = 0L)
+    assert(spark.read.parquet(dim.toString).count() == 1)
+  }
+
   test("stream-static enrichment matches the batch broadcast join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     graft.core.Tables.load(spark, sf001, "events")
