@@ -640,6 +640,51 @@ class ExtSpec extends SparkSpec {
     assert(after.codec == "mp4")
   }
 
+  test("multimodal: the ServiceLoader discovery branch finds a provider " +
+      "from a META-INF/services resource; programmatic still wins") {
+    // the service file lives in a TEMP dir exposed through a context
+    // classloader, NOT on the test classpath — the other multimodal
+    // tests assert the no-provider default, which a classpath-resident
+    // resource would break. ServiceLoader.load(Class) resolves via the
+    // thread context classloader, which is exactly the deployment shape
+    // ("drop a jar on the classpath") scoped to this test.
+    val dir = java.nio.file.Files.createTempDirectory("graft-svcloader")
+    val svc = dir.resolve("META-INF").resolve("services")
+    java.nio.file.Files.createDirectories(svc)
+    java.nio.file.Files.write(svc.resolve("graft.ext.VideoFrameDecoder"),
+      "graft.TestServiceVideoDecoder".getBytes("UTF-8"))
+    val prev = Thread.currentThread().getContextClassLoader
+    val loader = new java.net.URLClassLoader(Array(dir.toUri.toURL), prev)
+    Thread.currentThread().setContextClassLoader(loader)
+    try {
+      // discovered with no programmatic provider registered
+      assert(graft.ext.VideoFrameDecoder.installed.map(_.name)
+        .contains("svcloader"))
+      // and routes decodeMedia end-to-end with provenance in the label
+      val mp4 = Multimodal.syntheticMp4(durationMs = 700, width = 32,
+        height = 16)
+      val d = Multimodal.decodeMedia(
+        Seq((21L, mp4)).toDF("media_id", "content"),
+        "media_id", "content").collect().head
+      assert(d.codec == "mp4+svcloader", d.codec)
+      assert(d.width.contains(32) && d.duration_ms.contains(700))
+      // resolution order: programmatic beats ServiceLoader…
+      object Prog extends graft.ext.VideoFrameDecoder {
+        def name = "prog"
+        def decode(bytes: Array[Byte], maxFrames: Int) = Some(Array(1f))
+      }
+      graft.ext.VideoFrameDecoder.register(Prog)
+      try assert(graft.ext.VideoFrameDecoder.installed.map(_.name)
+        .contains("prog"))
+      finally graft.ext.VideoFrameDecoder.clear()
+      // …and clearing it re-exposes the discovered provider
+      assert(graft.ext.VideoFrameDecoder.installed.map(_.name)
+        .contains("svcloader"))
+    } finally Thread.currentThread().setContextClassLoader(prev)
+    // service dir out of scope: the honest no-provider default is back
+    assert(graft.ext.VideoFrameDecoder.installed.isEmpty)
+  }
+
   test("multimodal: jpeg routes through its own codec label") {
     val img = new java.awt.image.BufferedImage(24, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -716,4 +761,15 @@ class ExtSpec extends SparkSpec {
     assert(tf.length == 1 && tf.head._1 == 0L &&
       tf.head._2.sameElements(Array[Byte](5, 6)))
   }
+}
+
+/** Test-only SPI provider, instantiated by `java.util.ServiceLoader`
+  * through the TCCL-scoped `META-INF/services` resource the discovery
+  * test writes at runtime (it is deliberately NOT on the test classpath
+  * — see that test for why). Public no-arg constructor, Serializable:
+  * the ServiceLoader + task-closure contract. */
+class TestServiceVideoDecoder extends graft.ext.VideoFrameDecoder {
+  def name = "svcloader"
+  def decode(bytes: Array[Byte], maxFrames: Int): Option[Array[Float]] =
+    Some(Array(bytes.length.toFloat, maxFrames.toFloat, 7f))
 }
