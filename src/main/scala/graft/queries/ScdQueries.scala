@@ -313,6 +313,159 @@ object ScdQueries {
         .orderBy("c_mktsegment", "est_actif", "version")
     },
 
+    // EVENT-TIME SCD2 (Scd.scd2CdcEventTime): each change carries its own
+    // effective date; out-of-order changes SPLICE the existing chain. The
+    // oracle re-derives the whole rebuild in SQL — dim-version + derived-
+    // delete + feed events, same-date collapse (feed > seq > delete),
+    // no-op suppression, chain re-segmentation — over a dim where %10<7
+    // keys hold a 2-version chain, %10=7 was closed by a historical
+    // delete, and the feed exercises: mid-interval splice (0), no-op (1),
+    // delete of the active version (2), re-insert after delete (7),
+    // same-date override (3), same-key-same-date seq race (4),
+    // mid-interval out-of-order DELETE splitting the chain (5), brand-new
+    // key (8), delete of a never-seen key = dropped (9); %10=6 is
+    // untouched passthrough.
+    Q("m_scd2_eventtime",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, 1 AS version,
+        |         0 AS est_actif, DATE '2020-01-01' AS date_debut_validite,
+        |         DATE '2022-01-01' AS date_fin_validite
+        |  FROM customer WHERE c_custkey % 10 < 7
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'SEG_V2', 2, 1, DATE '2022-01-01',
+        |         CAST(NULL AS DATE)
+        |  FROM customer WHERE c_custkey % 10 < 7
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, 1, 0, DATE '2020-01-01',
+        |         DATE '2021-06-01'
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |changes AS (
+        |  SELECT c_custkey, c_name, 'SEG_MID' AS c_mktsegment, 1 AS seq,
+        |         'U' AS op, DATE '2021-01-01' AS eff
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, c_name, 'SEG_V2', 2, 'U',
+        |    DATE '2023-01-01' FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 3, 'D',
+        |    DATE '2023-06-01' FROM customer WHERE c_custkey % 10 = 2
+        |  UNION ALL SELECT c_custkey, c_name, 'SEG_BACK', 4, 'I',
+        |    DATE '2023-01-01' FROM customer WHERE c_custkey % 10 = 7
+        |  UNION ALL SELECT c_custkey, c_name, 'SEG_SAME', 5, 'U',
+        |    DATE '2022-01-01' FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL SELECT c_custkey, c_name, 'SEG_A', 6, 'U',
+        |    DATE '2024-01-01' FROM customer WHERE c_custkey % 10 = 4
+        |  UNION ALL SELECT c_custkey, c_name, 'SEG_B', 7, 'U',
+        |    DATE '2024-01-01' FROM customer WHERE c_custkey % 10 = 4
+        |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 8, 'D',
+        |    DATE '2021-03-15' FROM customer WHERE c_custkey % 10 = 5
+        |  UNION ALL SELECT c_custkey + 1000000, c_name, 'SEG_NEW', 9, 'I',
+        |    DATE '2024-05-01' FROM customer WHERE c_custkey % 10 = 8
+        |  UNION ALL SELECT c_custkey + 2000000, c_name, c_mktsegment, 10,
+        |    'D', DATE '2024-01-01' FROM customer WHERE c_custkey % 10 = 9),
+        |keys AS (SELECT DISTINCT c_custkey FROM changes),
+        |touched AS (SELECT d.* FROM dim d
+        |  WHERE EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = d.c_custkey)),
+        |untouched AS (SELECT d.* FROM dim d
+        |  WHERE NOT EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = d.c_custkey)),
+        |ev AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, 'U' AS op,
+        |         date_debut_validite AS eff, 0 AS arr,
+        |         CAST(version AS BIGINT) AS seq, 0 AS dpri FROM touched
+        |  UNION ALL
+        |  SELECT t.c_custkey, t.c_name, t.c_mktsegment, 'D',
+        |         t.date_fin_validite, 0, CAST(t.version AS BIGINT), 1
+        |  FROM touched t
+        |  WHERE t.est_actif = 0 AND t.date_fin_validite IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM touched s
+        |      WHERE s.c_custkey = t.c_custkey
+        |        AND s.date_debut_validite = t.date_fin_validite)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, op, eff, 1,
+        |         CAST(seq AS BIGINT),
+        |         CASE WHEN op = 'D' THEN 1 ELSE 0 END FROM changes),
+        |one AS (SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY c_custkey, eff
+        |     ORDER BY arr DESC, seq DESC, dpri DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |kept AS (SELECT * FROM (
+        |  SELECT *, lag(op) OVER w AS prev_op,
+        |         (c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w)
+        |           AS chg
+        |  FROM one WINDOW w AS (PARTITION BY c_custkey ORDER BY eff))
+        |  WHERE CASE WHEN op = 'D'
+        |        THEN prev_op IS NOT NULL AND prev_op <> 'D'
+        |        ELSE prev_op IS NULL OR prev_op = 'D' OR chg END),
+        |built AS (SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_mktsegment, op, eff,
+        |         lead(eff) OVER w2 AS next_eff,
+        |         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) OVER w2 AS chain
+        |  FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff))
+        |  WHERE op <> 'D'),
+        |reb AS (SELECT c_custkey, c_mktsegment,
+        |        CAST(row_number() OVER
+        |          (PARTITION BY c_custkey, chain ORDER BY eff) AS INT)
+        |          AS version,
+        |        CASE WHEN next_eff IS NULL THEN 1 ELSE 0 END AS est_actif,
+        |        eff AS date_debut_validite, next_eff AS date_fin_validite
+        |        FROM built),
+        |fin AS (
+        |  SELECT c_custkey, c_mktsegment, version, est_actif,
+        |         date_debut_validite, date_fin_validite FROM untouched
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, version, est_actif,
+        |         date_debut_validite, date_fin_validite FROM reb)
+        |SELECT c_mktsegment, CAST(est_actif AS INT) AS est_actif,
+        |       CAST(version AS INT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(date_debut_validite) AS VARCHAR) AS min_debut,
+        |       coalesce(CAST(max(date_fin_validite) AS VARCHAR), 'open')
+        |         AS max_fin
+        |FROM fin GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val cust = customer(s, d)
+      val k = col("c_custkey")
+      def dimSlice(cond: org.apache.spark.sql.Column,
+          seg: org.apache.spark.sql.Column, v: Int, actif: Int,
+          deb: String, fin: Option[String]) =
+        cust.filter(cond).select(k.as("c_custkey"), col("c_name"),
+          seg.as("c_mktsegment"), lit(v).as("version"),
+          lit(actif).as("est_actif"),
+          lit(deb).cast("date").as("date_debut_validite"),
+          fin.map(f => lit(f)).getOrElse(lit(null)).cast("date")
+            .as("date_fin_validite"))
+      val dim0 = dimSlice(k % 10 < 7, col("c_mktsegment"), 1, 0,
+          "2020-01-01", Some("2022-01-01"))
+        .unionByName(dimSlice(k % 10 < 7, lit("SEG_V2"), 2, 1,
+          "2022-01-01", None))
+        .unionByName(dimSlice(k % 10 === 7, col("c_mktsegment"), 1, 0,
+          "2020-01-01", Some("2021-06-01")))
+      def ch(m: Int, key: org.apache.spark.sql.Column,
+          seg: org.apache.spark.sql.Column, seq: Int, op: String,
+          eff: String) =
+        cust.filter(k % 10 === m).select(key.as("c_custkey"),
+          col("c_name"), seg.as("c_mktsegment"), lit(seq).as("seq"),
+          lit(op).as("op"), lit(eff).as("eff"))
+      val feed = ch(0, k, lit("SEG_MID"), 1, "U", "2021-01-01")
+        .unionByName(ch(1, k, lit("SEG_V2"), 2, "U", "2023-01-01"))
+        .unionByName(ch(2, k, col("c_mktsegment"), 3, "D", "2023-06-01"))
+        .unionByName(ch(7, k, lit("SEG_BACK"), 4, "I", "2023-01-01"))
+        .unionByName(ch(3, k, lit("SEG_SAME"), 5, "U", "2022-01-01"))
+        .unionByName(ch(4, k, lit("SEG_A"), 6, "U", "2024-01-01"))
+        .unionByName(ch(4, k, lit("SEG_B"), 7, "U", "2024-01-01"))
+        .unionByName(ch(5, k, col("c_mktsegment"), 8, "D", "2021-03-15"))
+        .unionByName(ch(8, k + 1000000, lit("SEG_NEW"), 9, "I", "2024-05-01"))
+        .unionByName(ch(9, k + 2000000, col("c_mktsegment"), 10, "D",
+          "2024-01-01"))
+      Scd.scd2CdcEventTime(dim0, feed, Seq("c_custkey"),
+          Seq("c_mktsegment"), "seq", "op", "eff")
+        .groupBy(col("c_mktsegment"),
+          col("est_actif").cast("int").as("est_actif"),
+          col("version").cast("int").as("version"))
+        .agg(count(lit(1)).as("n"),
+          min(col("date_debut_validite").cast("string")).as("min_debut"),
+          coalesce(max(col("date_fin_validite").cast("string")),
+            lit("open")).as("max_fin"))
+        .orderBy("c_mktsegment", "est_actif", "version")
+    },
+
     // 1996), so the same customer contributes to different segments in
     // different years. Equi join on the key; the interval predicate is a
     // residual, never a range-join shuffle. Validity ends are EXCLUSIVE

@@ -188,6 +188,118 @@ object Scd {
       .drop("__del")
   }
 
+  /** EVENT-TIME SCD2 merge of a CDC feed — each change row carries its
+    * OWN effective date (`effDateCol`), and a change arriving out of
+    * order SPLICES the key's existing version chain at that date instead
+    * of stacking on the end. [[scd2Cdc]] is the batch-time form (one
+    * effective date per run — the reference MERGE's single
+    * @date_chargement, `Terraform/sql/010_scd_dimensions.sql:391-521`);
+    * this is the extension a late-arriving change stream needs, where
+    * "the feed is sorted by event time" stops being true.
+    *
+    * Semantics — per business key, the key's timeline is REBUILT from
+    * two event sources and re-segmented:
+    *
+    *  - its existing versions: an attribute event at each
+    *    `date_debut_validite`, plus a delete event at any
+    *    `date_fin_validite` no successor starts at (the only way
+    *    [[scd2Cdc]] closes a version without opening one);
+    *  - the feed's change rows at their own effective dates.
+    *
+    * Events on the same date collapse to one — feed rows beat existing
+    * versions, then higher `seqCol` wins, then a delete outranks the
+    * version it closed (so a version inserted and deleted the same date
+    * leaves no trace; [[asOf]] could never observe it anyway). No-op
+    * events — tracked attributes unchanged vs the timeline predecessor,
+    * or a delete with nothing open — are dropped without bumping
+    * versions, mirroring [[scd2]]. Version numbers restart at 1 after a
+    * delete ([[scd2Cdc]]'s fresh-chain rule) and are renumbered IN
+    * EVENT-TIME ORDER: an out-of-order insert renumbers the key's chain
+    * as if the change had arrived in order — which is the point.
+    *
+    * Scale shape: one semi + one anti join split the dimension into
+    * touched and untouched keys — untouched rows pass through
+    * BIT-IDENTICAL and never enter a window; the rebuild is window work
+    * over (business key) on the touched slice only (events per key are
+    * few and bounded — version counts, not fact counts). Nothing is
+    * collected. A null or uncastable effective date raises loudly (feed
+    * contract violation), never a silent drop. */
+  def scd2CdcEventTime(dim: DataFrame, changes: DataFrame, bk: Seq[String],
+      tracked: Seq[String], seqCol: String, opCol: String,
+      effDateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val attrs = dim.columns.filterNot(Meta.contains).toSeq
+    val effGuarded = when(col(effDateCol).cast("date").isNull,
+      raise_error(concat(
+        lit(s"scd2CdcEventTime: null or uncastable $effDateCol for key ("),
+        concat_ws(",", bk.map(k => col(k).cast("string")): _*), lit(")")))
+        .cast("date"))
+      .otherwise(col(effDateCol).cast("date"))
+    val chgEvents = changes.select(
+      attrs.map(col) ++ Seq(
+        col(opCol).as("__op"), effGuarded.as("__eff"),
+        lit(1).as("__arr"), col(seqCol).cast("long").as("__seq"),
+        when(col(opCol) === "D", 1).otherwise(0).as("__dpri")): _*)
+    val keys = changes.select(bk.map(col): _*).distinct()
+    val touched = dim.join(keys, bk, "left_semi")
+    val untouched = dim.join(keys, bk, "left_anti")
+    val attrEvents = touched.select(
+      attrs.map(col) ++ Seq(lit("U").as("__op"),
+        col("date_debut_validite").as("__eff"), lit(0).as("__arr"),
+        col("version").cast("long").as("__seq"), lit(0).as("__dpri")): _*)
+    // versions closed where no successor starts were closed by a DELETE:
+    // re-derive it ((bk, fin) ∉ the key's start set)
+    val starts = touched.select(
+      bk.map(col) :+ col("date_debut_validite").as("date_fin_validite"): _*)
+      .distinct()
+    val delEvents = touched
+      .filter(col("est_actif") === 0 && col("date_fin_validite").isNotNull)
+      .join(starts, bk :+ "date_fin_validite", "left_anti")
+      .select(attrs.map(col) ++ Seq(lit("D").as("__op"),
+        col("date_fin_validite").as("__eff"), lit(0).as("__arr"),
+        col("version").cast("long").as("__seq"), lit(1).as("__dpri")): _*)
+    val events = chgEvents.unionByName(attrEvents).unionByName(delEvents)
+    // one event per (key, date): feed beats dim, then seq, delete last-
+    // written wins over the version it closed
+    val wDate = Window.partitionBy((bk :+ "__eff").map(col): _*)
+      .orderBy(col("__arr").desc, col("__seq").desc, col("__dpri").desc)
+    val oneADay = events.withColumn("__rn", row_number().over(wDate))
+      .filter(col("__rn") === 1).drop("__rn")
+    // no-op suppression against the TIMELINE predecessor. Comparing to
+    // the immediate (pre-filter) predecessor is equivalent to comparing
+    // to the last KEPT event: a dropped attribute event has, by
+    // definition, the same tracked values as its own predecessor, and a
+    // dropped delete leaves prev_op = 'D' for the row after it.
+    val wTime = Window.partitionBy(bk.map(col): _*).orderBy(col("__eff"))
+    val changedVsPrev = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(wTime))).reduce(_ || _)
+    val kept = oneADay
+      .withColumn("__prev_op", lag(col("__op"), 1).over(wTime))
+      .withColumn("__chg", changedVsPrev)
+      .filter(when(col("__op") === "D",
+          col("__prev_op").isNotNull && col("__prev_op") =!= "D")
+        .otherwise(col("__prev_op").isNull || col("__prev_op") === "D" ||
+          col("__chg")))
+      .drop("__prev_op", "__chg")
+    // re-segment: every surviving event closes its predecessor; deletes
+    // emit no row but split version chains
+    val wKept = Window.partitionBy(bk.map(col): _*).orderBy(col("__eff"))
+    val rebuilt = kept
+      .withColumn("__chain",
+        sum(when(col("__op") === "D", 1).otherwise(0)).over(wKept))
+      .withColumn("__next_eff", lead(col("__eff"), 1).over(wKept))
+      .filter(col("__op") =!= "D")
+      .withColumn("version", row_number().over(
+        Window.partitionBy((bk :+ "__chain").map(col): _*)
+          .orderBy(col("__eff"))))
+      .withColumn("est_actif",
+        when(col("__next_eff").isNull, lit(1)).otherwise(lit(0)))
+      .withColumn("date_debut_validite", col("__eff"))
+      .withColumn("date_fin_validite", col("__next_eff"))
+      .select((attrs ++ Meta).map(col): _*)
+    untouched.select((attrs ++ Meta).map(col): _*).unionByName(rebuilt)
+  }
+
   /** Point-in-time FACT enrichment (M2's read side): each fact row joins
     * the dimension version whose `[date_debut_validite,
     * date_fin_validite)` interval covers the fact's own date — "which

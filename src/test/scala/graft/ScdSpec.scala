@@ -104,6 +104,92 @@ class ScdSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  // event-time fixture: a 3-version chain for key 1 (v3 active), a
+  // delete-closed key 2 (fin 2021-06-01 has no successor), key 3 a
+  // single active version
+  private def etDim = Seq(
+    (1L, "A", 1, 0, "2020-01-01", "2021-01-01"),
+    (1L, "B", 2, 0, "2021-01-01", "2022-01-01"),
+    (1L, "C", 3, 1, "2022-01-01", null),
+    (2L, "X", 1, 0, "2020-01-01", "2021-06-01"),
+    (3L, "P", 1, 1, "2020-01-01", null))
+    .toDF("k", "seg", "version", "est_actif", "deb", "fin")
+    .select($"k", $"seg", $"version", $"est_actif",
+      $"deb".cast("date").as("date_debut_validite"),
+      $"fin".cast("date").as("date_fin_validite"))
+
+  private def etRows(d: org.apache.spark.sql.DataFrame) =
+    d.select($"k", $"seg", $"version", $"est_actif",
+      $"date_debut_validite".cast("string"),
+      $"date_fin_validite".cast("string"))
+      .as[(Long, String, Int, Int, String, String)].collect().toSeq.sorted
+
+  test("scd2CdcEventTime: a no-op feed reproduces the dimension " +
+      "bit-identically (event-derivation round trip, deletes included)") {
+    // every key touched, every change a no-op: key 1 re-asserts its
+    // active C, key 2 re-deletes (nothing open), key 3 re-asserts P —
+    // the timeline must re-derive (including key 2's delete event from
+    // its dangling fin date) and rebuild the exact same rows
+    val feed = Seq(
+      (1L, "C", 1L, "U", "2023-05-01"),
+      (2L, "X", 2L, "D", "2023-05-01"),
+      (3L, "P", 3L, "I", "2023-05-01"))
+      .toDF("k", "seg", "seq", "op", "eff")
+    val out = Scd.scd2CdcEventTime(etDim, feed, Seq("k"), Seq("seg"),
+      "seq", "op", "eff")
+    assert(etRows(out) == etRows(etDim), etRows(out).toString)
+  }
+
+  test("scd2CdcEventTime: out-of-order changes splice the chain — " +
+      "mid-interval update, mid-interval delete, re-insert after delete") {
+    val feed = Seq(
+      // splices INSIDE key 1's v2 interval: B spans [2021-01, 2022-01)
+      // becomes B [2021-01, 2021-07) + M [2021-07, 2022-01); chain
+      // renumbers to 4 versions
+      (1L, "M", 1L, "U", "2021-07-01"),
+      // key 2: re-insert AFTER its historical delete → fresh chain at 1
+      (2L, "Y", 2L, "I", "2023-01-01"),
+      // key 3: out-of-order DELETE mid-interval: P closes at 2020-06-01;
+      // nothing re-opens (P stays the only, now closed, version)
+      (3L, "P", 3L, "D", "2020-06-01"))
+      .toDF("k", "seg", "seq", "op", "eff")
+    val out = Scd.scd2CdcEventTime(etDim, feed, Seq("k"), Seq("seg"),
+      "seq", "op", "eff")
+    assert(etRows(out) == Seq(
+      (1L, "A", 1, 0, "2020-01-01", "2021-01-01"),
+      (1L, "B", 2, 0, "2021-01-01", "2021-07-01"),
+      (1L, "C", 4, 1, "2022-01-01", null),
+      (1L, "M", 3, 0, "2021-07-01", "2022-01-01"),
+      (2L, "X", 1, 0, "2020-01-01", "2021-06-01"),
+      (2L, "Y", 1, 1, "2023-01-01", null),
+      (3L, "P", 1, 0, "2020-01-01", "2020-06-01")), etRows(out).toString)
+  }
+
+  test("scd2CdcEventTime: same-date events collapse feed-over-dim then " +
+      "by seq; a null effective date raises") {
+    val feed = Seq(
+      // same date as key 1's v3 start: the feed row REPLACES C's event;
+      // two feed rows same date → seq 11 wins
+      (1L, "Z1", 10L, "U", "2022-01-01"),
+      (1L, "Z2", 11L, "U", "2022-01-01"))
+      .toDF("k", "seg", "seq", "op", "eff")
+    val out = Scd.scd2CdcEventTime(etDim, feed, Seq("k"), Seq("seg"),
+      "seq", "op", "eff")
+    assert(etRows(out.filter($"k" === 1L)) == Seq(
+      (1L, "A", 1, 0, "2020-01-01", "2021-01-01"),
+      (1L, "B", 2, 0, "2021-01-01", "2022-01-01"),
+      (1L, "Z2", 3, 1, "2022-01-01", null)),
+      etRows(out.filter($"k" === 1L)).toString)
+    val bad = Seq((1L, "Q", 1L, "U", null.asInstanceOf[String]))
+      .toDF("k", "seg", "seq", "op", "eff")
+    val e = intercept[Exception] {
+      Scd.scd2CdcEventTime(etDim, bad, Seq("k"), Seq("seg"),
+        "seq", "op", "eff").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("scd2CdcEventTime"),
+      e.toString)
+  }
+
   test("scd3 keeps previous value in companion column") {
     val updates = Seq(("59", "Nord-New")).toDF("code", "nom")
     val out = Scd.scd3(dim.drop(Scd.Meta: _*), updates, Seq("code"), "nom",
