@@ -282,6 +282,149 @@ object Streams {
     }
   }
 
+  /** Sidecar file holding the committed CDC batch-id watermark for the
+    * PARTITIONED dimension sink: partition-grain rewrites can't restamp
+    * untouched rows with a batch_id column (that would force the full
+    * rewrite the variant exists to avoid), so the watermark lives
+    * beside the data, dot-prefixed and invisible to readers, updated
+    * LAST inside the lease (write-tmp + rename, the manifest pattern). */
+  private val CdcWatermarkName = "._graft_cdc_watermark"
+
+  private def readCdcWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(target, CdcWatermarkName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      Some(s.toLong)
+    }
+  }
+
+  private def writeCdcWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(target, CdcWatermarkName)
+    val tmp = new org.apache.hadoop.fs.Path(target, CdcWatermarkName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not commit CDC watermark $p")
+  }
+
+  /** Partitioned-dimension variant of [[scd2CdcBatch]]: the dimension is
+    * laid out hive-style on a BUSINESS-KEY-STABLE partition —
+    * `bucket_id = pmod(xxhash64(bk…), nBuckets)`, so every version of a
+    * key lives in one leaf forever — and a batch rewrites ONLY the
+    * leaves its keys hash to. Untouched partitions keep their exact
+    * files (the [[graft.marts.Refresh]] incremental contract); this is
+    * the 100 TB shape, matching the reference MERGE's per-run scoping
+    * (`Terraform/sql/010_scd_dimensions.sql:391-521`) where
+    * [[scd2CdcBatch]] rewrites the whole dim each batch.
+    *
+    * The replay watermark moves to a sidecar file ([[CdcWatermarkName]])
+    * because untouched partitions can't be restamped; it is updated LAST
+    * inside the single-writer lease. Crash anywhere before that update
+    * replays the batch — safe because one [[graft.scd.Scd.scd2Cdc]]
+    * round is IDEMPOTENT per partition (re-applying a change to a dim
+    * that already absorbed it classifies as `unchanged`: same tracked
+    * values, no version bump; a replayed delete finds no active row to
+    * close), and a swap that crashed past its commit point rolls forward
+    * via each touched leaf's manifest before the re-read. The touched
+    * set is recomputed deterministically from the replayed batch, so the
+    * healed leaves are exactly the crashed batch's leaves.
+    *
+    * One merge job per batch, not one per bucket: the touched leaves are
+    * read with partition pruning, merged once, staged `partitionBy
+    * (bucket_id)`, and adopted leaf-by-leaf through the crash-safe swap
+    * (each staged leaf is renamed to a dot-prefixed sibling of its
+    * target leaf first, so the swap manifest's parent-relative staging
+    * reference resolves). Driver-side state is the touched-bucket id
+    * list — bounded by `nBuckets`, never key-sized. */
+  def scd2CdcBatchPartitioned(batch: DataFrame, targetDir: String,
+      bk: Seq[String], tracked: Seq[String], seqCol: String, opCol: String,
+      effDateCol: String, batchId: Long, nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val target = new HPath(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    graft.ops.Compaction.withSwapLease(fs, target) {
+      // replay guard from the sidecar, not a column scan
+      if (!readCdcWatermark(fs, target).exists(_ >= batchId)) {
+        val effDate = batch.agg(max(col(effDateCol).cast("date")))
+          .head().getDate(0)
+        require(effDate != null,
+          s"scd2CdcBatchPartitioned: every change row has a null " +
+            s"$effDateCol — no effective date for the batch")
+        val eff = effDate.toString
+        val chg = batch.withColumn("bucket_id",
+          pmod(xxhash64(bk.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+        val touched = chg.select("bucket_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        def leaf(b: Int) = new HPath(target, s"bucket_id=$b")
+        // heal any swap the PREVIOUS attempt at this batch committed but
+        // didn't finish — same touched set, deterministic hash
+        touched.foreach(b =>
+          if (fs.exists(leaf(b)))
+            graft.ops.Compaction.recoverSwapLocked(fs, leaf(b)))
+        val existing = touched.filter(b => fs.exists(leaf(b)) &&
+          fs.listStatus(leaf(b)).exists(s =>
+            s.isFile && graft.ops.Compaction.isDataFile(s.getPath)))
+        val dim =
+          if (existing.isEmpty)
+            graft.scd.Scd.seed(
+              chg.drop(opCol, seqCol, effDateCol).limit(0), eff)
+          else spark.read.option("basePath", targetDir)
+            .parquet(existing.map(b => leaf(b).toString): _*)
+        val merged = graft.scd.Scd
+          .scd2Cdc(dim, chg, bk, tracked, seqCol, opCol, eff)
+        val stagingRoot = new HPath(target.getParent,
+          "." + target.getName + "__scd2cdcp")
+        if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+        merged.write.partitionBy("bucket_id").parquet(stagingRoot.toString)
+        touched.foreach { b =>
+          val staged = new HPath(stagingRoot, s"bucket_id=$b")
+          // a touched bucket stages nothing only when every one of its
+          // change rows was a delete of a never-seen key — nothing to do
+          if (fs.exists(staged)) {
+            // the swap manifest names its staging dir relative to the
+            // target leaf's PARENT: move the staged leaf to a hidden
+            // sibling of the target leaf before adopting
+            val st = new HPath(target, s".bucket_id=${b}__incoming")
+            if (fs.exists(st)) fs.delete(st, true)
+            if (!fs.rename(staged, st)) throw new java.io.IOException(
+              s"could not stage partition $staged -> $st")
+            fs.mkdirs(leaf(b))
+            graft.ops.Compaction.swapDataFilesLocked(fs, st, leaf(b))
+          }
+        }
+        fs.delete(stagingRoot, true)
+        // commit point for replay skipping: everything before this line
+        // re-runs idempotently if we crash
+        writeCdcWatermark(fs, target, batchId)
+      }
+    }
+  }
+
+  /** Streaming form of [[scd2CdcBatchPartitioned]]. */
+  def scd2CdcSinkPartitioned(stream: DataFrame, targetDir: String,
+      checkpointDir: String, bk: Seq[String], tracked: Seq[String],
+      seqCol: String, opCol: String, effDateCol: String, nBuckets: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scd2CdcBatchPartitioned(b.toDF(), targetDir, bk, tracked, seqCol,
+          opCol, effDateCol, id, nBuckets))
+      .start()
+
   /** Streaming CDC/SCD2 sink: a change stream maintains an SCD2
     * dimension exactly-once (see [[scd2CdcBatch]]). */
   def scd2CdcSink(stream: DataFrame, targetDir: String,

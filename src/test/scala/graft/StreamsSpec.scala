@@ -563,6 +563,82 @@ class StreamsSpec extends SparkSpec {
     assert(dimRows(spark.read.parquet(target).drop("batch_id")) == wantRows)
   }
 
+  test("partitioned CDC/SCD2 sink: equals the full-rewrite sink, " +
+      "untouched partitions keep identical files/mtimes, replay is a " +
+      "no-op") {
+    val cols = Seq("k", "name", "seg", "seq", "op", "change_date")
+    def df(rows: Seq[(Long, String, String, Long, String, String)]) =
+      rows.toDF(cols: _*)
+    val b1 = (1L to 6L).map(i =>
+      (i, s"n$i", "A", i, "I", "2024-01-01"))
+    val b2 = Seq((1L, "n1", "B", 10L, "U", "2024-02-01")) // one key only
+    val b3 = Seq((2L, "n2", "A", 20L, "D", "2024-03-01"),
+      (9L, "n9", "C", 21L, "I", "2024-03-01"))
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2cdcp")
+    val full = base.resolve("full").toString
+    val part = base.resolve("part").toString
+    val n = 8
+    def runFull(b: Seq[(Long, String, String, Long, String, String)],
+        id: Long) = Streams.scd2CdcBatch(df(b), full, Seq("k"), Seq("seg"),
+      "seq", "op", "change_date", id)
+    def runPart(b: Seq[(Long, String, String, Long, String, String)],
+        id: Long) = Streams.scd2CdcBatchPartitioned(df(b), part, Seq("k"),
+      Seq("seg"), "seq", "op", "change_date", id, n)
+    // data files under every bucket leaf → (relative path, mtime)
+    def leafFiles(): Map[String, Long] = {
+      val root = new java.io.File(part)
+      root.listFiles().filter(d => d.isDirectory &&
+        d.getName.startsWith("bucket_id=")).flatMap { d =>
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    runFull(b1, 0L); runPart(b1, 0L)
+    val snap1 = leafFiles()
+    assert(snap1.keys.map(_.split("/").head).toSet.size > 1,
+      s"fixture must spread over multiple buckets: ${snap1.keys}")
+    runFull(b2, 1L); runPart(b2, 1L)
+    val snap2 = leafFiles()
+    // the bucket key 1 hashes to (same expression as the sink's)
+    val bucket1 = spark.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+    // every file outside key 1's bucket is bit-the-same file (same
+    // name AND mtime — the refreshIncremental untouched contract)
+    val untouched1 = snap1.filter(!_._1.startsWith(s"bucket_id=$bucket1/"))
+    assert(untouched1.nonEmpty)
+    untouched1.foreach { case (f, m) =>
+      assert(snap2.get(f).contains(m), s"untouched file changed: $f")
+    }
+    assert(snap2.keys.exists(_.startsWith(s"bucket_id=$bucket1/")))
+    runFull(b3, 2L); runPart(b3, 2L)
+    val snap3 = leafFiles()
+    // replaying an already-committed batch changes NOTHING (sidecar
+    // watermark guard — no leaf is even read)
+    runPart(b2, 1L)
+    assert(leafFiles() == snap3)
+    // final dimension state equals the full-rewrite sink's
+    def rows(dir: String, drop: String) =
+      spark.read.parquet(dir).drop(drop)
+        .select($"k", $"name", $"seg", $"version", $"est_actif",
+          $"date_debut_validite".cast("string"),
+          $"date_fin_validite".cast("string"))
+        .as[(Long, String, String, Int, Int, String, String)]
+        .collect().toSeq.sorted
+    assert(rows(part, "bucket_id") == rows(full, "batch_id"))
+    // and the partitioned layout actually prunes: a single-key current
+    // read scans one leaf only
+    val pruned = graft.scd.Scd.current(spark.read.parquet(part))
+      .filter($"bucket_id" === bucket1 && $"k" === 1L)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      })
+    assert(scanned.forall(_ == 1), s"expected one pruned partition: $scanned")
+    assert(pruned.count() == 1)
+  }
+
   test("streaming dedup clustering: cluster table equals a from-scratch " +
       "batch clustering; replays, duplicate re-deliveries and " +
       "half-committed batches all heal") {
