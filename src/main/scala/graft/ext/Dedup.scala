@@ -390,15 +390,28 @@ object Dedup {
     * and band digests collide/diverge, degrading candidate recall with
     * no error. Raise loudly instead. (A k NARROWER than the stored index
     * is fine: seeds are positional, so a prefix is itself a valid
-    * k-signature.) */
-  private def sigAt(i: Int, k: Int): Column = {
-    // get() (not apply) so an out-of-range read surfaces as null here and
-    // raises OUR message, not ANSI's positionless INVALID_ARRAY_INDEX
-    val v = get(col("sig"), lit(i))
-    when(v.isNull, raise_error(lit(
-      s"signature index narrower than k=$k (sig[$i] missing) — " +
-        "was the index built with a smaller k?"))).otherwise(v)
-  }
+    * k-signature.)
+    *
+    * ONE branch per row carries the whole guard: element 0 (read exactly
+    * once per row, in band 0) checks `size(sig) >= k` and raises OUR
+    * message; every other element is a plain positional read. The guard
+    * expression is part of the same banding projection row, and Spark
+    * evaluates every projected expression for a row it emits (when()
+    * short-circuits only its own branches), so a short signature can
+    * never slip through silently — and codegen's in-order emission makes
+    * the size check fire BEFORE any out-of-range positional read could
+    * surface ANSI's positionless INVALID_ARRAY_INDEX (the k-wider spec
+    * test pins that message ordering). r16 guarded all k elements with
+    * get()+when each, which measured 21% on `x_dedup_incremental` at
+    * sf1; this form measures at the unguarded cost (A/B table in
+    * docs/SCALING.md §r17). */
+  private def sigAt(i: Int, k: Int): Column =
+    if (i == 0)
+      when(size(col("sig")) < k, raise_error(lit(
+        s"signature index narrower than k=$k (size(sig) < $k) — " +
+          "was the index built with a smaller k?")))
+        .otherwise(col("sig")(0))
+    else col("sig")(i)
 
   /** Candidate near-duplicate pairs (aId < bId) from banded minhash
     * signatures, with exact shingle-set Jaccard computed per candidate
