@@ -412,6 +412,67 @@ object Streams {
     }
   }
 
+  /** One micro-batch of the EVENT-TIME CDC → SCD2 dimension sink: the
+    * batch's change rows carry their OWN effective dates and are merged
+    * via [[graft.scd.Scd.scd2CdcEventTime]] — late or out-of-order
+    * changes SPLICE the stored chain at their date instead of stacking
+    * on the end, which is the realistic shape of a change STREAM (the
+    * batch-time [[scd2CdcBatch]] stamps one date per micro-batch).
+    *
+    * Exactly-once like the partitioned sink: the committed batch-id
+    * watermark lives in the [[CdcWatermarkName]] sidecar (the rebuild
+    * renumbers versions, so a batch_id column would be restamped
+    * dimension-wide anyway), updated LAST inside the single-writer
+    * lease. A crash before that update replays the batch — safe because
+    * the event-time rebuild is ABSORBING: a feed event already merged
+    * reappears as a dimension-version event on the same date with the
+    * same attributes, the same-date collapse keeps exactly one of them,
+    * and the rebuilt chain is identical (ScdSpec's round-trip identity
+    * property is exactly this). The whole dimension is rewritten per
+    * batch through the crash-safe swap, dimension-grain by contract. */
+  def scd2CdcEventTimeBatch(batch: DataFrame, targetDir: String,
+      bk: Seq[String], tracked: Seq[String], seqCol: String, opCol: String,
+      effDateCol: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val target = new HPath(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    graft.ops.Compaction.withSwapLease(fs, target) {
+      if (!readCdcWatermark(fs, target).exists(_ >= batchId)) {
+        graft.ops.Compaction.recoverSwapLocked(fs, target)
+        val hasData = fs.listStatus(target).exists(s =>
+          s.isFile && graft.ops.Compaction.isDataFile(s.getPath))
+        val dim =
+          if (hasData) spark.read.parquet(targetDir)
+          else graft.scd.Scd.seed(
+            batch.drop(opCol, seqCol, effDateCol).limit(0), "1970-01-01")
+        val merged = graft.scd.Scd.scd2CdcEventTime(dim, batch, bk,
+          tracked, seqCol, opCol, effDateCol)
+        val staging = new HPath(target.getParent,
+          "." + target.getName + "__scd2cdcet")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        merged.write.parquet(staging.toString)
+        graft.ops.Compaction.swapDataFilesLocked(fs, staging, target)
+        writeCdcWatermark(fs, target, batchId)
+      }
+    }
+  }
+
+  /** Streaming form of [[scd2CdcEventTimeBatch]]. */
+  def scd2CdcEventTimeSink(stream: DataFrame, targetDir: String,
+      checkpointDir: String, bk: Seq[String], tracked: Seq[String],
+      seqCol: String, opCol: String, effDateCol: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scd2CdcEventTimeBatch(b.toDF(), targetDir, bk, tracked, seqCol,
+          opCol, effDateCol, id))
+      .start()
+
   /** Streaming form of [[scd2CdcBatchPartitioned]]. */
   def scd2CdcSinkPartitioned(stream: DataFrame, targetDir: String,
       checkpointDir: String, bk: Seq[String], tracked: Seq[String],

@@ -563,6 +563,63 @@ class StreamsSpec extends SparkSpec {
     assert(dimRows(spark.read.parquet(target).drop("batch_id")) == wantRows)
   }
 
+  test("event-time CDC/SCD2 sink: streamed out-of-order batches equal " +
+      "sequential event-time merges; replay is a no-op") {
+    val cols = Seq("k", "name", "seg", "seq", "op", "eff")
+    def df(rows: Seq[(Long, String, String, Long, String, String)]) =
+      rows.toDF(cols: _*)
+    val b1 = Seq((1L, "n1", "A", 1L, "I", "2024-01-01"),
+      (2L, "n2", "X", 2L, "I", "2024-03-01"))
+    // arrives AFTER b1 but carries an EARLIER effective date: splices
+    // before k=1's A version instead of stacking on the end
+    val b2 = Seq((1L, "n1", "B", 10L, "U", "2023-06-01"))
+    val b3 = Seq((2L, "n2", "X", 20L, "D", "2024-06-01"),
+      (1L, "n1", "C", 21L, "U", "2024-08-01"))
+    val seed = graft.scd.Scd.seed(
+      df(b1).drop("op", "seq", "eff").limit(0), "1970-01-01")
+    val want = Seq(b1, b2, b3).foldLeft(seed) { (dim, rows) =>
+      graft.scd.Scd.scd2CdcEventTime(dim, df(rows), Seq("k"), Seq("seg"),
+        "seq", "op", "eff")
+    }
+    def dimRows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k", $"seg", $"version", $"est_actif",
+        $"date_debut_validite".cast("string"),
+        $"date_fin_validite".cast("string"))
+        .as[(Long, String, Int, Int, String, String)].collect().toSeq.sorted
+    val wantRows = dimRows(want)
+    // hand-check: k=1 chain renumbered as if B had arrived in order
+    assert(wantRows == Seq(
+      (1L, "A", 2, 0, "2024-01-01", "2024-08-01"),
+      (1L, "B", 1, 0, "2023-06-01", "2024-01-01"),
+      (1L, "C", 3, 1, "2024-08-01", null),
+      (2L, "X", 1, 0, "2024-03-01", "2024-06-01")), wantRows.toString)
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2cdcet")
+    val src = base.resolve("src").toString
+    Seq(b1, b2, b3).foreach { rows =>
+      df(rows).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val target = base.resolve("dim").toString
+    val q = Streams.scd2CdcEventTimeSink(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      target, base.resolve("ckpt").toString,
+      Seq("k"), Seq("seg"), "seq", "op", "eff")
+    q.processAllAvailable(); q.stop()
+    assert(dimRows(spark.read.parquet(target)) == wantRows)
+    // replay of a committed batch id is skipped via the sidecar
+    // watermark — even with different (stale) content
+    Streams.scd2CdcEventTimeBatch(df(b2), target, Seq("k"), Seq("seg"),
+      "seq", "op", "eff", batchId = 1L)
+    assert(dimRows(spark.read.parquet(target)) == wantRows)
+    // and a crash-replay of the LAST batch (watermark not yet advanced
+    // past it) is ABSORBING: re-merging b3 with a fresh batch id yields
+    // the identical dimension
+    Streams.scd2CdcEventTimeBatch(df(b3), target, Seq("k"), Seq("seg"),
+      "seq", "op", "eff", batchId = 99L)
+    assert(dimRows(spark.read.parquet(target)) == wantRows)
+  }
+
   test("partitioned CDC/SCD2 sink: equals the full-rewrite sink, " +
       "untouched partitions keep identical files/mtimes, replay is a " +
       "no-op") {
