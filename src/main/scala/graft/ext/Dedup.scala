@@ -407,9 +407,14 @@ object Dedup {
     * docs/SCALING.md §r17). */
   private def sigAt(i: Int, k: Int): Column =
     if (i == 0)
-      when(size(col("sig")) < k, raise_error(lit(
-        s"signature index narrower than k=$k (size(sig) < $k) — " +
-          "was the index built with a smaller k?")))
+      // the isNull arm guards a NULL sig array too: signatureIndex never
+      // writes one, but a hand-built index could — and under ANSI,
+      // size(NULL) is NULL, the when-condition would be false, and
+      // sig(0) would yield silently-null band digests where the
+      // contract is raise-loudly
+      when(size(col("sig")).isNull || size(col("sig")) < k, raise_error(lit(
+        s"signature index narrower than k=$k (sig null or size(sig) < $k)" +
+          " — was the index built with a smaller k?")))
         .otherwise(col("sig")(0))
     else col("sig")(i)
 

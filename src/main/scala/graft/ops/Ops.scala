@@ -335,12 +335,13 @@ object Compaction {
     * would let breaker B delete breaker A's FRESH lease. The dead
     * holder's manifest, if committed, rolls forward under the new
     * lease. The TTL bounds crash-DETECTION latency only, not critical-
-    * section length: [[withSwapLease]] heartbeats the lease mtime
-    * (every ttl/3) while the body runs, so a live holder whose
-    * read→merge→stage→swap Spark jobs outlast the TTL is never
-    * mistaken for a dead one; and [[commitManifest]] re-verifies
-    * ownership immediately before the commit rename, aborting rather
-    * than interleaving with a usurper's swap. */
+    * section length: [[withSwapLease]] heartbeats the lease (every
+    * ttl/3) by rewriting its payload with a fresh stamp — portable to
+    * stores where setTimes is a no-op, see [[leasePayload]] — so a
+    * live holder whose read→merge→stage→swap Spark jobs outlast the
+    * TTL is never mistaken for a dead one; and [[commitManifest]]
+    * re-verifies ownership immediately before the commit rename,
+    * aborting rather than interleaving with a usurper's swap. */
   private val LeaseName = "._graft_swap_lease"
   private[graft] val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
 
@@ -351,6 +352,20 @@ object Compaction {
   private val leaseHolders =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-lease JVM-local monitors serializing this process's OWN
+    * heartbeat rewrites against its commit-point ownership reads and
+    * its release: the heartbeat REWRITES the lease payload (see
+    * [[withSwapLease]]), and an unsynchronized same-JVM read racing
+    * that rewrite could see a half-written token and abort our own
+    * commit. Cross-process races stay fail-safe without this lock — a
+    * foreign reader seeing a partial payload treats the lease as
+    * foreign-held and aborts ITS OWN work, never ours. */
+  private val leaseLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(key: String): Object =
+    leaseLocks.computeIfAbsent(key, _ => new Object)
+
   private def leaseKey(fs: FileSystem, lease: HPath): String =
     fs.makeQualified(lease).toUri.toString
 
@@ -358,14 +373,34 @@ object Compaction {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "#" + java.util.UUID.randomUUID()
 
-  /** The holder token stored in `lease`, or None if the file is gone or
-    * unreadable (mid-replacement). */
+  /** Lease payload: line 1 = holder token, line 2 = heartbeat stamp
+    * (epoch millis). The stamp makes liveness PORTABLE: `fs.setTimes`
+    * is a no-op on S3A, so an mtime-only heartbeat dies silently on
+    * object stores and a long-running holder gets broken as stale
+    * (safe — the commit-point ownership check aborts it — but the work
+    * is lost). [[acquireSwapLease]]'s age check reads the freshest of
+    * mtime and payload stamp, so a heartbeat that can only rewrite the
+    * file (create/rename — the ops every store has) still registers. */
+  private def leasePayload(token: String): String =
+    token + "\n" + System.currentTimeMillis()
+
+  private def parseLease(content: String): (String, Option[Long]) = {
+    val lines = content.split("\n", 2)
+    (lines(0), lines.lift(1).flatMap(_.trim.toLongOption))
+  }
+
+  /** The holder token stored in `lease` (payload line 1), or None if
+    * the file is gone or unreadable (mid-replacement). */
   private[graft] def readLeaseToken(fs: FileSystem,
-      lease: HPath): Option[String] =
+      lease: HPath): Option[String] = readLease(fs, lease).map(_._1)
+
+  private def readLease(fs: FileSystem,
+      lease: HPath): Option[(String, Option[Long])] =
     try {
       val in = fs.open(lease)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8))
+      try Some(parseLease(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)))
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -392,8 +427,13 @@ object Compaction {
       ttlMs: Long = DefaultLeaseTtlMs): HPath = {
     val lease = new HPath(target, LeaseName)
     if (fs.exists(lease)) {
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(lease).getModificationTime
+      // liveness = freshest of file mtime and payload heartbeat stamp:
+      // the stamp carries the heartbeat on stores where setTimes is a
+      // no-op and mtime freezes (see leasePayload); mtime still counts
+      // so a legacy stamp-less lease ages exactly as before
+      val mtime = fs.getFileStatus(lease).getModificationTime
+      val stamp = readLease(fs, lease).flatMap(_._2).getOrElse(Long.MinValue)
+      val age = System.currentTimeMillis() - math.max(mtime, stamp)
       if (age < ttlMs) throw new java.io.IOException(
         s"swap lease on $target held by another writer (age ${age}ms < " +
           s"ttl ${ttlMs}ms): concurrent compaction/upsert on one table " +
@@ -420,7 +460,8 @@ object Compaction {
     // orphan lease that blocks every writer for a full TTL with no
     // live holder
     try {
-      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(leasePayload(token)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     } catch {
       case e: java.io.IOException =>
@@ -470,12 +511,20 @@ object Compaction {
   private[graft] def withSwapLease[A](fs: FileSystem, target: HPath,
       ttlMs: Long = DefaultLeaseTtlMs)(body: => A): A = {
     val lease = acquireSwapLease(fs, target, ttlMs)
-    val token = leaseHolders.get(leaseKey(fs, lease))
+    val key = leaseKey(fs, lease)
+    val token = leaseHolders.get(key)
     // heartbeat: the critical section spans whole Spark jobs, which can
-    // legitimately outlast ttlMs — re-touching the lease mtime keeps a
-    // LIVE holder from being broken as a dead one mid-body. Daemon +
-    // best-effort: a failed touch only re-opens the TTL window, and the
-    // commit-point ownership check below still catches a takeover.
+    // legitimately outlast ttlMs — refreshing the lease keeps a LIVE
+    // holder from being broken as a dead one mid-body. The refresh
+    // REWRITES the payload with a fresh stamp (portable: create works
+    // on every store, where fs.setTimes is an S3A no-op — the age check
+    // reads the stamp), GATED on a token re-read so a usurper's lease
+    // is never refreshed or overwritten by a broken-then-replaced
+    // holder's stale beat. The read+rewrite pair is not atomic across
+    // processes — a takeover landing between them gets overwritten for
+    // one beat — but the next beat's re-read stops us, and the
+    // commit-point ownership check below is the hard backstop. Daemon +
+    // best-effort: a failed rewrite only re-opens the TTL window.
     @volatile var stop = false
     val beat = math.max(250L, ttlMs / 3)
     val hb = new Thread(() => {
@@ -483,9 +532,16 @@ object Compaction {
       while (alive && !stop) {
         try Thread.sleep(beat)
         catch { case _: InterruptedException => alive = false }
-        if (alive && !stop)
-          try fs.setTimes(lease, System.currentTimeMillis(), -1)
-          catch { case _: Exception => () }
+        if (alive && !stop) lockFor(key).synchronized {
+          try {
+            if (readLeaseToken(fs, lease).contains(token)) {
+              val out = fs.create(lease, true)
+              try out.write(leasePayload(token)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            } else alive = false // usurped mid-body: stop beating
+          } catch { case _: Exception => () }
+        }
       }
     }, s"graft-swap-lease-heartbeat-${target.getName}")
     hb.setDaemon(true)
@@ -500,9 +556,23 @@ object Compaction {
 
   /** Release a lease acquired by [[withSwapLease]]: delete it only if
     * it still carries OUR token — if it was broken and taken over
-    * mid-body, deleting would kill the new holder's lease. */
+    * mid-body, deleting would kill the new holder's lease.
+    *
+    * The check-then-delete pair is a documented cross-process TOCTOU:
+    * between our token read and our delete, a TTL-breaker could
+    * tombstone our lease and create its own, and we would then delete
+    * the new holder's file — stranding a live holder lease-less
+    * mid-body. The window is a few syscalls wide, can only open after
+    * our lease ALREADY looked a full TTL stale to the breaker (the
+    * heartbeat makes that an operator-error/frozen-process case), and
+    * the stranded holder's commit-point ownership check turns the
+    * worst case into an abort, never corruption. Closing it outright
+    * needs a compare-and-delete primitive no FileSystem offers;
+    * accepted as best-effort alongside the object-store caveat in
+    * [[LeaseName]]. The JVM-local lock only serializes against our own
+    * heartbeat's payload rewrite. */
   private def releaseSwapLease(fs: FileSystem, lease: HPath,
-      token: String): Unit = {
+      token: String): Unit = lockFor(leaseKey(fs, lease)).synchronized {
     leaseHolders.remove(leaseKey(fs, lease))
     if (token != null && readLeaseToken(fs, lease).contains(token))
       try fs.delete(lease, false) catch { case _: java.io.IOException => () }
@@ -559,7 +629,11 @@ object Compaction {
     // crashes; those skip the check).
     val lease = new HPath(target, LeaseName)
     Option(leaseHolders.get(leaseKey(fs, lease))).foreach { ours =>
-      val holder = readLeaseToken(fs, lease)
+      // under the JVM-local lease lock: our own heartbeat rewrites the
+      // payload, and reading mid-rewrite would see a torn token and
+      // abort our own commit
+      val holder = lockFor(leaseKey(fs, lease)).synchronized(
+        readLeaseToken(fs, lease))
       if (!holder.contains(ours)) throw new java.io.IOException(
         s"swap lease on $target was taken over mid-critical-section " +
           s"(holder now ${holder.getOrElse("<missing>")}) — aborting " +

@@ -310,10 +310,34 @@ object Streams {
     try out.write(batchId.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not commit CDC watermark $p")
+    // rename-over FIRST: POSIX rename replaces the destination
+    // atomically, so on local/NFS stores there is NO point where
+    // neither watermark file exists. Stores that refuse an occupied
+    // destination (HDFS FileSystem.rename) fall back to
+    // delete-then-rename — the crash window there is replay-safe
+    // because one CDC merge round is idempotent (see the sink docs).
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not commit CDC watermark $p")
+    }
   }
+
+  /** Heal every bucket leaf of a partitioned dimension whose swap
+    * committed but didn't finish — regardless of whether the CURRENT
+    * batch touches that bucket. Streaming re-delivers a crashed batch
+    * with identical content, so its own touched-leaf recovery would
+    * suffice there; but the batch entry points are also public API, and
+    * a caller who never replays the crashed batch would otherwise serve
+    * a stale/partial leaf until some later batch happened to hash into
+    * it. Cost is one root listing plus a manifest probe per leaf —
+    * bounded by nBuckets; [[graft.ops.Compaction.recoverSwap]] takes
+    * the LEAF's own lease only when a manifest is actually present. */
+  private def healAllBucketLeaves(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(target)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket_id="))
+      .foreach(d => graft.ops.Compaction.recoverSwap(fs, d.getPath))
 
   /** Partitioned-dimension variant of [[scd2CdcBatch]]: the dimension is
     * laid out hive-style on a BUSINESS-KEY-STABLE partition —
@@ -325,6 +349,14 @@ object Streams {
     * (`Terraform/sql/010_scd_dimensions.sql:391-521`) where
     * [[scd2CdcBatch]] rewrites the whole dim each batch.
     *
+    * Batch-time by CONTRACT: every change in a micro-batch shares one
+    * effective date (the reference MERGE's single @date_chargement), and
+    * a batch carrying MORE than one distinct `effDateCol` date raises
+    * loudly instead of silently stamping everything at the max — a
+    * genuinely event-dated feed belongs on
+    * [[scd2CdcEventTimeBatchPartitioned]], which splices each change at
+    * its own date.
+    *
     * The replay watermark moves to a sidecar file ([[CdcWatermarkName]])
     * because untouched partitions can't be restamped; it is updated LAST
     * inside the single-writer lease. Crash anywhere before that update
@@ -333,9 +365,19 @@ object Streams {
     * that already absorbed it classifies as `unchanged`: same tracked
     * values, no version bump; a replayed delete finds no active row to
     * close), and a swap that crashed past its commit point rolls forward
-    * via each touched leaf's manifest before the re-read. The touched
-    * set is recomputed deterministically from the replayed batch, so the
-    * healed leaves are exactly the crashed batch's leaves.
+    * via [[healAllBucketLeaves]] before the re-read — EVERY leaf with a
+    * committed manifest, not just the replayed batch's, so even a
+    * caller that never re-delivers the crashed batch reads healed data.
+    *
+    * Locking is two-level. The table-ROOT lease serializes whole
+    * batches (and the sidecar watermark) against other sink writers;
+    * each leaf mutation — heal or swap — additionally holds that LEAF's
+    * own lease, the same path [[graft.ops.Compaction.compact]] locks
+    * when it descends into partition leaves, so a concurrent compaction
+    * of a bucket mid-batch fails fast instead of silently listing the
+    * sink's freshly adopted files as compactable debris (leaf-lease
+    * acquisition never blocks, so the root→leaf order cannot deadlock
+    * against leaf-only lockers).
     *
     * One merge job per batch, not one per bucket: the touched leaves are
     * read with partition pruning, merged once, staged `partitionBy
@@ -355,24 +397,28 @@ object Streams {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(target)
     graft.ops.Compaction.withSwapLease(fs, target) {
+      // heal committed-but-unfinished swaps on ALL leaves before any
+      // read — not just the buckets this batch touches
+      healAllBucketLeaves(fs, target)
       // replay guard from the sidecar, not a column scan
       if (!readCdcWatermark(fs, target).exists(_ >= batchId)) {
-        val effDate = batch.agg(max(col(effDateCol).cast("date")))
-          .head().getDate(0)
+        val mm = batch.agg(
+          min(col(effDateCol).cast("date")), max(col(effDateCol).cast("date")))
+          .head()
+        val (minDate, effDate) = (mm.getDate(0), mm.getDate(1))
         require(effDate != null,
           s"scd2CdcBatchPartitioned: every change row has a null " +
             s"$effDateCol — no effective date for the batch")
+        require(minDate == effDate,
+          s"scd2CdcBatchPartitioned is batch-time: one effective date per " +
+            s"batch, got [$minDate, $effDate] — route event-dated feeds " +
+            "to scd2CdcEventTimeBatchPartitioned")
         val eff = effDate.toString
         val chg = batch.withColumn("bucket_id",
           pmod(xxhash64(bk.map(col): _*), lit(nBuckets.toLong)).cast("int"))
         val touched = chg.select("bucket_id").distinct()
           .collect().map(_.getInt(0)).sorted
         def leaf(b: Int) = new HPath(target, s"bucket_id=$b")
-        // heal any swap the PREVIOUS attempt at this batch committed but
-        // didn't finish — same touched set, deterministic hash
-        touched.foreach(b =>
-          if (fs.exists(leaf(b)))
-            graft.ops.Compaction.recoverSwapLocked(fs, leaf(b)))
         val existing = touched.filter(b => fs.exists(leaf(b)) &&
           fs.listStatus(leaf(b)).exists(s =>
             s.isFile && graft.ops.Compaction.isDataFile(s.getPath)))
@@ -401,7 +447,9 @@ object Streams {
             if (!fs.rename(staged, st)) throw new java.io.IOException(
               s"could not stage partition $staged -> $st")
             fs.mkdirs(leaf(b))
-            graft.ops.Compaction.swapDataFilesLocked(fs, st, leaf(b))
+            // swapDataFiles (not ...Locked): takes the LEAF lease, the
+            // path Compaction.compact locks — see the locking scaladoc
+            graft.ops.Compaction.swapDataFiles(fs, st, leaf(b))
           }
         }
         fs.delete(stagingRoot, true)
@@ -459,6 +507,102 @@ object Streams {
       }
     }
   }
+
+  /** Partitioned-dimension variant of [[scd2CdcEventTimeBatch]] — the
+    * last cell of the CDC sink matrix, and the realistic 100 TB shape:
+    * late-arriving event-dated changes splice into a dimension far too
+    * big to rewrite per batch. Layout, locking, sidecar watermark and
+    * crash story are [[scd2CdcBatchPartitioned]]'s (bucket_id =
+    * pmod(xxhash64(bk…), nBuckets); table-root lease per batch, leaf
+    * lease per swap — the path a concurrent
+    * [[graft.ops.Compaction.compact]] locks; [[healAllBucketLeaves]]
+    * before every read; watermark updated LAST); the merge is
+    * [[graft.scd.Scd.scd2CdcEventTime]], whose semi/anti split already
+    * confines the per-key rebuild to the batch's touched keys — here it
+    * runs over only the touched BUCKETS' rows, read with partition
+    * pruning, so per-batch work is (touched buckets' dim slice +
+    * changes), never dimension-sized.
+    *
+    * Replay safety: the event-time rebuild is ABSORBING (a re-merged
+    * change reappears as a same-date dimension-version event and the
+    * same-date collapse keeps one — [[scd2CdcEventTimeBatch]]'s
+    * contract), and the touched-bucket set is recomputed
+    * deterministically from the replayed batch's keys.
+    *
+    * One divergence from the batch-time variant's adoption loop: the
+    * event-time rebuild can DELETE every row of a bucket (a version
+    * inserted and deleted the same date leaves no trace), so a touched
+    * bucket with existing data but nothing staged swaps in an EMPTY
+    * staging — dropping the stale rows under the same crash-safe
+    * manifest — instead of skipping. */
+  def scd2CdcEventTimeBatchPartitioned(batch: DataFrame, targetDir: String,
+      bk: Seq[String], tracked: Seq[String], seqCol: String, opCol: String,
+      effDateCol: String, batchId: Long, nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val target = new HPath(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    graft.ops.Compaction.withSwapLease(fs, target) {
+      healAllBucketLeaves(fs, target)
+      if (!readCdcWatermark(fs, target).exists(_ >= batchId)) {
+        val chg = batch.withColumn("bucket_id",
+          pmod(xxhash64(bk.map(col): _*), lit(nBuckets.toLong)).cast("int"))
+        val touched = chg.select("bucket_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        def leaf(b: Int) = new HPath(target, s"bucket_id=$b")
+        def hasData(p: HPath) = fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isFile && graft.ops.Compaction.isDataFile(s.getPath))
+        val existing = touched.filter(b => hasData(leaf(b)))
+        val dim =
+          if (existing.isEmpty)
+            graft.scd.Scd.seed(
+              chg.drop(opCol, seqCol, effDateCol).limit(0), "1970-01-01")
+          else spark.read.option("basePath", targetDir)
+            .parquet(existing.map(b => leaf(b).toString): _*)
+        val merged = graft.scd.Scd.scd2CdcEventTime(dim, chg, bk, tracked,
+          seqCol, opCol, effDateCol)
+        val stagingRoot = new HPath(target.getParent,
+          "." + target.getName + "__scd2cdcetp")
+        if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+        merged.write.partitionBy("bucket_id").parquet(stagingRoot.toString)
+        touched.foreach { b =>
+          val staged = new HPath(stagingRoot, s"bucket_id=$b")
+          val st = new HPath(target, s".bucket_id=${b}__incoming")
+          if (fs.exists(staged)) {
+            if (fs.exists(st)) fs.delete(st, true)
+            if (!fs.rename(staged, st)) throw new java.io.IOException(
+              s"could not stage partition $staged -> $st")
+            fs.mkdirs(leaf(b))
+            graft.ops.Compaction.swapDataFiles(fs, st, leaf(b))
+          } else if (hasData(leaf(b))) {
+            // every row of this bucket vanished in the rebuild: adopt an
+            // empty staging so the old files drop through the manifest
+            if (fs.exists(st)) fs.delete(st, true)
+            fs.mkdirs(st)
+            graft.ops.Compaction.swapDataFiles(fs, st, leaf(b))
+          }
+        }
+        fs.delete(stagingRoot, true)
+        writeCdcWatermark(fs, target, batchId)
+      }
+    }
+  }
+
+  /** Streaming form of [[scd2CdcEventTimeBatchPartitioned]]. */
+  def scd2CdcEventTimeSinkPartitioned(stream: DataFrame, targetDir: String,
+      checkpointDir: String, bk: Seq[String], tracked: Seq[String],
+      seqCol: String, opCol: String, effDateCol: String, nBuckets: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scd2CdcEventTimeBatchPartitioned(b.toDF(), targetDir, bk, tracked,
+          seqCol, opCol, effDateCol, id, nBuckets))
+      .start()
 
   /** Streaming form of [[scd2CdcEventTimeBatch]]. */
   def scd2CdcEventTimeSink(stream: DataFrame, targetDir: String,

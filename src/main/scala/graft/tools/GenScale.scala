@@ -96,6 +96,91 @@ object GenScale {
     spark.stop()
   }
 
+  /** Post-write fixture-integrity gate: samples base documents and
+    * verifies that NO cross-copy pair of their variants reaches
+    * near-duplicate shingle Jaccard — the property that keeps the
+    * dedup/clustering workload's qualifying-pair count LINEAR in the
+    * copy factor (the whole point of the per-copy cipher).
+    *
+    * This catches, in particular, the CIPHER-COMPOSITION trap: scaling
+    * an ALREADY-SCALED directory composes the per-copy maps, and the
+    * rotation family composes additively (rot_i ∘ rot_j = rot_{i+j}),
+    * so a 10×-of-10× build collapses 100 nominal copies onto only 19
+    * distinct ciphers — identical cross-copy texts in cliques of up to
+    * 10, whose pairs grow QUADRATICALLY (measured r17: 634× qualifying
+    * pairs for 10× docs, 285 jaccard-1.0 cross-copy pairs per base
+    * doc). Always scale from the BASE sf directory; this check makes
+    * the mistake loud at generation time instead of a bench-ratio
+    * mystery three rounds later. */
+  def verifyCopyDistinctness(spark: SparkSession, srcDir: String,
+      outDir: String, copies: Int, didSpan: Long, sampleBases: Int = 8,
+      maxJaccard: Double = 0.5): Unit = {
+    if (copies < 2) return
+    // GLOBAL exact-distinctness gate — the one that catches the
+    // composition trap wherever the colliding pair lands: with `copies`
+    // distinct bijections over an all-distinct base corpus, every copy
+    // contributes its own distinct texts and none overlap, so any
+    // shortfall means two nominal copies share a cipher. (The composed
+    // 10×-of-10× build collapses to 19 rotations → distinct ≈ 19/100 of
+    // nominal; a per-base-offset check would MISS it because composed
+    // duplicates sit at different offsets.)
+    val srcDistinct = spark.read.parquet(s"$srcDir/documents.parquet")
+      .select("text").distinct().count()
+    val outDistinct = spark.read.parquet(s"$outDir/documents.parquet")
+      .select("text").distinct().count()
+    require(outDistinct == srcDistinct * copies,
+      s"verifyCopyDistinctness: expected ${srcDistinct * copies} distinct " +
+        s"texts ($copies copies x $srcDistinct), got $outDistinct — two " +
+        "copies share a cipher. Was an already-scaled directory " +
+        "re-scaled? (rotation ciphers COMPOSE: rot_i of rot_j = " +
+        "rot_{i+j}, collapsing the copy set; scale from the base sf dir)")
+    val sh = spark.read.parquet(s"$outDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(didSpan)) < sampleBases)
+      .select(pmod(col("doc_id"), lit(didSpan)).as("base"),
+        (col("doc_id") / lit(didSpan)).cast("int").as("copy"),
+        array_distinct(graft.ext.Dedup.shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.alias("a").join(sh.alias("b"),
+        col("a.base") === col("b.base") && col("a.copy") < col("b.copy"))
+      .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+    val agg = pairs.agg(count(lit(1)).as("n"), max(col("j")).as("worst")).head()
+    val (n, worst) = (agg.getLong(0), agg.getDouble(1))
+    require(n > 0, "verifyCopyDistinctness: no cross-copy pairs sampled " +
+      "(all sampled base docs below one shingle?) — widen sampleBases")
+    require(worst < maxJaccard,
+      f"verifyCopyDistinctness: cross-copy shingle jaccard $worst%.3f >= " +
+        f"$maxJaccard%.2f across $n sampled pairs — the copies are NOT " +
+        "text-distinct. Was an already-scaled directory re-scaled? " +
+        "(cipher composition collapses copies; scale from the base sf dir)")
+  }
+
+  /** Order-independent per-table digests of a generated directory — the
+    * provenance record that makes cross-round scale benches comparable:
+    * regenerating a fixture changes absolute timings' substrate, and
+    * without a digest there is no way to verify two rounds benched the
+    * same bytes. One `Quality.tableDigest` aggregate per table (all
+    * columns, Spark-canonical string forms — Spark-vs-Spark stable),
+    * written as one JSON line per table to `$outDir/DIGESTS.json`. */
+  def writeDigests(spark: SparkSession, outDir: String, srcDir: String,
+      copies: Int): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val entries = tables.map { t =>
+      val df = spark.read.parquet(s"$outDir/$t.parquet")
+      val r = graft.ops.Quality.tableDigest(df, df.columns.toSeq).head()
+      s"""  "$t": {"digest": ${r.getLong(0)}, "n_rows": ${r.getLong(1)}}"""
+    }
+    val json = "{\n" +
+      "  \"generator\": \"graft.tools.GenScale\",\n" +
+      s"""  "source": "$srcDir",\n  "copies": $copies,\n""" +
+      "  \"tables\": {\n" +
+      entries.map("  " + _).mkString(",\n") + "\n  }\n}\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "DIGESTS.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def run(spark: SparkSession, srcDir: String, outDir: String,
       copies: Int): Unit = {
     new java.io.File(outDir).mkdirs()
@@ -163,6 +248,10 @@ object GenScale {
         .withColumn("embedding", expr(
           s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(j, $i), 2)) AS FLOAT))"))
     }, s"$outDir/embeddings.parquet", 16)
+
+    // loud fixture-integrity gate + provenance digests, every generation
+    verifyCopyDistinctness(spark, srcDir, outDir, copies, didSpan)
+    writeDigests(spark, outDir, srcDir, copies)
   }
 
   private def write(df: DataFrame, path: String, parts: Int): Unit =

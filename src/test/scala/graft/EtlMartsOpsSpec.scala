@@ -419,6 +419,37 @@ class EtlMartsOpsSpec extends SparkSpec {
     }
   }
 
+  test("swap lease: the heartbeat is PORTABLE — a store whose mtimes " +
+      "never advance (S3A's no-op setTimes shape) still sees a live " +
+      "holder via the payload stamp") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-lease-s3")
+    val tgt = new HPath(new java.io.File(base.toFile, "table").toString)
+    val raw = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    raw.mkdirs(tgt)
+    // every listing reports mtime 0 and setTimes is a no-op: the ONLY
+    // liveness channel left is the heartbeat-rewritten payload stamp —
+    // the pre-r18 mtime-only age check would break this lease as stale
+    val frozen = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: HPath, mtime: Long, atime: Long): Unit = ()
+      override def getFileStatus(f: HPath): org.apache.hadoop.fs.FileStatus = {
+        val s = super.getFileStatus(f)
+        new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory, 1,
+          s.getBlockSize, 0L, s.getPath)
+      }
+    }
+    val ttl = 900L // beat ≈ 300ms
+    Compaction.withSwapLease(frozen, tgt, ttl) {
+      Thread.sleep(1500) // > ttl since acquisition; several beats ran
+      val e = intercept[java.io.IOException](
+        Compaction.acquireSwapLease(frozen, tgt, ttl))
+      assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    }
+    // clean release; the next writer acquires freely on the same store
+    Compaction.withSwapLease(frozen, tgt, ttl)(())
+    assert(!raw.exists(new HPath(tgt, "._graft_swap_lease")))
+  }
+
   test("swap lease: the heartbeat keeps a live holder's lease fresh " +
       "past the TTL; a mid-body takeover aborts before the commit") {
     import org.apache.hadoop.fs.{Path => HPath}

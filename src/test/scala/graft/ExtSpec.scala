@@ -232,6 +232,18 @@ class ExtSpec extends SparkSpec {
         narrow, "doc_id", k = 8, bands = 2).collect()
     }
     assert(msgs(e2).exists(_.contains("narrower than k=8")), e2.toString)
+    // a NULL sig row (hand-built/corrupt index) must raise the same
+    // loud message, not pass silently: under ANSI, size(NULL) is NULL,
+    // so a bare size(sig) < k guard would be false and sig(0) would
+    // band on nulls
+    val withNull = narrow.unionByName(narrow.limit(1)
+      .withColumn("doc_id", lit(-1L))
+      .withColumn("sig", lit(null).cast("array<string>")))
+    val e3 = intercept[Exception] {
+      Dedup.nearDupPairsFromIndex(withNull, "doc_id", k = 4, bands = 2)
+        .collect()
+    }
+    assert(msgs(e3).exists(_.contains("narrower than k=4")), e3.toString)
     // a WIDER stored index is a valid prefix read: k=4 over a k=8 index
     // must equal a native k=4 index run (seeds are positional)
     val wide = Dedup.signatureIndex(docs, "text", "doc_id", k = 8)

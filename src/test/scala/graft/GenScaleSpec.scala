@@ -61,6 +61,31 @@ class GenScaleSpec extends SparkSpec {
     assert(scaled == base * 60, s"expected ${base * 60} distinct texts, got $scaled")
   }
 
+  test("generation records provenance digests that round-trip") {
+    val dig = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/DIGESTS.json")), "UTF-8")
+    assert(dig.contains("\"copies\": 3") && dig.contains("\"lineitem\""))
+    // the recorded digest matches a fresh re-digest of the same bytes —
+    // the check a future round runs before benching this directory
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val r = graft.ops.Quality.tableDigest(docs, docs.columns.toSeq).head()
+    assert(dig.contains(
+      s""""documents": {"digest": ${r.getLong(0)}, "n_rows": ${r.getLong(1)}}"""),
+      s"digest drifted from DIGESTS.json: $dig")
+  }
+
+  test("re-scaling an ALREADY-SCALED directory fails loudly: rotation " +
+      "ciphers compose, collapsing the copy set (the r17 sf10 trap)") {
+    // outDir is 3 copies of sf0.01; 3 copies of THAT compose rotations
+    // i+j — only 5 distinct ciphers for 9 nominal copies, exact
+    // cross-copy duplicate cliques, quadratic near-dup pair growth
+    val dir2 = java.nio.file.Files.createTempDirectory("genscale-compose")
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.GenScale.run(spark, outDir, dir2.toString, 3)
+    }
+    assert(e.getMessage.contains("share a cipher"), e.getMessage)
+  }
+
   test("charMap: pairwise agreement is 0 letters (odd family distance / rotations), ≤2 otherwise") {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val maps = (0 until 120).map(graft.tools.GenScale.charMap)

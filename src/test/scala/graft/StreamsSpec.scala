@@ -696,6 +696,147 @@ class StreamsSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("partitioned EVENT-TIME CDC/SCD2 sink: equals the full-rewrite " +
+      "event-time sink, untouched leaves keep identical files/mtimes, a " +
+      "vanished bucket truncates, replay is a no-op") {
+    val cols = Seq("k", "name", "seg", "seq", "op", "eff")
+    def df(rows: Seq[(Long, String, String, Long, String, String)]) =
+      rows.toDF(cols: _*)
+    val n = 8
+    def bucket(k: Long) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+    val b1 = (1L to 6L).map(i => (i, s"n$i", "A", i, "I", "2024-01-01"))
+    // arrives later but splices EARLIER than k=1's existing version
+    val b2 = Seq((1L, "n1", "B", 10L, "U", "2023-06-01"))
+    val b3 = Seq((2L, "n2", "A", 20L, "D", "2024-03-01"),
+      (9L, "n9", "C", 21L, "I", "2024-03-01"))
+    // k0 sits alone in its bucket: inserted in b4, then deleted at the
+    // SAME date in b5 — the rebuild erases the whole chain and the
+    // bucket must truncate, not serve the stale version
+    val used = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L)).map(bucket).toSet
+    val k0 = (100L to 200L).find(k => !used.contains(bucket(k))).get
+    val b4 = Seq((k0, "ghost", "G", 30L, "I", "2024-05-01"))
+    val b5 = Seq((k0, "ghost", "G", 31L, "D", "2024-05-01"))
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2cdcetp")
+    val full = base.resolve("full").toString
+    val part = base.resolve("part").toString
+    def runFull(b: Seq[(Long, String, String, Long, String, String)],
+        id: Long) = Streams.scd2CdcEventTimeBatch(df(b), full, Seq("k"),
+      Seq("seg"), "seq", "op", "eff", id)
+    def runPart(b: Seq[(Long, String, String, Long, String, String)],
+        id: Long) = Streams.scd2CdcEventTimeBatchPartitioned(df(b), part,
+      Seq("k"), Seq("seg"), "seq", "op", "eff", id, n)
+    def leafFiles(): Map[String, Long] = {
+      val root = new java.io.File(part)
+      root.listFiles().filter(d => d.isDirectory &&
+        d.getName.startsWith("bucket_id=")).flatMap { d =>
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    def rows(dir: String) = spark.read.parquet(dir).drop("bucket_id")
+      .select($"k", $"name", $"seg", $"version", $"est_actif",
+        $"date_debut_validite".cast("string"),
+        $"date_fin_validite".cast("string"))
+      .as[(Long, String, String, Int, Int, String, String)]
+      .collect().toSeq.sorted
+    runFull(b1, 0L); runPart(b1, 0L)
+    val snap1 = leafFiles()
+    assert(snap1.keys.map(_.split("/").head).toSet.size > 1,
+      s"fixture must spread over multiple buckets: ${snap1.keys}")
+    runFull(b2, 1L); runPart(b2, 1L)
+    val snap2 = leafFiles()
+    // the out-of-order splice touched ONLY k=1's bucket
+    val bucket1 = bucket(1L)
+    val untouched1 = snap1.filter(!_._1.startsWith(s"bucket_id=$bucket1/"))
+    assert(untouched1.nonEmpty)
+    untouched1.foreach { case (f, m) =>
+      assert(snap2.get(f).contains(m), s"untouched file changed: $f")
+    }
+    // and the splice really rebuilt in event-time order (B before A)
+    val k1 = rows(part).filter(_._1 == 1L)
+    assert(k1.map(r => (r._3, r._4)).toSet == Set(("B", 1), ("A", 2)),
+      k1.toString)
+    runFull(b3, 2L); runPart(b3, 2L)
+    runFull(b4, 3L); runPart(b4, 3L)
+    assert(rows(part).exists(_._1 == k0))
+    runFull(b5, 4L); runPart(b5, 4L)
+    // same-date insert+delete leaves no trace; the bucket truncates
+    assert(!rows(part).exists(_._1 == k0))
+    assert(!leafFiles().keys.exists(_.startsWith(s"bucket_id=${bucket(k0)}/")),
+      "vanished bucket must hold no data files")
+    // replaying a committed batch changes nothing (sidecar watermark)
+    val snap5 = leafFiles()
+    runPart(b2, 1L)
+    assert(leafFiles() == snap5)
+    // final state equals the full-rewrite event-time sink's
+    assert(rows(part) == rows(full))
+  }
+
+  test("partitioned batch-time sink rejects a mixed-date batch loudly " +
+      "instead of silently stamping max(eff)") {
+    val cols = Seq("k", "name", "seg", "seq", "op", "change_date")
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2mixed")
+    val part = base.resolve("part").toString
+    val mixed = Seq((1L, "n1", "A", 1L, "I", "2024-01-01"),
+      (2L, "n2", "A", 2L, "I", "2024-02-01")).toDF(cols: _*)
+    val e = intercept[IllegalArgumentException] {
+      Streams.scd2CdcBatchPartitioned(mixed, part, Seq("k"), Seq("seg"),
+        "seq", "op", "change_date", 0L, 8)
+    }
+    assert(e.getMessage.contains("one effective date per batch"),
+      e.getMessage)
+    assert(e.getMessage.contains("scd2CdcEventTimeBatchPartitioned"),
+      "the error must route the caller to the event-time sink")
+    // nothing landed: no bucket leaves, no watermark — single-date
+    // batches then apply cleanly from scratch
+    assert(!new java.io.File(part).listFiles().exists(f =>
+      f.getName.startsWith("bucket_id=") || f.getName.contains("watermark")))
+    Streams.scd2CdcBatchPartitioned(
+      Seq((1L, "n1", "A", 1L, "I", "2024-01-01")).toDF(cols: _*),
+      part, Seq("k"), Seq("seg"), "seq", "op", "change_date", 0L, 8)
+    assert(spark.read.parquet(part).count() == 1)
+  }
+
+  test("partitioned sink vs compaction: the leaf lease excludes a " +
+      "concurrent bucket compaction — the sink fails fast, the watermark " +
+      "does not advance, and the batch replays cleanly after release") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val cols = Seq("k", "name", "seg", "seq", "op", "change_date")
+    def df(rows: Seq[(Long, String, String, Long, String, String)]) =
+      rows.toDF(cols: _*)
+    val n = 8
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2leaf")
+    val part = base.resolve("part").toString
+    def runPart(b: Seq[(Long, String, String, Long, String, String)],
+        id: Long) = Streams.scd2CdcBatchPartitioned(df(b), part, Seq("k"),
+      Seq("seg"), "seq", "op", "change_date", id, n)
+    runPart((1L to 6L).map(i => (i, s"n$i", "A", i, "I", "2024-01-01")), 0L)
+    val want1 = spark.read.parquet(part).drop("bucket_id")
+      .collect().map(_.toString).sorted.toSeq
+    // a "compactor" holds the lease on k=1's bucket LEAF (the path
+    // Compaction.compact locks when it descends into partition leaves)
+    val bucket1 = spark.range(1)
+      .select(pmod(xxhash64(lit(1L)), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+    val leaf = new HPath(new HPath(part), s"bucket_id=$bucket1")
+    val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Compaction.acquireSwapLease(fs, leaf)
+    val b2 = Seq((1L, "n1", "B", 10L, "U", "2024-02-01"))
+    val e = intercept[java.io.IOException](runPart(b2, 1L))
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    // the failed batch must not have advanced the sidecar watermark or
+    // corrupted the dimension: still batch-0 state
+    assert(spark.read.parquet(part).drop("bucket_id")
+      .collect().map(_.toString).sorted.toSeq == want1)
+    fs.delete(new HPath(leaf, "._graft_swap_lease"), false)
+    runPart(b2, 1L) // replay applies cleanly now
+    val cur = graft.scd.Scd.current(spark.read.parquet(part))
+      .filter($"k" === 1L).select("seg").as[String].collect().toSeq
+    assert(cur == Seq("B"))
+  }
+
   test("streaming dedup clustering: cluster table equals a from-scratch " +
       "batch clustering; replays, duplicate re-deliveries and " +
       "half-committed batches all heal") {
