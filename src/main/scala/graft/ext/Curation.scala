@@ -336,16 +336,18 @@ object Curation {
     *     thing broadcast; the full shingle-set broadcast the exact
     *     path pays disappears.
     *   - every corpus row probes the bloom with a per-row HOF; only
-    *     PROBABLE hits (true contamination + the bloom's ~0.03%
-    *     false-positive rate at 8 bits/item — size `expectedItems`
-    *     generously) survive to explode. Clean corpus shingles — the
-    *     overwhelming majority — never leave their row.
+    *     PROBABLE hits (true contamination + the bloom's ~3%
+    *     false-positive rate at its sizing — derived from the actual
+    *     benchmark-shingle count by default, see
+    *     [[graft.ext.Dedup.bloomSizeHint]]) survive to explode. Clean
+    *     corpus shingles — the overwhelming majority — never leave
+    *     their row.
     *   - the surviving candidates (hit volume, not corpus-shingle
     *     volume) join the exact benchmark set once, removing bloom
     *     false positives, so `n_contaminated` is exact. */
   def contaminationBloom(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3,
-      expectedItems: Long = 1000000L): DataFrame = {
+      expectedItems: Long = 0L): DataFrame = {
     graft.functions.BloomOps.register(docs.sparkSession)
     // materialized once (benchmark-sized, no corpus data): serves both
     // the bloom aggregate and the false-positive-removing join
@@ -356,9 +358,13 @@ object Curation {
     // Option(..): an EMPTY benchmark aggregates to a null bloom binary —
     // then nothing can be contaminated, rather than a null-propagation
     // surprise inside the HOF
+    // size from the materialized benchmark-shingle set when no explicit
+    // hint (0): one cheap job over the checkpointed frame; a fixed
+    // constant over- or under-sizes at the two scale extremes and
+    // sizing never changes the answer (FPs removed by the exact join)
     val bytes = Option(bench
       .select(call_function("bloom_filter_agg", xxhash64(col("__bs")),
-        lit(expectedItems)).as("bf"))
+        lit(graft.ext.Dedup.bloomSizeHint(bench, expectedItems))).as("bf"))
       .head().getAs[Array[Byte]](0))
     val candArr = bytes match {
       case Some(b) => filter(col("__dsh"), s =>

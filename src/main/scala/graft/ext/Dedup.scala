@@ -165,11 +165,32 @@ object Dedup {
     *     windows — the overwhelming majority — never leave their row).
     *
     * `expectedDups` sizes the Bloom (false-positive rate only affects
-    * candidate volume, not correctness). Output and row set are
-    * identical to [[windowDupStats]]; docs with fewer than `w` tokens
-    * vanish, docs whose windows are all unique report 0 dups. */
+    * candidate volume, not correctness). The default 0 means DERIVE it
+    * from the materialized dup-digest set (count + 25% headroom — one
+    * cheap job over the checkpointed frame): a fixed constant is wrong
+    * at both ends — r18 measured the old 4M default costing 2.3× on the
+    * sf0.1 bench (a ~3.6 MB filter built, merged across every map task
+    * and shipped in the plan for a few thousand actual dups), while at
+    * 100 TB corpus scale 4M would be a silent UNDERsizing whose
+    * false-positive rate quietly re-approaches the exact path's explode
+    * volume. Output and row set are identical to [[windowDupStats]];
+    * docs with fewer than `w` tokens vanish, docs whose windows are all
+    * unique report 0 dups. */
+  /** Bloom sizing: honor an explicit caller hint (> 0); otherwise count
+    * the ALREADY-MATERIALIZED build side (localCheckpoint'ed by every
+    * caller, so this is one cheap cached-partition job, not a rescan)
+    * and add 25% headroom. Floor 4096 keeps the degenerate small-corpus
+    * filter from being all-collisions. Sizing never changes results —
+    * false positives are removed by the exact join that follows. */
+  private[graft] def bloomSizeHint(build: DataFrame, hint: Long): Long =
+    if (hint > 0L) hint
+    else math.max(4096L, {
+      val n = build.count()
+      n + n / 4
+    })
+
   def windowDupStatsBloom(df: DataFrame, textCol: String, idCol: String,
-      w: Int, expectedDups: Long = 4000000L): DataFrame = {
+      w: Int, expectedDups: Long = 0L): DataFrame = {
     require(w > 0, "window width must be positive")
     graft.functions.BloomOps.register(df.sparkSession)
     // window CONSTRUCTION (tokenize, slice, join, md5) dominates this
@@ -188,9 +209,10 @@ object Dedup {
       .localCheckpoint()
     // Option(..): zero duplicates aggregate to a null bloom binary —
     // then no window can be a candidate (everything is unique)
+    val sizeHint = bloomSizeHint(dups, expectedDups)
     val bytes = Option(dups
       .select(call_function("bloom_filter_agg", xxhash64(col("__h")),
-        lit(expectedDups)).as("bf"))
+        lit(sizeHint)).as("bf"))
       .head().getAs[Array[Byte]](0))
     val candArr = bytes match {
       case Some(b) => filter(col("__wins"), h =>
@@ -278,7 +300,7 @@ object Dedup {
     * [[windowDupStatsBloom]]'s, whose stats-only output doesn't need
     * first-occurrence positions. */
   def windowDupRemoveBloom(df: DataFrame, textCol: String, idCol: String,
-      w: Int, expectedDups: Long = 4000000L): DataFrame = {
+      w: Int, expectedDups: Long = 0L): DataFrame = {
     require(w > 0, "window width must be positive")
     graft.functions.BloomOps.register(df.sparkSession)
     // digest arrays materialized once (digest-grain, no text): the
@@ -295,7 +317,7 @@ object Dedup {
       .localCheckpoint()
     val bytes = Option(dupFirsts
       .select(call_function("bloom_filter_agg", xxhash64(col("__h")),
-        lit(expectedDups)).as("bf"))
+        lit(bloomSizeHint(dupFirsts, expectedDups))).as("bf"))
       .head().getAs[Array[Byte]](0))
     val candArr = bytes match {
       case Some(b) => filter(

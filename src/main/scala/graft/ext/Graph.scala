@@ -61,19 +61,42 @@ object Graph {
       iters: Int, damping: Double = 0.85,
       checkpointEvery: Int = 8, tol: Option[Double] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-    val deg = e.groupBy("__src")
-      .agg(count(lit(1)).cast("double").as("__outdeg"))
-    // partition AND sort the persisted edge table by the iteration join
-    // key ONCE: the cached relation then declares both the distribution
-    // and the ordering the per-iteration sort-merge join needs, so no
-    // iteration re-shuffles or re-sorts the edge side — only the
-    // node-grain rank frame moves. (Measured: without this, every
-    // iteration re-sorted the edge table — 14.9 GB of sort spill over 5
-    // iterations at sf10 that reducer-count tuning could not touch.)
-    val withDeg = e.join(deg, "__src")
+    // Edge prep in ONE pass, ONE exchange (r18; guide §2.4 — remove
+    // shuffles outright, §1.1 — first-principles floor): the pre-r18
+    // shape (`edges.distinct()`, then `deg = e.groupBy(__src)`, then
+    // `e.join(deg).repartition(__src)`) planned THREE exchanges plus a
+    // broadcast AND executed the caller's edge-expansion subtree twice
+    // (`e` is a lazy plan referenced by both join inputs — Catalyst
+    // trees share nothing across DataFrame reuse). Instead:
+    //   - repartition the raw pairs by __src once;
+    //   - distinct via groupBy(__src, __dst) — HashPartitioning(__src)
+    //     satisfies ClusteredDistribution(__src, __dst) (equal composite
+    //     keys hash to the same partition), so NO second exchange;
+    //   - out-degree via count() OVER (PARTITION BY __src) on the same
+    //     partitioning — replaces the groupBy+join+broadcast (and the
+    //     doubled subtree) with one window whose sort is exactly the
+    //     __src ordering the per-iteration sort-merge join needs anyway.
+    // The cached relation then declares both the distribution and the
+    // ordering, so no iteration re-shuffles or re-sorts the edge side —
+    // only the node-grain rank frame moves. (r11 measured the unsorted
+    // form re-sorting the edge table every iteration: 14.9 GB of sort
+    // spill over 5 iterations at sf10.) Trade-off vs the old shape: the
+    // window buffers one __src group at a time (spillable
+    // ExternalAppendOnlyUnsafeRowArray) where the join streamed — fine
+    // at out-degrees that fit a task's spill budget, which edge-grain
+    // groups do; and the raw pair stream shuffles without map-side
+    // dedup, which only matters for edge lists with heavy intra-
+    // partition duplication. Measured at sf0.1 (isolated bench,
+    // matched calibration): x_pagerank end-to-end 10.98 → 9.82 s =
+    // 0.89× — smaller than the plan diff suggests because AQE's
+    // exchange reuse was already deduplicating the doubled subtree at
+    // runtime; the remaining win is the two dropped exchanges.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__src")
+    val withDeg = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
+      .distinct()
+      .withColumn("__outdeg", count(lit(1)).over(w).cast("double"))
       .sortWithinPartitions("__src")
       .persist()
     val nodes = withDeg.select(col("__src").as("node"))
