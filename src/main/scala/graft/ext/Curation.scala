@@ -309,7 +309,13 @@ object Curation {
     * docs too short to shingle). */
   def contamination(docs: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
-    val benchShingles = benchmark
+    // spread BEFORE shingling: a benchmark arriving as one small file is
+    // one input split, so its tokenize+shingle+distinct — the expensive
+    // part of the broadcast subtree — would run single-threaded while
+    // the whole cluster waits on the broadcast (r18 measured it
+    // serializing ~2 s of x_pipeline_e2e's contamination stage); at
+    // warehouse scale the input already has splits and spread no-ops
+    val benchShingles = graft.core.Tables.spread(benchmark)
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__bs"))
       .distinct()
     docs
@@ -350,7 +356,12 @@ object Curation {
       expectedItems: Long = 0L): DataFrame = {
     graft.functions.BloomOps.register(docs.sparkSession)
     // materialized once (benchmark-sized, no corpus data): serves both
-    // the bloom aggregate and the false-positive-removing join
+    // the bloom aggregate and the false-positive-removing join. NOT
+    // spread like [[contamination]]'s bench side: this subtree is
+    // materialized once and feeds a driver-side head() — r18's A/B read
+    // the extra round-robin exchange as a small regression on that
+    // latency-bound path, while the exact path's per-query broadcast
+    // rebuild measured 2.3× faster spread
     val bench = benchmark
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__bs"))
       .distinct()

@@ -223,8 +223,18 @@ object MartQueries {
           when(col("l_linestatus") === "F", q).otherwise(lit(0L)).as("emplois"),
           when(col("l_returnflag") === "R", q).otherwise(lit(0L)).as("chomeurs"),
           q.as("actifs"))
-      val dt = dimTemps(t(s, d, "lineitem"))
-      val dg = dimGeo(s, d)
+      // materialize the derived dims ONCE (r18, guide §2.4): this query
+      // references dimTemps three times (both mart builders broadcast it,
+      // the scaffold takes distinct annee) and Catalyst shares nothing
+      // across DataFrame reuse — unchecked, the dashboard plan scanned
+      // lineitem's l_shipdate column and ran the distinct exchange THREE
+      // times (plans/r18/mart_dashboard_before.txt scans 5/20/50). Both
+      // dims are bounded-cardinality (months, nations), so the eager
+      // checkpoint is a row-handful; the two fact subtrees stay lazy on
+      // purpose — re-scanning parquet with pruned columns beats
+      // materializing a fact-wide intermediate at warehouse scale.
+      val dt = dimTemps(t(s, d, "lineitem")).localCheckpoint()
+      val dg = dimGeo(s, d).localCheckpoint()
       val logMart = Datamarts.logementDepartement(faitLog, dt, dg)
         .withColumn("taux_surpeuplement", Fp.r(col("taux_surpeuplement"), 4))
       val empMart = Datamarts.emploiDepartement(faitEmp, dt, dg)
