@@ -158,7 +158,13 @@ object Bpe {
       batchSize: Int = 64): (Seq[Merge], Int) = {
     require(numMerges > 0, "numMerges must be positive")
     require(batchSize > 0, "batchSize must be positive")
-    val words = vocab(df, textCol)
+    // materialize the word count ONCE (r18): the symbol-inventory collect
+    // and the initial-repr checkpoint below are separate ACTIONS over
+    // this lazy frame — without the checkpoint each re-ran the
+    // corpus-sized word-count shuffle (exchange reuse never spans jobs).
+    // The frame is vocab-grain (distinct words + freq), so the
+    // materialization is bounded regardless of corpus size.
+    val words = vocab(df, textCol).localCheckpoint()
     // symbol inventory = base charset ∪ merges applied so far: bounded
     // (alphabet + vocab sized), maintained driver-side with no extra
     // per-round job; feeds selectBatch's grown-pair collision guard
@@ -252,8 +258,11 @@ object Bpe {
     require(numMerges > 0, "numMerges must be positive")
     require(minWordFreq >= 1L, "minWordFreq must be >= 1")
     // floor applied pre-collect, distributed — the whole point: the
-    // driver never sees (nor counts against its budget) sub-floor words
+    // driver never sees (nor counts against its budget) sub-floor words.
+    // Checkpointed (r18): the budget-guard count and the collect are two
+    // actions — lazy, each would run the corpus word-count shuffle.
     val words = vocab(df, textCol).filter(col("freq") >= minWordFreq)
+      .localCheckpoint()
     val n = words.count()
     require(n <= maxVocabWords,
       s"distinct-word vocabulary ($n, at minWordFreq=$minWordFreq) " +

@@ -39,13 +39,30 @@ object Profile {
       if (row.isNullAt(i)) None else Some(row.getDouble(i))
     val rows: Seq[(String, Long, Long, Long, Option[Double], Option[Double],
         Option[Double])] =
-      if (exactDistinct) cols.map { c =>
-        val row = df.select(col(c)).agg(
-          count(lit(1)), count(when(col(c).isNull, 1)), countDistinct(col(c)),
-          min(col(c)).cast("double"), max(col(c)).cast("double"),
-          avg(col(c).cast("double"))).first()
-        (c, row.getLong(0), row.getLong(1), row.getLong(2),
-          opt(row, 3), opt(row, 4), opt(row, 5))
+      if (exactDistinct) {
+        // one single-column job per column (see scaladoc: a multi-agg of
+        // exact distincts plans an Expand), but submitted CONCURRENTLY
+        // (guide §2.6 — actions are only sequential because the driver
+        // calls them sequentially): each job is independent, the next
+        // job's tasks back-fill executors freed by the current job's
+        // tail. Result order stays `cols` order (futures are awaited in
+        // list order). r18 measured x_profile 3 serial jobs → overlapped:
+        // 1.38 → 1.04 s isolated at sf0.1, matched calibration.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        cols.map { c =>
+          Future {
+            val row = df.select(col(c)).agg(
+              count(lit(1)), count(when(col(c).isNull, 1)),
+              countDistinct(col(c)),
+              min(col(c)).cast("double"), max(col(c)).cast("double"),
+              avg(col(c).cast("double"))).first()
+            (c, row.getLong(0), row.getLong(1), row.getLong(2),
+              opt(row, 3), opt(row, 4), opt(row, 5))
+          }
+        }.map(Await.result(_, Duration.Inf))
       } else {
         val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
           count(when(col(c).isNull, 1)), approx_count_distinct(col(c)),
