@@ -638,7 +638,39 @@ object Dedup {
     // materialize NOW: the propagation rounds reference `edges` several
     // times in one job, and an unmaterialized cache would re-run the
     // (expensive) upstream pair pipeline once per reference
-    edges.count()
+    val nEdges = edges.count()
+    // Size-gated local fast path (r18; the r13 bitmap-dispatch
+    // discipline): below `spark.graft.cc.localMaxEdges` directed edges
+    // (default 1M ≈ tens of MB collected — the same bounded-collect
+    // budget class as IVF centroids / the BPE vocab) with integral ids,
+    // min-label connected components runs as a driver union-find over
+    // the ALREADY-MATERIALIZED edge cache: identical labels by
+    // construction (min member id per component is unique), zero
+    // iteration rounds, zero per-round checkpoints/convergence counts —
+    // the distributed loop's fixed cost is ~3 driver-blocking actions
+    // per two hops, which dominates small contracted graphs
+    // (clusterPairsIncremental, streaming micro-batches, bench-scale
+    // corpora). Larger graphs or non-integral ids fall through to the
+    // distributed loop unchanged — no correctness cliff, only a
+    // latency one, and the threshold is conf-tunable per deployment.
+    val integralIds = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val localMax = pairs.sparkSession.conf
+      .get("spark.graft.cc.localMaxEdges", "1000000").toLong
+    if (integralIds && nEdges <= localMax) {
+      localMinLabel(edges) match {
+        case Some(out) =>
+          edges.unpersist()
+          lastRounds = 0
+          return out
+        case None => () // null endpoint: distributed loop is authoritative
+      }
+    }
     // one propagation round; carries the pre-round label as `prev` so the
     // convergence check is a filter on the SAME materialization, not a
     // second join-and-count pass
@@ -687,8 +719,56 @@ object Dedup {
 
   /** Dev telemetry: propagation/contraction rounds the LAST
     * clusterPairs/clusterPairsStar call on this JVM executed — scaling
-    * attribution only (docs/SCALING.md), never a correctness input. */
+    * attribution only (docs/SCALING.md), never a correctness input.
+    * 0 = the size-gated local union-find path ran (no rounds). */
   @volatile private[graft] var lastRounds: Int = 0
+
+  /** Driver union-find over a bounded, materialized directed-edge frame
+    * (both directions present): returns (id, cluster_id) with
+    * cluster_id = smallest member id — bit-identical to the converged
+    * min-label propagation. Ids are cast to long for the flat maps and
+    * cast back to the input type on the way out, so the caller-visible
+    * schema matches the distributed path's. None when an endpoint is
+    * null (getLong would coerce it to 0) — caller falls through to the
+    * distributed loop, whose null semantics stay authoritative. */
+  private def localMinLabel(edges: DataFrame): Option[DataFrame] = {
+    val idType = edges.schema("src").dataType
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keysIterator
+      .map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+    val spark = edges.sparkSession
+    val longSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(labels,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + labels.size / 4096))),
+        longSchema)
+      .select(col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id")))
+  }
 
   /** Connected components via alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and

@@ -286,6 +286,27 @@ class ExtSpec extends SparkSpec {
     assert(l2(102L) == 100L && l2(39L) == 0L)
   }
 
+  test("clusterPairs: size-gated local union-find ≡ distributed loop") {
+    // r18 fast path: under spark.graft.cc.localMaxEdges with integral
+    // ids, clusterPairs runs a driver union-find. Pin bit-equality with
+    // the distributed propagation loop (forced via a 0 threshold) on
+    // random graphs including chains, self-loops and singleton pairs —
+    // and that the telemetry distinguishes the two paths.
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      val df = edges.toDF("a_id", "b_id")
+      val local = Dedup.clusterPairs(df).as[(Long, Long)].collect().toMap
+      assert(Dedup.lastRounds == 0, "small integral graph takes the local path")
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+      try {
+        val dist = Dedup.clusterPairs(df).as[(Long, Long)].collect().toMap
+        assert(Dedup.lastRounds > 0, "0 threshold forces the distributed loop")
+        assert(local == dist, s"trial $trial: local labels must equal distributed")
+      } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    }
+  }
+
   test("clusterPairsStar matches label propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
