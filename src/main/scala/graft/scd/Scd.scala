@@ -71,33 +71,45 @@ object Scd {
     val matched = bk.map(k => col(s"d.$k").isNotNull).reduce(_ && _) &&
       bk.map(k => col(s"u.$k").isNotNull).reduce(_ && _)
     val changed = matched && changedCond("d", "u", tracked)
-    val dimOnly = bk.map(k => col(s"u.$k").isNull).reduce(_ && _)
     val newOnly = bk.map(k => col(s"d.$k").isNull).reduce(_ && _)
 
-    // unchanged current rows + keys absent from the update set
-    val unchanged = j.filter((matched && !changedCond("d", "u", tracked)) || dimOnly)
-      .select(attrs.map(c => col(s"d.$c").as(c)) ++
-        Seq(col("d.version").as("version"), col("d.est_actif").as("est_actif"),
-          col("d.date_debut_validite").as("date_debut_validite"),
-          col("d.date_fin_validite").as("date_fin_validite")): _*)
-    val closed = j.filter(changed)
-      .select(attrs.map(c => col(s"d.$c").as(c)) ++
-        Seq(col("d.version").as("version"), lit(0).as("est_actif"),
-          col("d.date_debut_validite").as("date_debut_validite"),
-          eff.as("date_fin_validite")): _*)
-    val newVersion = j.filter(changed)
-      .select(attrs.map(c => col(s"u.$c").as(c)) ++
-        Seq((col("d.version") + 1).as("version"), lit(1).as("est_actif"),
-          eff.as("date_debut_validite"),
-          lit(null).cast("date").as("date_fin_validite")): _*)
-    val brandNew = j.filter(newOnly)
-      .select(attrs.map(c => col(s"u.$c").as(c)) ++
-        Seq(lit(1).as("version"), lit(1).as("est_actif"),
-          eff.as("date_debut_validite"),
-          lit(null).cast("date").as("date_fin_validite")): _*)
+    // ONE pass over the full-outer join (r18; guide §2.4/§7.2 —
+    // duplicated subtrees): the pre-r18 shape filtered `j` into FOUR
+    // union branches (unchanged / closed / new-version / brand-new), so
+    // Catalyst executed the join subtree four times per merge — and a
+    // CHAINED merge (m_scd2_cdc runs two rounds; a streaming sink runs
+    // one per batch over the previous batch's output) re-executed the
+    // whole previous round inside each branch. Each joined row instead
+    // emits its 1–2 output rows from a single projection via explode:
+    //   matched+changed    → the closed old version + the new version,
+    //   matched+unchanged
+    //     or dim-only      → the current row as-is,
+    //   update-only        → version 1.
+    // Branch order in the when-chain puts the two-row case first; the
+    // conditions are mutually exclusive and exhaustive over full-outer
+    // rows, so the emitted row set is exactly the old union's. Measured
+    // (isolated sf0.1, matched calibration): m_scd2_cdc 3.26 → 1.27 s,
+    // m_scd2_merge 0.53 → 0.40 s (plans/r18/m_scd2_cdc_after.txt).
+    def outRow(attrSide: String, version: Column, actif: Column,
+        debut: Column, fin: Column): Column =
+      struct(attrs.map(c => col(s"$attrSide.$c").as(c)) ++
+        Seq(version.as("version"), actif.as("est_actif"),
+          debut.as("date_debut_validite"),
+          fin.as("date_fin_validite")): _*)
+    val dAsIs = outRow("d", col("d.version"), col("d.est_actif"),
+      col("d.date_debut_validite"), col("d.date_fin_validite"))
+    val dClosed = outRow("d", col("d.version"), lit(0),
+      col("d.date_debut_validite"), eff)
+    val uNext = outRow("u", col("d.version") + 1, lit(1), eff,
+      lit(null).cast("date"))
+    val uFirst = outRow("u", lit(1), lit(1), eff, lit(null).cast("date"))
+    val emitted = j.select(explode(
+        when(changed, array(dClosed, uNext))
+          .when(newOnly, array(uFirst))
+          .otherwise(array(dAsIs))).as("__r"))
+      .select(col("__r.*"))
     hist.select((attrs ++ Meta).map(col): _*)
-      .unionByName(unchanged).unionByName(closed)
-      .unionByName(newVersion).unionByName(brandNew)
+      .unionByName(emitted)
   }
 
   /** SCD Type 3: keep the previous value in a companion column
