@@ -252,8 +252,17 @@ object Scd {
         col(opCol).as("__op"), effGuarded.as("__eff"),
         lit(1).as("__arr"), col(seqCol).cast("long").as("__seq"),
         when(col(opCol) === "D", 1).otherwise(0).as("__dpri")): _*)
-    val keys = changes.select(bk.map(col): _*).distinct()
-    val touched = dim.join(keys, bk, "left_semi")
+    // keys is referenced by both the semi and the anti join, and
+    // `touched` by three event derivations below — materialize both once
+    // (r18; duplicated-subtree discipline, guide §7.2): keys is
+    // change-grain distinct, touched is the change-keyed dim slice the
+    // semi/anti contract already bounds (versions per touched key, never
+    // dim-grain). Without this the dim subtree executed four times
+    // (3× semi + 1× anti) and the changes subtree twice. The untouched
+    // side stays lazy: it is dim-sized, referenced once, and passes
+    // through bit-identical.
+    val keys = changes.select(bk.map(col): _*).distinct().localCheckpoint()
+    val touched = dim.join(keys, bk, "left_semi").localCheckpoint()
     val untouched = dim.join(keys, bk, "left_anti")
     val attrEvents = touched.select(
       attrs.map(col) ++ Seq(lit("U").as("__op"),
