@@ -75,12 +75,18 @@ object Quality {
     val aggs = rules.flatMap(r =>
       Seq(r.metric.as(s"m:${r.name}"), r.passed.as(s"p:${r.name}")))
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vals = row.first()
-    rules.zipWithIndex.map { case (r, i) =>
-      (r.name, vals.getDouble(2 * i), vals.getInt(2 * i + 1))
-    }.toDF("check", "metric", "passed").orderBy("check")
+    // LAZY long format (r18): the one agg row explodes into one row per
+    // rule inside the plan instead of a driver first() + local-relation
+    // rebuild — so composing report with other checks (the
+    // p_quality_report union with fkIntegrity) runs as ONE Spark job
+    // whose independent subtrees execute concurrently, not two
+    // driver-serialized actions.
+    row.select(explode(array(rules.map(r => struct(
+        lit(r.name).as("check"),
+        col(s"m:${r.name}").cast("double").as("metric"),
+        col(s"p:${r.name}").cast("int").as("passed"))): _*)).as("__r"))
+      .select(col("__r.*"))
+      .orderBy("check")
   }
 
   /** The per-row hash behind [[tableDigest]]/[[groupDigest]] — ONE copy
@@ -142,12 +148,12 @@ object Quality {
     val keys = parent.select(parentKeys.zip(childKeys)
       .map { case (p, c) => col(p).as(c) }: _*).distinct()
     val cond = childKeys.map(c => col(c).isNotNull).reduce(_ && _)
-    val orphans = child.filter(cond).join(keys, childKeys, "left_anti")
-      .count()
-    val spark = child.sparkSession
-    import spark.implicits._
-    Seq((s"fk:${childKeys.mkString("+")}", orphans.toDouble,
-      if (orphans == 0) 1 else 0))
-      .toDF("check", "metric", "passed")
+    // lazy for the same reason as [[report]]: a groupless agg always
+    // yields exactly one row (count 0 on an empty orphan set)
+    child.filter(cond).join(keys, childKeys, "left_anti")
+      .agg(count(lit(1)).cast("double").as("metric"))
+      .select(lit(s"fk:${childKeys.mkString("+")}").as("check"),
+        col("metric"),
+        when(col("metric") === 0.0, 1).otherwise(0).as("passed"))
   }
 }
