@@ -916,13 +916,22 @@ object ExtQueries {
       val toks = docsSpread(s, d)
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .persist() // serves the sketch pass and the exact pass once each
-      val agg = toks.agg(
+      // the sketch aggregate and the exact top-10 are independent
+      // actions over the persisted token frame — overlapped (r18, guide
+      // §2.6; the cache is computed once, the second job reads it)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val aggF = Future(toks.agg(
         graft.functions.FreqItems.freqItems(col("token"), k).as("sk"),
-        count(lit(1)).as("n")).first()
+        count(lit(1)).as("n")).first())
+      val exactF = Future(toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(10).collect())
+      val agg = Await.result(aggF, Duration.Inf)
       val sketch = agg.getMap[String, Long](0)
       val slack = agg.getLong(1) / (k + 1)
-      val exactRows = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(10).collect()
+      val exactRows = Await.result(exactF, Duration.Inf)
       toks.unpersist()
       // Only counts ABOVE the n/(k+1) slack carry an order-independent
       // survival guarantee; a top-10 token at/below it (possible if the

@@ -573,13 +573,17 @@ object ScaleQueries {
       // the ALL row exercises the sketch MERGE path (union of per-year
       // sketches, no rescan) but its exactness check needs the true
       // all-time distinct, which no union of per-year EXACT counts can
-      // give — one more aggregate over the table
-      val exactAll = t(s, d, "orders")
-        .agg(countDistinct(col("o_custkey"))).first().getLong(0)
+      // give — one more aggregate over the table, composed LAZILY
+      // (r18: the old first() here serialized a whole extra driver job
+      // before the main plan; as a broadcast one-row cross join both
+      // aggregates run inside one job, subtrees concurrent)
+      val exactAll = broadcast(t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("__n_all")))
       val overall = perYear.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(exactAll)
         .select(lit("ALL").as("period"),
-          lit(exactAll).as("n_exact"),
-          flag(hll_sketch_estimate(col("sk")), lit(exactAll).cast("double"))
+          col("__n_all").as("n_exact"),
+          flag(hll_sketch_estimate(col("sk")), col("__n_all").cast("double"))
             .as("hll_within_2pct"))
       yearly.unionByName(overall).orderBy("period")
     },
@@ -607,23 +611,29 @@ object ScaleQueries {
       val daily = ev.groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk")).persist()
       val grid = daily.select(col("day").as("g"))
+      // r18: the two collects (sketch estimates, exact counts) were two
+      // driver-serialized jobs; joined in-plan they run as ONE job with
+      // concurrent subtrees. The certificate flag is global (every
+      // window within tolerance), so the joined day-grain frame
+      // materializes once (bounded: one row per day) and a broadcast
+      // one-row min() rides back on a cross join. The day sets match by
+      // construction — both sides group by the same grid — so the inner
+      // join drops nothing.
       val est = daily.join(broadcast(grid),
           col("day").between(date_add(col("g"), -6), col("g")))
         .groupBy("g")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
       val exact = ev.join(broadcast(grid),
           col("day").between(date_add(col("g"), -6), col("g")))
         .groupBy("g").agg(countDistinct(col("user_id")).as("n"))
-        .collect()
+      val joined = exact.join(est, "g").localCheckpoint()
       daily.unpersist()
-      val ok = if (exact.forall { r =>
-          est.get(r.getDate(0).toString).exists(e =>
-            math.abs(e - r.getLong(1)) <= math.max(3.0, 0.05 * r.getLong(1)))
-        }) 1 else 0
-      import s.implicits._
-      exact.map(r => (r.getDate(0).toString, r.getLong(1), ok)).toSeq
-        .toDF("day", "n_users_7d", "hll_within_5pct")
+      val okRow = when(abs(col("est").cast("double") - col("n")) <=
+        greatest(lit(3.0), lit(0.05) * col("n")), 1).otherwise(0)
+      val flag = broadcast(joined.agg(min(okRow).as("__ok")))
+      joined.crossJoin(flag)
+        .select(col("g").cast("string").as("day"),
+          col("n").as("n_users_7d"), col("__ok").as("hll_within_5pct"))
         .orderBy("day")
     },
   )

@@ -148,24 +148,28 @@ object SeriesQueries {
         |         AS conversion_rate""".stripMargin) {
       (s, d) =>
         val e = t(s, d, "events")
+        // materialized once (user-grain): both funnel stages read it —
+        // r18 replaced two driver-serialized count() actions with one
+        // lazy cross join of the two one-row aggregates (one job,
+        // concurrent subtrees)
         val v = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min(col("ts")).as("first_view"))
-        val nViewers = v.count()
-        val nConverted = v.join(
+          .localCheckpoint()
+        val viewers = broadcast(v.agg(count(lit(1)).as("n_viewers")))
+        val converted = broadcast(v.join(
             e.filter(col("event_type") === "purchase")
               .select(col("user_id"), col("ts")),
             Seq("user_id"))
           .filter(col("ts") >= col("first_view") &&
             col("ts") <= col("first_view") + expr("INTERVAL 24 HOURS"))
-          .select("user_id").distinct().count()
-        import s.implicits._
+          .select("user_id").distinct()
+          .agg(count(lit(1)).as("n_converted")))
         // guarded like the marts' pct(): no viewers → NULL rate, not NaN
-        val rate: Option[Double] =
-          if (nViewers > 0) Some(nConverted.toDouble / nViewers) else None
-        Seq((nViewers, nConverted, rate))
-          .toDF("n_viewers", "n_converted", "conversion_rate")
+        viewers.crossJoin(converted)
           .select(col("n_viewers"), col("n_converted"),
-            Fp.r(col("conversion_rate"), 4).as("conversion_rate"))
+            Fp.r(when(col("n_viewers") > 0,
+              col("n_converted").cast("double") / col("n_viewers")), 4)
+              .as("conversion_rate"))
     },
 
     // Event-transition matrix (Markov counts): what follows what, per
