@@ -660,8 +660,15 @@ object Dedup {
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    val localMax = pairs.sparkSession.conf
-      .get("spark.graft.cc.localMaxEdges", "1000000").toLong
+    val localMax = {
+      val raw = pairs.sparkSession.conf
+        .get("spark.graft.cc.localMaxEdges", "1000000")
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.cc.localMaxEdges must be a long, got '$raw'")
+      }
+    }
     if (integralIds && nEdges <= localMax) {
       localMinLabel(edges) match {
         case Some(out) =>
@@ -733,10 +740,18 @@ object Dedup {
     * distributed loop, whose null semantics stay authoritative. */
   private def localMinLabel(edges: DataFrame): Option[DataFrame] = {
     val idType = edges.schema("src").dataType
+    // null screen BEFORE the collect, in-plan on the already-materialized
+    // edge cache (one cheap action) — a nullable-id graph with an actual
+    // null used to pay the full bounded collect only to discard it here.
+    // Schema-level non-nullability skips even that action.
+    val mayHaveNulls =
+      edges.schema("src").nullable || edges.schema("dst").nullable
+    if (mayHaveNulls &&
+        !edges.filter(col("src").isNull || col("dst").isNull).isEmpty)
+      return None
     val rows = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .collect()
-    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x

@@ -77,6 +77,16 @@ class LlmPipelineSpec extends SparkSpec {
   }
 
   test("one LSH/CC pass serves near-dedup AND the leak-safe split") {
+    // the job-count margin below was calibrated against the DISTRIBUTED
+    // connected-components loop; the size-gated driver union-find (r18)
+    // legitimately collapses the self-contained path to a handful of jobs
+    // and the margin loses meaning. Pin the distributed path for the
+    // whole test so the "pair machinery not re-run" assertion keeps
+    // measuring what it was written to measure.
+    val ccConfKey = "spark.graft.cc.localMaxEdges"
+    val ccPrev = spark.conf.getOption(ccConfKey)
+    spark.conf.set(ccConfKey, "0")
+    try {
     val docs = graft.core.Tables.load(spark, sf001, "documents")
       .select("doc_id", "text")
     // the pair machinery runs ONCE, materialized; both consumers read it
@@ -143,5 +153,11 @@ class LlmPipelineSpec extends SparkSpec {
 
     // near-dup survivors and split assignment agree doc-for-doc
     assert(deduped.join(split, "doc_id").count() == deduped.count())
+    } finally {
+      ccPrev match {
+        case Some(v) => spark.conf.set(ccConfKey, v)
+        case None    => spark.conf.unset(ccConfKey)
+      }
+    }
   }
 }
