@@ -131,13 +131,17 @@ object Bench {
         }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // seconds formatted to 6 decimals (µs precision — far below host
+    // noise): r17's round-over-round diff was lost because the capture
+    // kept only a ~4 KB tail and the full-precision JSON didn't fit; a
+    // shorter line is likelier to survive tail truncation intact.
+    def fmt(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"host_calibration_sec":$hostCal,"sf":"$sfDir"}"""
-    println(json)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"host_calibration_sec":${fmt(hostCal)},"sf":"$sfDir"}"""
     // stdout captures get tail-truncated by harnesses; always persist the
     // COMPLETE per-query map to a file too (SPARK_GRAFT_BENCH_OUT
     // overrides the default ./bench_full.json) so round-over-round
@@ -147,6 +151,12 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outPath: $e") }
-    spark.stop()
+    // the ONE JSON line goes out LAST, after spark.stop(), so no shutdown
+    // logging can follow it and a tail-truncated capture keeps the line
+    // (r17's prev-bench parse failed exactly here — VERDICT r18 item 6/7)
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: $e") }
+    println(json)
   }
 }

@@ -54,8 +54,8 @@ object GraftSession {
   def builder(master: String, cores: Int): SparkSession.Builder =
     builderWithPartitions(master, shufflePartitionsFor(cores))
 
-  def builderWithPartitions(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builderWithPartitions(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft-engine")
       // engine extensions: RLS injection (inert until configured), custom
@@ -65,8 +65,40 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Prefer shuffled-hash over sort-merge when the planner's size
+      // conditions hold (guide §3.1/§9): the join still shuffles both
+      // sides, but the build side becomes a per-partition hash table
+      // instead of BOTH sides paying a full sort. Size-gated by the
+      // planner (static: canBuildLocalHashMap vs the broadcast
+      // threshold × partitions; runtime: AQE converts SMJ→SHJ only when
+      // every post-shuffle partition is under the 64 MB local-map cap),
+      // so the choice scales: oversized partitions keep sort-merge, and
+      // AQE skew-split bounds build-side partitions first. Measured
+      // r19 at sf0.1/32cpus, same code, matched calibration
+      // (0.315/0.309): suite geomean 0.85 (total 96.1 → 83.3 s), worst
+      // single-query regression 1.09 (noise band) — see
+      // OPTIMIZATION_r19.md.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs applied LAST, for
+    // conf A/B sweeps (dev) and per-deployment tuning (prod) without a
+    // code change. Loud on stderr so a leftover exported experiment var
+    // is identifiable in any log, like the shuffle-partitions override.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(b) { (bb, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty =>
+            System.err.println(s"[graft] SPARK_GRAFT_CONF override: " +
+              s"${k.trim}=${v.trim}")
+            bb.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entries must be k=v, got '$kv'")
+        }
+      }
+  }
 }

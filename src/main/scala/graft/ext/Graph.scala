@@ -92,21 +92,76 @@ object Graph {
     // exchange reuse was already deduplicating the doubled subtree at
     // runtime; the remaining win is the two dropped exchanges.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__src")
+    // Null-endpoint policy (r19, explicit): an edge with a null src or
+    // dst is dropped — a null id is not a vertex. Before r18 the
+    // outdeg inner join silently dropped null-SRC edges (null dsts still
+    // became dangling nodes); the r18 window shape silently kept both as
+    // first-class nodes. Neither was chosen — now it is: no null
+    // endpoints, stated here, enforced at entry (filter cost is one
+    // codegen'd predicate on the edge pass).
     val withDeg = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .repartition(col("__src"))
       .distinct()
       .withColumn("__outdeg", count(lit(1)).over(w).cast("double"))
       .sortWithinPartitions("__src")
       .persist()
-    val nodes = withDeg.select(col("__src").as("node"))
-      .union(withDeg.select(col("__dst").as("node"))).distinct().persist()
+    // Size-gated driver fast path (r19; the r18 union-find discipline in
+    // Dedup.clusterPairs): below `spark.graft.pagerank.localMaxEdges`
+    // distinct directed edges (default 4M ≈ tens of MB of primitive
+    // arrays) with integral node ids and a fixed horizon (tol unset),
+    // the synchronous iterations run as driver loops over the
+    // ALREADY-MATERIALIZED edge cache — the same formula (uniform start,
+    // dangling mass redistributed, damping) over the same distinct edge
+    // set, with zero per-iteration stages. Rank values differ from the
+    // distributed loop only in floating-point summation order — the same
+    // perturbation class as Spark's own nondeterministic partial-agg
+    // merge order, which every consumer already absorbs (rounded
+    // outputs / certificate margins). Larger graphs, non-integral ids
+    // or tol-gated runs fall through to the distributed loop unchanged —
+    // the 100 TB path — and the gate is conf-tunable per deployment.
+    val localMax = {
+      val raw = edges.sparkSession.conf
+        .get("spark.graft.pagerank.localMaxEdges", "4000000")
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.pagerank.localMaxEdges must be a long, got '$raw'")
+      }
+    }
+    val integralIds = withDeg.schema("__src").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (tol.isEmpty && integralIds && localMax > 0 &&
+        withDeg.count() <= localMax) {
+      val out = localPageRank(withDeg, iters, damping)
+      withDeg.unpersist()
+      return out
+    }
+    // nodes + dangling from ONE exchange (r19; guide §2.4): the union of
+    // (src, has_out=true) and (dst, has_out=false) rows aggregates to
+    // node grain with max(has_out) — replacing the r18 chain of a
+    // nodes-distinct exchange PLUS a srcs-distinct exchange PLUS a
+    // node-grain anti join. `dangling` = the has_out=false slice of the
+    // same cached frame; `nodes` = its projection. Identical node set
+    // (union-distinct of both endpoint columns, nulls pre-filtered) and
+    // identical dangling set (no out-edge ⇔ never seen as src).
+    val nodeFlags = withDeg.select(col("__src").as("node"),
+        lit(true).as("__has_out"))
+      .union(withDeg.select(col("__dst").as("node"),
+        lit(false).as("__has_out")))
+      .groupBy("node").agg(max(col("__has_out")).as("__has_out"))
+      .persist()
+    val nodes = nodeFlags.select("node")
     val n = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
-    // dangling = nodes with no out-edge; bounded node-grain anti join,
-    // resolved once (isEmpty is one driver boolean, not the data)
-    val dangling = nodes.join(
-      withDeg.select(col("__src").as("node")).distinct(),
-      Seq("node"), "left_anti").persist()
+    // dangling = nodes with no out-edge, resolved once (isEmpty is one
+    // driver boolean over the cached node-grain frame, not the data)
+    val dangling = nodeFlags.filter(!col("__has_out")).select("node")
     val hasDangling = !dangling.isEmpty
     var ranks = nodes.crossJoin(n)
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
@@ -164,8 +219,73 @@ object Graph {
     }
     val out = ranks.localCheckpoint()
     withDeg.unpersist()
-    nodes.unpersist()
-    dangling.unpersist()
+    nodeFlags.unpersist()
     out
+  }
+
+  /** Driver-side synchronous PageRank over a bounded, materialized
+    * (__src, __dst) edge cache (distinct, null-free): same uniform
+    * start, per-iteration dangling-mass redistribution and damping as
+    * the distributed loop, as plain double loops over primitive arrays.
+    * Returns (node, pr) at the edge key's type. */
+  private def localPageRank(withDeg: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    val idType = withDeg.schema("__src").dataType
+    val rows = withDeg
+      .select(col("__src").cast("long"), col("__dst").cast("long"))
+      .collect()
+    // node index: every id appearing as src or dst
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def indexOf(v: Long): Int =
+      idx.getOrElse(v, { val i = ids.size; idx(v) = i; ids += v; i })
+    val e = rows.length
+    val srcIdx = new Array[Int](e)
+    val dstIdx = new Array[Int](e)
+    var i = 0
+    while (i < e) {
+      srcIdx(i) = indexOf(rows(i).getLong(0))
+      dstIdx(i) = indexOf(rows(i).getLong(1))
+      i += 1
+    }
+    val nN = ids.size
+    val outdeg = new Array[Int](nN)
+    i = 0; while (i < e) { outdeg(srcIdx(i)) += 1; i += 1 }
+    var pr = Array.fill(nN)(1.0 / nN)
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Double](nN)
+      i = 0
+      while (i < e) {
+        contrib(dstIdx(i)) += pr(srcIdx(i)) / outdeg(srcIdx(i))
+        i += 1
+      }
+      var dang = 0.0
+      var v = 0
+      while (v < nN) { if (outdeg(v) == 0) dang += pr(v); v += 1 }
+      val next = new Array[Double](nN)
+      v = 0
+      while (v < nN) {
+        next(v) = (1.0 - damping) / nN +
+          damping * (contrib(v) + dang / nN)
+        v += 1
+      }
+      pr = next
+      it += 1
+    }
+    val spark = withDeg.sparkSession
+    val outRows = ids.indices
+      .map(v => org.apache.spark.sql.Row(ids(v), pr(v)))
+    val longSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + outRows.size / 8192))),
+        longSchema)
+      .select(col("node").cast(idType).as("node"), col("pr"))
   }
 }

@@ -69,18 +69,29 @@ object Ivf {
     * and are never rounded. */
   def train(corpus: DataFrame, embCol: String, idCol: String, k: Int,
       iters: Int = 5, roundMeansTo: Option[Int] = None): Seq[Seq[Double]] = {
-    val dim = corpus.select(size(col(embCol))).first().getInt(0)
     var centroids: Seq[Seq[Double]] = initSample(corpus, embCol, idCol, k)
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    // dim from the sampled seed rows — the dedicated
+    // `corpus.select(size(emb)).first()` probe was one more
+    // driver-blocking job per training for a value the sample already
+    // carries (r19; dims are uniform by the operator's contract)
+    val dim = centroids.headOption.map(_.size).getOrElse(0)
     (1 to iters).foreach { _ =>
-      // cell assignment on the compact rows, THEN explode via join — if the
-      // nearestCell expression sat next to posexplode in one projection it
-      // would be re-evaluated per exploded element (64x the work).
-      val cells = corpus.select(col(idCol),
-        nearestCell(corpus.sparkSession, col(embCol), centroids).as("cell"))
+      // cell assignment in a PROJECTION BELOW the Generate, exploded in a
+      // second select — evaluated once per row (Generate only forwards
+      // `cell` per emitted element; CollapseProject cannot merge a Project
+      // through Generate). r19: this replaces the r11 assign-then-JOIN
+      // shape, which shuffled the full exploded corpus (n·dim rows) plus
+      // the assignment frame EVERY iteration just to glue `cell` onto
+      // `(pos, v)` — guide §2.4, remove shuffles outright: the only
+      // remaining exchange per iteration is the k·dim-group partial
+      // aggregate. (Putting nearestCell NEXT TO posexplode in one
+      // projection would re-evaluate it per exploded element — dim× the
+      // work; the two-step select keeps exactly one evaluation per row.)
       val assigned = corpus
-        .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
-        .join(cells, idCol)
+        .select(nearestCell(corpus.sparkSession, col(embCol), centroids)
+          .as("cell"), col(embCol))
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
       val means = assigned.groupBy("cell", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
         .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("pos"),

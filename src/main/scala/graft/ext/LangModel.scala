@@ -68,11 +68,14 @@ object LangModel {
     val bc = bigrams
       .groupBy("bigram").agg(sum("tf").as("bc"))
       .filter(col("bc") >= minCount)
-    val c1 = bc
-      .select(substring_index(col("bigram"), Sep, 1).as("w1"), col("bc"))
-      .groupBy("w1").agg(sum("bc").as("c1"))
+    // context totals via a window over the SAME frame (r19, guide §2.4):
+    // the previous shape re-keyed the bigram-grain bc table on w1 for a
+    // groupBy and joined it back — two exchanges of model-grain data;
+    // sum(bc) OVER (PARTITION BY w1) produces the identical c1 (exact
+    // integer sums — order-insensitive) in one exchange + sort.
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
     bc.withColumn("w1", substring_index(col("bigram"), Sep, 1))
-      .join(c1, "w1")
+      .withColumn("c1", sum(col("bc")).over(byW1))
       .select(col("bigram"), col("bc"), col("c1"))
   }
 

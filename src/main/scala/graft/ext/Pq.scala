@@ -43,9 +43,6 @@ object Pq {
   def train(corpus: DataFrame, embCol: String, idCol: String, m: Int,
       k: Int = 256, iters: Int = 3): Codebook = {
     val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(embCol))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val subDim = dim / m
     // float corpora and double residual vectors (IvfPq) both train here
     val first = Ivf.initSample(corpus, embCol, idCol, k)
       .map(_.getSeq[Any](0).map {
@@ -53,18 +50,29 @@ object Pq {
         case d: Double => d
         case n: Number => n.doubleValue()
       }.toIndexedSeq)
+    // dim from the sampled seed rows (one fewer driver-blocking probe
+    // job, r19; dims are uniform by the operator's contract)
+    val dim = first.headOption.map(_.size).getOrElse(0)
+    require(dim > 0 && dim % m == 0,
+      s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       first.toSeq.map(_.slice(j * subDim, (j + 1) * subDim)))
     (1 to iters).foreach { _ =>
-      // assignments on the compact rows, THEN explode via join — next to
-      // posexplode in one projection the m nearest-centroid expressions
-      // would be re-evaluated once per exploded element (dim× the work)
-      val cells = corpus.select(col(idCol), array((0 until m).map(j =>
-        graft.functions.VectorOps.nearestCentroid(spark,
-          subspace(embCol, j, subDim), books(j))): _*).as("__cells"))
+      // assignments in a PROJECTION BELOW the Generate, exploded in a
+      // second select (same shape as Ivf.train, r19): the m
+      // nearest-centroid expressions evaluate once per row and Generate
+      // forwards the m-int `__cells` array per element — next to
+      // posexplode in ONE projection they would re-evaluate per exploded
+      // element (dim× the work), and the previous assign-then-JOIN shape
+      // shuffled the full exploded corpus every iteration just to glue
+      // the assignment on (guide §2.4).
       val means = corpus
-        .select(col(idCol), posexplode(col(embCol)).as(Seq("pos", "v")))
-        .join(cells, idCol)
+        .select(array((0 until m).map(j =>
+          graft.functions.VectorOps.nearestCentroid(spark,
+            subspace(embCol, j, subDim), books(j))): _*).as("__cells"),
+          col(embCol))
+        .select(col("__cells"), posexplode(col(embCol)).as(Seq("pos", "v")))
         .select((col("pos") / subDim).cast("int").as("j"),
           pmod(col("pos"), lit(subDim)).as("p"),
           element_at(col("__cells"),

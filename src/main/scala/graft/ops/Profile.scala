@@ -50,19 +50,26 @@ object Profile {
         // 1.38 → 1.04 s isolated at sf0.1, matched calibration.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
+        // bounded, dedicated pool (guide §2.6: "2-3 jobs in flight is
+        // plenty"): a wide table on the shared global ForkJoinPool would
+        // launch #cols simultaneous jobs, each Await blocking a pool
+        // thread and starving every other user of the global EC
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
         implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.global
-        cols.map { c =>
-          Future {
-            val row = df.select(col(c)).agg(
-              count(lit(1)), count(when(col(c).isNull, 1)),
-              countDistinct(col(c)),
-              min(col(c)).cast("double"), max(col(c)).cast("double"),
-              avg(col(c).cast("double"))).first()
-            (c, row.getLong(0), row.getLong(1), row.getLong(2),
-              opt(row, 3), opt(row, 4), opt(row, 5))
-          }
-        }.map(Await.result(_, Duration.Inf))
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          cols.map { c =>
+            Future {
+              val row = df.select(col(c)).agg(
+                count(lit(1)), count(when(col(c).isNull, 1)),
+                countDistinct(col(c)),
+                min(col(c)).cast("double"), max(col(c)).cast("double"),
+                avg(col(c).cast("double"))).first()
+              (c, row.getLong(0), row.getLong(1), row.getLong(2),
+                opt(row, 3), opt(row, 4), opt(row, 5))
+            }
+          }.map(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
       } else {
         val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
           count(when(col(c).isNull, 1)), approx_count_distinct(col(c)),

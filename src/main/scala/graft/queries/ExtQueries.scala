@@ -26,7 +26,16 @@ object ExtQueries {
     * instead of silently diverging. */
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
       d: String, n: Int): Seq[graft.ext.Bpe.Merge] = {
-    val merges = graft.ext.Bpe.train(docs(s, d), "text", n)
+    // r19: trainLocal — result-identical to the distributed train()
+    // (BpeSpec pins equality through exhaustion and at 512 sustained
+    // merges) with the merge loop on the collected vocab instead of
+    // per-round Spark jobs: one corpus word-count shuffle + one bounded
+    // fetch replaces the symbol-inventory collect, the initial-repr
+    // checkpoint and the per-batch pair-count job (guide §1.2 — the
+    // distributed algorithm first; iteration is free driver-side at
+    // vocab grain). The distributed trainer remains for corpora whose
+    // vocabulary exceeds the driver budget.
+    val merges = graft.ext.Bpe.trainLocal(docs(s, d), "text", n)
     require(merges.size == n,
       s"BPE training exhausted at ${merges.size}/$n merges — the CTE " +
         "oracle assumes exactly n; gate corpus too degenerate to compare")
@@ -765,12 +774,22 @@ object ExtQueries {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
          |FROM g GROUP BY gram
          |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (s, d) =>
-      docsSpread(s, d)
-        .select(col("doc_id"),
-          explode(Dedup.shingles(col("text"), 2)).as("gram"))
-        .groupBy("gram").agg(
-          count(lit(1)).as("cnt"),
-          countDistinct(col("doc_id")).as("df"))
+      // r19 (guide §2.3 — aggregate before you shuffle): the fused
+      // TermFreqs pass emits ONE pre-aggregated (doc, distinct-bigram,
+      // tf) row per doc×bigram, so cnt = sum(tf) and df = row count per
+      // bigram come out of a single gram-keyed exchange. The previous
+      // explode + count(DISTINCT doc_id) shape shuffled every bigram
+      // OCCURRENCE through a two-phase distinct-aggregate (two
+      // exchanges). Same grams: the U+0001-separated bigram rendering
+      // maps 1:1 onto the space-joined shingle (tokens cannot contain
+      // either separator), translated back after the aggregate at
+      // gram grain. (docBigrams spreads its input itself.)
+      LangModel.docBigrams(docs(s, d), "text", "doc_id")
+        .groupBy("bigram").agg(
+          sum(col("tf")).as("cnt"),
+          count(lit(1)).as("df"))
+        .select(translate(col("bigram"), LangModel.Sep, " ").as("gram"),
+          col("cnt"), col("df"))
         .orderBy(col("cnt").desc, col("gram")).limit(20)
     },
 

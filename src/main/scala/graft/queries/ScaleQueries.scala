@@ -223,14 +223,19 @@ object ScaleQueries {
       val old = all.filter(!isNew)
       val nw = all.filter(isNew)
       // deployment shape: the signature index is a STORED table
-      // (signatureIndex scaladoc) — materialize each side's index ONCE
-      // and derive every pass from it, so each corpus side's text runs
-      // the fused MinHashSig scan exactly once (the first cut ran the
-      // old side three times: pairs pass + the lazy index's two reads)
-      val oldIdx = Dedup.signatureIndex(old, "text", "doc_id")
+      // (signatureIndex scaladoc) — materialize the index ONCE and derive
+      // every pass from it, so the corpus text runs the fused MinHashSig
+      // scan exactly once (the first cut ran the old side three times:
+      // pairs pass + the lazy index's two reads). r19: ONE signature scan
+      // over the WHOLE corpus, split by filter afterwards — the signature
+      // is a pure per-row expression, so filter-then-sign and
+      // sign-then-filter are row-identical, and the old/new sides were
+      // paying two separate text scans (guide §2.4, one pass not two);
+      // the checkpoint is signature-grain, shared by both sides' reads
+      val fullIdx = Dedup.signatureIndex(all, "text", "doc_id")
         .localCheckpoint()
-      val newIdx = Dedup.signatureIndex(nw, "text", "doc_id")
-        .localCheckpoint()
+      val oldIdx = fullIdx.filter(!isNew)
+      val newIdx = fullIdx.filter(isNew)
       // the maintained table: converged old clustering + singletons
       val existing = old.select(col("doc_id").as("id"))
         .join(Dedup.clusterPairs(Dedup.nearDupPairsFromIndex(oldIdx, "doc_id")
@@ -421,6 +426,12 @@ object ScaleQueries {
       val all = t(s, d, "documents").select("doc_id", "text", "lang")
       val benchmark = all.filter(col("doc_id") % 17 === 0)
       val corpus = graft.core.Tables.spread(all.filter(col("doc_id") % 17 =!= 0))
+      // NOT persisted (r19, measured): caching the filtered corpus here
+      // looks like the obvious §5 move (five downstream consumers re-run
+      // the regex-heavy quality filter), but the isolated A/B came out
+      // 5.7 → 21.6 s — the InMemoryRelation's known-small stats flip the
+      // downstream join planning and the cache write itself serializes
+      // the text column. The recomputed filter is cheaper; leave lazy.
       val kept = Curation.qualityFilter(corpus, "text")
         .filter(col(Curation.KeepCol))
         .select("doc_id", "text", "lang")

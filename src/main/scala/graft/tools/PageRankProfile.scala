@@ -53,6 +53,31 @@ object PageRankProfile {
         qe.executedPlan // force
         println(qe.executedPlan.toString.take(6000))
       }
+      // r19: attribute INSIDE pageRank — the r18 window edge prep,
+      // node/dangling materialization, then the iteration cascade
+      {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("__src")
+        val withDeg = edges
+          .select(col("src").as("__src"), col("dst").as("__dst"))
+          .repartition(col("__src"))
+          .distinct()
+          .withColumn("__outdeg", count(lit(1)).over(w).cast("double"))
+          .sortWithinPartitions("__src")
+          .persist()
+        timed("  withDeg (window prep, noop)") {
+          withDeg.write.format("noop").mode("overwrite").save()
+        }
+        val nodes = withDeg.select(col("__src").as("node"))
+          .union(withDeg.select(col("__dst").as("node"))).distinct().persist()
+        timed("  nodes (noop)") {
+          nodes.write.format("noop").mode("overwrite").save()
+        }
+        val dangling = nodes.join(
+          withDeg.select(col("__src").as("node")).distinct(),
+          Seq("node"), "left_anti").persist()
+        timed("  dangling isEmpty") { dangling.isEmpty }
+        withDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
+      }
       val ranks = timed("pageRank 5 iters (full)") {
         val r = graft.ext.Graph.pageRank(edges, "src", "dst", iters = 5)
         r.count(); r
