@@ -25,6 +25,28 @@ object Tables {
     if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
+
+  /** [[spread]] for frames that sit on a JOIN/AGGREGATE tail, where the
+    * partition-count probe would be disastrous: `toRdd` on an adaptive
+    * plan materializes every upstream exchange to pick the final plan, so
+    * probing a lazy join tail executes the whole upstream once at plan-
+    * build time (and the repartitioned query then re-runs it). This
+    * variant gates on the OPTIMIZER'S size estimate instead — no jobs,
+    * no execution: a frame estimated under parallelism × the AQE
+    * advisory partition size is cheap to round-robin (tiny shuffle,
+    * big parallelism win for CPU-heavy per-row work downstream — AQE
+    * coalesces small shuffle tails to byte-sized partition counts that
+    * serialize expensive expressions); anything estimated larger
+    * already has enough splits and passes through untouched, so the
+    * 100 TB path never pays a probe or an extra exchange. */
+  def spreadIfSmall(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    val advisory = sess.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(advisory) * target) df.repartition(target) else df
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -318,7 +318,15 @@ object Curation {
     val benchShingles = graft.core.Tables.spread(benchmark)
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__bs"))
       .distinct()
-    docs
+    // spread the DOCS side too (r19): when the corpus arrives off a
+    // join/aggregate tail, AQE has coalesced it to byte-sized partitions
+    // (text compresses small) and the CPU-heavy tokenize+shingle explode
+    // runs nearly single-threaded — measured 12.4 s of x_pipeline_e2e's
+    // 13.4 s contamination stage at sf1 with NO benchmark join at all
+    // (deduped arrived as 7 ~1MB partitions; re-spread ran it in 4.7 s).
+    // spreadIfSmall gates on the optimizer ESTIMATE, so a lazy join tail
+    // is never probe-executed and the at-scale path adds no exchange.
+    graft.core.Tables.spreadIfSmall(docs)
       .select(col(idCol),
         explode_outer(array_distinct(Dedup.shingles(col(textCol), n)))
           .as("__s"))

@@ -49,6 +49,41 @@ object PipelineProfile {
       val contaminated0 = Curation.contamination(
           deduped, "text", "doc_id", benchmark, "text")
         .filter(col("contamination") > 0.5).select("doc_id")
+      // r19 sub-attribution: the benchmark broadcast-side build vs the
+      // corpus probe side
+      timed("  benchShingles distinct (noop)") {
+        graft.core.Tables.spread(benchmark)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("__bs"))
+          .distinct()
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(s"[pipeprof]   deduped partitions = " +
+        deduped.rdd.getNumPartitions)
+      timed("  corpus explode+agg, no bench join (noop)") {
+        deduped
+          .select(col("doc_id"),
+            explode_outer(array_distinct(Dedup.shingles(col("text"), 3)))
+              .as("__s"))
+          .groupBy("doc_id")
+          .agg(count(col("__s")).as("n_shingles"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("  corpus explode+agg, re-spread (noop)") {
+        deduped.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode_outer(array_distinct(Dedup.shingles(col("text"), 3)))
+              .as("__s"))
+          .groupBy("doc_id")
+          .agg(count(col("__s")).as("n_shingles"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("  corpus n_shingles as pure projection (noop)") {
+        deduped
+          .select(col("doc_id"),
+            size(array_distinct(Dedup.shingles(col("text"), 3)))
+              .as("n_shingles"))
+          .write.format("noop").mode("overwrite").save()
+      }
       val contaminated = timed("contamination")(contaminated0.localCheckpoint())
       val clean0 = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       val clean = timed("clean anti-join")(clean0.localCheckpoint())
