@@ -29,11 +29,19 @@ object IvfPq {
     val spark = corpus.sparkSession
     val cells = Ivf.train(corpus, embCol, idCol, nCells, iters)
     val cellsLit = array(cells.map(c => array(c.map(lit): _*)): _*)
+    // checkpoint the residual frame ONCE (r19, guide §2.4): Pq.train runs
+    // 1 + iters actions over it and the final encode reads it again —
+    // each used to re-evaluate the nearest-cell argmin and the residual
+    // zip_with over the corpus; the materialization is (id, cell,
+    // residual) — the same order of size as the corpus the caller
+    // already persists, reclaimed by the context cleaner with the result
     val withRes = corpus
       .withColumn("cell", Ivf.nearestCell(spark, col(embCol), cells))
       .withColumn("__res",
         zip_with(col(embCol), element_at(cellsLit, col("cell") + 1),
           (a, b) => a - b))
+      .select(col(idCol), col("cell"), col("__res"))
+      .localCheckpoint()
     val book = Pq.train(withRes, "__res", idCol, m, k, iters)
     val encoded = Pq.encode(withRes, "__res", book)
       .select(col(idCol), col("cell"), col("pq_code"))
